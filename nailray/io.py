@@ -1,0 +1,180 @@
+"""Sources / sinks, and the ``row_id`` ingest.
+
+Reference parity (/root/reference/src/utils/io.rs:14-34, 167-214): read
+parquet/CSV/NDJSON(/XLSX) into one logical table, write any of them
+back. Ray shape: ``ray.data.read_parquet`` / ``read_csv`` / ``read_json``
+→ ``Dataset``; writes via ``ds.write_*``.
+
+Row identity: the reference's row numbers are 1-based physical file
+order materialized via ``ROW_NUMBER() OVER ()``
+(src/commands/select.rs:190). Ray Data blocks carry no implicit global
+order, so operators that need file order (head/tail/row-spec select,
+dedup keep-first/last, id, deterministic sampling) read through
+:func:`read_parquet_with_row_id`, which assigns ``row_id`` from parquet
+row-group offsets — fully parallel (one task per row group), no
+driver-side scan, stable across runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+ROW_ID = "row_id"
+
+
+def _expand_paths(paths: str | Iterable[str], suffix: str = ".parquet") -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(os.path.join(p, f) for f in os.listdir(p) if f.endswith(suffix)))
+        else:
+            out.append(p)
+    return out
+
+
+def read_parquet(paths: str | Iterable[str], columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """Plain parquet scan with column pruning (no row ids)."""
+    return rd.read_parquet(_expand_paths(paths), columns=columns, **kw)
+
+
+def read_csv(paths: str | Iterable[str], **kw) -> rd.Dataset:
+    return rd.read_csv(paths, **kw)
+
+
+def read_json(paths: str | Iterable[str], **kw) -> rd.Dataset:
+    return rd.read_json(paths, **kw)
+
+
+def parquet_num_rows(paths: str | Iterable[str]) -> int:
+    """Footer-metadata row count — no data scan.
+
+    Parity: the reference's parquet fast path
+    (src/utils/parquet_utils.rs:5-25) sums row-group ``num_rows`` from
+    the footer; identical here.
+    """
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in _expand_paths(paths))
+
+
+def _row_group_tasks(paths: list[str], columns: list[str] | None) -> list[dict]:
+    """(file, row-group, global row offset) work list from footers only."""
+    tasks = []
+    offset = 0
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            tasks.append({"file": path, "rg": rg, "offset": offset, "n": n})
+            offset += n
+    return tasks
+
+
+class _RowGroupReader:
+    """Reads one parquet row group and attaches the global ``row_id``.
+
+    Used as an actor-pool ``map_batches`` stage over the task list so the
+    (cheap) setup is amortized and file handles can be reused.
+    """
+
+    def __init__(self, columns: list[str] | None):
+        self.columns = columns
+        self._open: dict[str, pq.ParquetFile] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for task in batch.to_pylist():
+            f = self._open.get(task["file"])
+            if f is None:
+                f = self._open[task["file"]] = pq.ParquetFile(task["file"])
+            t = f.read_row_group(task["rg"], columns=self.columns)
+            rid = pa.array(range(task["offset"] + 1, task["offset"] + 1 + t.num_rows), pa.int64())
+            outs.append(t.append_column(ROW_ID, rid))
+        return pa.concat_tables(outs, promote_options="default")
+
+
+def read_parquet_with_row_id(
+    paths: str | Iterable[str],
+    columns: list[str] | None = None,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Parquet scan that carries a 1-based file-order ``row_id`` column.
+
+    One Ray task per row group; offsets come from footers (driver reads
+    metadata only). At 100 TB scale the task list is one small row per
+    row group — the data itself never touches the driver.
+    """
+    paths = _expand_paths(paths)
+    tasks = _row_group_tasks(paths, columns)
+    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks))
+    # ~1 row group per batch keeps output blocks row-group sized.
+    return task_ds.map_batches(
+        _RowGroupReader,
+        fn_constructor_args=(columns,),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def to_arrow(ds: rd.Dataset) -> pa.Table:
+    """Stream a (small-result) dataset into one pyarrow Table on the driver.
+
+    For test/driver-side comparisons only — never call on the 100 TB input.
+    """
+    tables = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        return pa.table({})
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def write_parquet(ds: rd.Dataset, path: str, **kw) -> None:
+    """Directory-of-part-files parquet sink (resumable layout).
+
+    Empty-input parity (src/utils/io.rs:340-383): Ray writes a valid
+    empty part file for an empty dataset.
+    """
+    ds.write_parquet(path, **kw)
+
+
+def write_csv(ds: rd.Dataset, path: str, **kw) -> None:
+    ds.write_csv(path, **kw)
+
+
+def write_json(ds: rd.Dataset, path: str, **kw) -> None:
+    ds.write_json(path, **kw)
+
+
+def detect_format(path: str) -> str:
+    """Format by extension only — parity with src/utils/mod.rs:47-57."""
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("parquet", "pqt"):
+        return "parquet"
+    if ext == "csv":
+        return "csv"
+    if ext in ("json", "ndjson", "jsonl"):
+        return "json"
+    if ext == "xlsx":
+        return "xlsx"
+    raise ValueError(f"unsupported file extension: .{ext}")
+
+
+def convert(in_path: str, out_path: str) -> None:
+    """``nail convert`` (src/commands/convert.rs:30-57): read any → write any."""
+    readers = {"parquet": rd.read_parquet, "csv": rd.read_csv, "json": rd.read_json}
+    ds = readers[detect_format(in_path)](in_path)
+    fmt = detect_format(out_path)
+    if fmt == "parquet":
+        ds.write_parquet(out_path)
+    elif fmt == "csv":
+        ds.write_csv(out_path)
+    elif fmt == "json":
+        ds.write_json(out_path)
+    else:
+        raise ValueError(f"cannot write format {fmt}")
