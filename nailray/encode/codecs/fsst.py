@@ -1,0 +1,274 @@
+"""FSST-style symbol-table compression for string content columns.
+
+True FSST (Boncz, Neumann, Leis: "FSST: Fast Random Access String
+Compression", VLDB 2020) does greedy longest-match against a table of
+up-to-8-byte symbols — inherently sequential per byte, which pure
+Python cannot run at GB/s. This codec keeps FSST's architecture (build
+a small symbol table from a sample; encode every chunk with it; decode
+is a table lookup; bit-exact) but replaces the matcher with **vectorized
+recursive pairing** (Re-Pair, Larsson & Moffat 1999): R rounds of
+byte-pair merging, each round fully vectorized in numpy (pair hashing →
+sorted-key lookup → run-parity greedy overlap resolution → scatter
+rebuild). After R=3 rounds a symbol covers up to 2^R = 8 source bytes —
+the same maximum symbol length as FSST.
+
+Final serialization is escape-free and decode-vectorizable: a byte
+stream of the 255 most frequent symbols (code 255 = "take next from the
+wide stream") plus a uint16 side stream, so decode never scans
+byte-by-byte.
+
+The whole column chunk is compressed as ONE concatenated buffer (string
+boundaries carried as FOR-packed lengths), so short strings share the
+symbol table and pairs may span boundaries harmlessly.
+
+Symbol tables are built once per partition by the encoder actor and
+reused across chunks (SURVEY §2.3 "engine's new stateful stages"); the
+table is also embedded in each chunk payload so every chunk is
+self-decoding, and its sha256 goes to the partition manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .base import Codec, apply_nulls, buffer_to_strings, frame, split_nulls, strings_to_buffer, unframe
+from .bitpack import ForCodec
+
+_ROUNDS = 3
+_PAIRS_PER_ROUND = 256
+_MIN_PAIR_COUNT = 4
+_SAMPLE_BYTES = 1 << 18
+MAXSYM = 1024  # 256 literals + ≤3×256 merged symbols
+
+
+class FsstTable:
+    """rules (uint16 left/right per new symbol, grouped in rounds) + the
+    byte-code assignment for the final stream."""
+
+    __slots__ = ("rules_l", "rules_r", "round_sizes", "top_syms", "_lookup", "_expansion")
+
+    def __init__(self, rules_l: np.ndarray, rules_r: np.ndarray, round_sizes: list[int], top_syms: np.ndarray):
+        self.rules_l = rules_l.astype(np.uint16)
+        self.rules_r = rules_r.astype(np.uint16)
+        self.round_sizes = list(round_sizes)
+        self.top_syms = top_syms.astype(np.uint16)
+        self._lookup = None  # per-round pair→code LUTs, built lazily
+        self._expansion = None  # (n_syms×8 uint8 matrix, len per symbol)
+
+    def expansion(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full byte expansion of every symbol id (≤ 2^rounds bytes each):
+        decode becomes one cumsum + max-symbol-length masked scatters."""
+        if self._expansion is None:
+            n_ids = 256 + len(self.rules_l)
+            max_len = 1 << len(self.round_sizes)
+            exp: list[bytes] = [bytes([i]) for i in range(256)]
+            for i in range(len(self.rules_l)):
+                exp.append(exp[self.rules_l[i]] + exp[self.rules_r[i]])
+            lens = np.fromiter((len(e) for e in exp), np.int64, n_ids)
+            mat = np.zeros((n_ids, max_len), np.uint8)
+            for i, e in enumerate(exp):
+                mat[i, : len(e)] = np.frombuffer(e, np.uint8)
+            self._expansion = (mat, lens)
+        return self._expansion
+
+    def lookups(self):
+        """Per-round dense LUTs: pair (hi*MAXSYM+lo) → merged code (0 = no
+        rule). Symbol ids stay < MAXSYM by construction, so one gather per
+        element replaces a binary search."""
+        if self._lookup is None:
+            out = []
+            base = 256
+            off = 0
+            for sz in self.round_sizes:
+                lut = np.zeros(MAXSYM * MAXSYM, np.uint16)
+                keys = self.rules_l[off : off + sz].astype(np.int64) * MAXSYM + self.rules_r[off : off + sz]
+                lut[keys] = np.arange(base, base + sz, dtype=np.uint16)
+                out.append(lut)
+                base += sz
+                off += sz
+            self._lookup = out
+        return self._lookup
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<B", len(self.round_sizes)) + struct.pack(
+            f"<{len(self.round_sizes)}H", *self.round_sizes
+        ) + struct.pack("<H", len(self.top_syms))
+        return head + self.rules_l.tobytes() + self.rules_r.tobytes() + self.top_syms.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "FsstTable":
+        nr = blob[0]
+        sizes = list(struct.unpack_from(f"<{nr}H", blob, 1))
+        off = 1 + 2 * nr
+        (ntop,) = struct.unpack_from("<H", blob, off)
+        off += 2
+        total = sum(sizes)
+        rl = np.frombuffer(blob, np.uint16, total, off)
+        rr = np.frombuffer(blob, np.uint16, total, off + 2 * total)
+        top = np.frombuffer(blob, np.uint16, ntop, off + 4 * total)
+        return cls(rl.copy(), rr.copy(), sizes, top.copy())
+
+    def sha256(self) -> str:
+        return hashlib.sha256(self.to_bytes()).hexdigest()
+
+
+_IDX_CACHE = np.arange(1 << 20, dtype=np.int32)
+
+
+def _idx(n: int) -> np.ndarray:
+    global _IDX_CACHE
+    if len(_IDX_CACHE) < n:
+        _IDX_CACHE = np.arange(max(n, 2 * len(_IDX_CACHE)), dtype=np.int32)
+    return _IDX_CACHE[:n]
+
+
+def _apply_round(seq: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """One vectorized merge round: replace greedy non-overlapping pair
+    matches with their symbol codes. ``lut`` maps hi*MAXSYM+lo → code
+    (0 = no rule)."""
+    n = len(seq)
+    if n < 2 or lut is None:
+        return seq
+    key = seq[:-1].astype(np.int32)
+    key *= MAXSYM
+    key += seq[1:]
+    code = lut[key]
+    match = code != 0
+    if not match.any():
+        return seq
+    # greedy left-to-right within runs of consecutive matches = keep even
+    # offsets from each run start (vectorized parity trick): the last
+    # non-match position before i fixes the run start.
+    idx = _idx(n - 1)
+    w = idx.copy()
+    w[match] = -1
+    last_nomatch = np.maximum.accumulate(w)
+    last_nomatch -= idx  # now -(i - last_nomatch); odd diff ⇔ keep
+    keep = match & ((last_nomatch & 1) == 1)
+    out_vals = seq.copy()
+    out_vals[:-1][keep] = code[keep]
+    drop = np.empty(n, bool)
+    drop[0] = False
+    drop[1:] = keep
+    return out_vals[~drop]
+
+
+def build_table(sample: np.ndarray, rounds: int = _ROUNDS, pairs_per_round: int = _PAIRS_PER_ROUND) -> FsstTable:
+    """Deterministic symbol-table construction from a byte sample."""
+    seq = sample[:_SAMPLE_BYTES].astype(np.uint16)
+    rules_l: list[np.ndarray] = []
+    rules_r: list[np.ndarray] = []
+    sizes: list[int] = []
+    next_id = 256
+    for _ in range(rounds):
+        if len(seq) < 2:
+            sizes.append(0)
+            continue
+        pairs = (seq[:-1].astype(np.uint32) << np.uint32(16)) | seq[1:]
+        uniq, counts = np.unique(pairs, return_counts=True)
+        ok = counts >= _MIN_PAIR_COUNT
+        uniq, counts = uniq[ok], counts[ok]
+        order = np.lexsort((uniq, -counts))  # count desc, key asc → deterministic
+        top = uniq[order[:pairs_per_round]]
+        sizes.append(len(top))
+        rules_l.append((top >> 16).astype(np.uint16))
+        rules_r.append((top & 0xFFFF).astype(np.uint16))
+        if len(top):
+            lut = np.zeros(MAXSYM * MAXSYM, np.uint16)
+            lut[(top >> 16).astype(np.int64) * MAXSYM + (top & 0xFFFF)] = np.arange(
+                next_id, next_id + len(top), dtype=np.uint16
+            )
+            seq = _apply_round(seq, lut)
+        next_id += len(top)
+    rl = np.concatenate(rules_l) if rules_l else np.zeros(0, np.uint16)
+    rr = np.concatenate(rules_r) if rules_r else np.zeros(0, np.uint16)
+    # final byte-code assignment from the sample's symbol frequencies
+    syms, counts = np.unique(seq, return_counts=True)
+    order = np.lexsort((syms, -counts))
+    top_syms = syms[order[:255]].astype(np.uint16)
+    return FsstTable(rl, rr, sizes, top_syms)
+
+
+def compress(data: np.ndarray, table: FsstTable) -> tuple[bytes, bytes]:
+    """uint8 buffer → (code byte stream, uint16 wide stream)."""
+    seq = data.astype(np.uint16)
+    for lut in table.lookups():
+        seq = _apply_round(seq, lut)
+    n_ids = 256 + int(sum(table.round_sizes))
+    code_map = np.full(n_ids, 255, np.uint8)
+    code_map[table.top_syms] = np.arange(len(table.top_syms), dtype=np.uint8)
+    b = code_map[seq]
+    esc = b == 255
+    wide = seq[esc].astype(np.uint16)
+    return b.tobytes(), wide.tobytes()
+
+
+def decompress(codes: bytes, wide: bytes, table: FsstTable, n_out: int) -> np.ndarray:
+    """(code stream, wide stream) → original uint8 buffer, bit-exact."""
+    b = np.frombuffer(codes, np.uint8)
+    seq = np.empty(len(b), np.uint16)
+    sym_of_code = np.zeros(256, np.uint16)
+    sym_of_code[: len(table.top_syms)] = table.top_syms
+    esc = b == 255
+    seq[~esc] = sym_of_code[b[~esc]]
+    seq[esc] = np.frombuffer(wide, np.uint16)
+    # expand symbols via the precomputed expansion matrix
+    mat, lens = table.expansion()
+    L = lens[seq]
+    starts = np.empty(len(seq), np.int64)
+    if len(seq):
+        starts[0] = 0
+        np.cumsum(L[:-1], out=starts[1:])
+    total = int(starts[-1] + L[-1]) if len(seq) else 0
+    assert total == n_out, f"fsst decode length mismatch: {total} != {n_out}"
+    out = np.empty(total, np.uint8)
+    for bpos in range(mat.shape[1]):
+        m = L > bpos
+        if not m.any():
+            break
+        out[starts[m] + bpos] = mat[seq[m], bpos]
+    return out
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+
+    def __init__(self, table: FsstTable | None = None):
+        self.table = table  # per-partition table injected by the encoder actor
+        self._for = ForCodec()
+
+    def encode(self, arr: pa.Array) -> tuple[bytes, dict]:
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        typ = str(arr.type)
+        filled, validity = split_nulls(arr)
+        data, lengths = strings_to_buffer(filled)
+        table = self.table if self.table is not None else build_table(data)
+        codes, wide = compress(data, table)
+        len_payload, _ = self._for.encode(pa.array(lengths))
+        tbl = table.to_bytes()
+        head = struct.pack("<QI", int(len(data)), len(arr))
+        payload = frame([head, tbl, codes, wide, len_payload, validity])
+        return payload, {
+            "type": typ,
+            "table_sha256": table.sha256(),
+            "raw_bytes": int(len(data)),
+            "stream_bytes": len(codes) + len(wide),
+        }
+
+    def decode(self, payload: bytes, meta: dict) -> pa.Array:
+        head, tbl, codes, wide, len_payload, validity = unframe(payload)
+        n_bytes, n_rows = struct.unpack_from("<QI", head)
+        table = FsstTable.from_bytes(tbl)
+        data = decompress(codes, wide, table, n_bytes)
+        lengths = np.asarray(self._for.decode(len_payload, {"type": "int64"}), dtype=np.int64)
+        typ = pa.large_string() if meta["type"] == "large_string" else pa.string()
+        out = buffer_to_strings(data, lengths, typ)
+        return apply_nulls(out, validity)
+
+    def estimate(self, arr: pa.Array, stats: dict) -> float:
+        # code text typically merges ~half the positions over 3 rounds
+        return stats["nbytes"] * 0.55 + 4096
