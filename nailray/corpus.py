@@ -139,18 +139,49 @@ def make_corpus(
         # ~1.5% empty files
         n_lines[rrng.random(c) < 0.015] = 0
 
+        total_lines = int(n_lines.sum())
+        # pre-drawn randomness for line composition (vectorized):
+        # ~35% boilerplate pool lines (realistic repetition), the rest are
+        # fresh parameterized lines (realistic per-line entropy)
+        use_pool = rrng.random(total_lines) < 0.35
+        pool_pick = rrng.integers(0, 160, total_lines)
+        kw_pick = rrng.integers(0, 12, total_lines)
+        a_pick = rrng.integers(0, len(_IDENTS), total_lines)
+        b_pick = rrng.integers(0, len(_IDENTS), total_lines)
+        num1 = rrng.integers(0, 1_000_000, total_lines)
+        sfx = rrng.integers(0, 10_000, total_lines)
+        ind = rrng.integers(0, 3, total_lines)
+        style = rrng.integers(0, 4, total_lines)
+
+        li = 0
         for i in range(c):
             p = row_paths[i]
             lang = p.rsplit(".", 1)[1]
             pool = pools[lang]
+            kws = _KEYWORDS[lang]
             k = int(n_lines[i])
-            if k == 0:
-                body = ""
-            else:
-                pick = rrng.integers(0, len(pool), k)
-                body = "".join(pool[j] for j in pick)
-                if len(body) > max_content_len:
-                    body = body[:max_content_len]
+            parts = []
+            for j in range(li, li + k):
+                if use_pool[j]:
+                    parts.append(pool[pool_pick[j] % len(pool)])
+                else:
+                    kw = kws[kw_pick[j] % len(kws)]
+                    a = _IDENTS[a_pick[j]]
+                    b = _IDENTS[b_pick[j]]
+                    pad = "    " * int(ind[j])
+                    st = style[j]
+                    if st == 0:
+                        parts.append(f"{pad}{kw}{a}_{sfx[j]}({b}, {num1[j]})\n")
+                    elif st == 1:
+                        parts.append(f"{pad}{a}_{sfx[j]} = {b}[{num1[j] % 997}] + 0x{num1[j]:x}\n")
+                    elif st == 2:
+                        parts.append(f"{pad}// {a} {b} case {sfx[j]}: offset={num1[j]}\n")
+                    else:
+                        parts.append(f'{pad}{kw}{b}.{a}("{a}_{sfx[j]}", {num1[j] % 4096})\n')
+            li += k
+            body = "".join(parts)
+            if len(body) > max_content_len:
+                body = body[:max_content_len]
             repos.append(repo)
             paths.append(p)
             commits.append(commit_strs[int(commit_ids[i])])
@@ -188,7 +219,7 @@ def write_corpus(
     params = {
         "n_rows": n_rows, "seed": seed, "n_repos": n_repos,
         "avg_lines": avg_lines, "row_group_size": row_group_size,
-        "n_files": n_files, "v": 3,
+        "n_files": n_files, "v": 4,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):

@@ -65,5 +65,8 @@ class DictCodec(Codec):
 
     def estimate(self, arr: pa.Array, stats: dict) -> float:
         n, card = stats["n"], max(stats["distinct"], 1)
+        sample_n = max(stats.get("sample_n", n), 1)
+        if card >= 0.5 * sample_n:  # sampled distinct saturated → extrapolate
+            card = max(int(card / sample_n * n), card)
         width = _width_for(card - 1)
         return n * width / 8 + card * stats.get("avg_len", 8) + 64

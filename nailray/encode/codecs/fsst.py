@@ -38,11 +38,11 @@ import pyarrow as pa
 from .base import Codec, apply_nulls, buffer_to_strings, frame, split_nulls, strings_to_buffer, unframe
 from .bitpack import ForCodec
 
-_ROUNDS = 3
-_PAIRS_PER_ROUND = 256
+_ROUNDS = 4
+_PAIRS_PER_ROUND = 448
 _MIN_PAIR_COUNT = 4
 _SAMPLE_BYTES = 1 << 18
-MAXSYM = 1024  # 256 literals + ≤3×256 merged symbols
+MAXSYM = 2048  # 256 literals + ≤4×448 merged symbols (≤16-byte expansions)
 
 
 class FsstTable:
@@ -237,8 +237,10 @@ def decompress(codes: bytes, wide: bytes, table: FsstTable, n_out: int) -> np.nd
 class FsstCodec(Codec):
     name = "fsst"
 
-    def __init__(self, table: FsstTable | None = None):
+    def __init__(self, table: FsstTable | None = None, embed_table: bool = True):
         self.table = table  # per-partition table injected by the encoder actor
+        self.embed_table = embed_table  # False → table stored once per
+        # partition file (parquet schema metadata), not in every chunk payload
         self._for = ForCodec()
 
     def encode(self, arr: pa.Array) -> tuple[bytes, dict]:
@@ -249,7 +251,7 @@ class FsstCodec(Codec):
         table = self.table if self.table is not None else build_table(data)
         codes, wide = compress(data, table)
         len_payload, _ = self._for.encode(pa.array(lengths))
-        tbl = table.to_bytes()
+        tbl = table.to_bytes() if self.embed_table else b""
         head = struct.pack("<QI", int(len(data)), len(arr))
         payload = frame([head, tbl, codes, wide, len_payload, validity])
         return payload, {
@@ -262,7 +264,18 @@ class FsstCodec(Codec):
     def decode(self, payload: bytes, meta: dict) -> pa.Array:
         head, tbl, codes, wide, len_payload, validity = unframe(payload)
         n_bytes, n_rows = struct.unpack_from("<QI", head)
-        table = FsstTable.from_bytes(tbl)
+        if tbl:
+            table = FsstTable.from_bytes(tbl)
+        else:
+            table = self.table
+            if table is None:
+                raise ValueError(
+                    "fsst payload has no embedded table; decode requires the "
+                    f"partition table {meta.get('table_sha256')} (from the "
+                    "partition file's schema metadata)"
+                )
+            if meta.get("table_sha256") not in (None, table.sha256()):
+                raise ValueError("fsst table hash mismatch on decode")
         data = decompress(codes, wide, table, n_bytes)
         lengths = np.asarray(self._for.decode(len_payload, {"type": "int64"}), dtype=np.int64)
         typ = pa.large_string() if meta["type"] == "large_string" else pa.string()

@@ -1,0 +1,492 @@
+"""The encode pipeline: read → stats → partition → actor-pool encode →
+write + manifest → decode / verify.
+
+Ray shape (SURVEY §3.3 "Ray shape (per north_star)"):
+
+    read_parquet(cols)                        # streaming scan
+      → map_batches(partial repo sizes)       # pre-aggregated combiner
+      → groupby("repo").aggregate(Sum)        # tiny shuffle (one row/repo)
+    [driver] plan_partitions(...)             # explicit hash partition + skew split
+    read_parquet(all cols)
+      → map_batches(PartitionAssigner)        # vectorized part_id
+      → map_batches(drop completed)           # resume filter BEFORE the shuffle
+      → groupby("part_id").map_groups(EncoderGroup, concurrency=N)
+                                              # actor pool; per-partition FSST
+                                              # table + dict codebooks; writes
+                                              # part-XXXXX.parquet + manifest
+    decode: read encoded → map_batches(decode_chunks)   # streaming
+    verify: order-insensitive per-row sha256(content) aggregate on both sides
+
+No stage materializes the whole dataset; partitions are bounded by
+``target_partition_bytes`` (skew split), so the per-group encode holds
+at most one partition in heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from . import codecs, manifest as mf
+from .codecs import fsst as fsst_mod
+from .partition import PartitionAssigner, plan_partitions
+from .select import candidates_for
+from .stats import column_stats, entropy_estimate
+from ..io import _expand_paths
+
+ENC_VERSION = 1
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+_ZSTD = pa.Codec("zstd", compression_level=3)
+
+
+def _zip_payload(payload: bytes) -> tuple[bytes, int]:
+    """Final entropy-coding stage over every codec payload (the analogue
+    of parquet page compression, applied explicitly so codec selection
+    can measure true output bytes)."""
+    return bytes(_ZSTD.compress(payload)), len(payload)
+
+
+def _unzip_payload(data: bytes, raw_len: int) -> bytes:
+    return bytes(_ZSTD.decompress(data, raw_len))
+
+
+# --------------------------------------------------------------------------
+# stats pass
+# --------------------------------------------------------------------------
+
+def _repo_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch pre-aggregation: one row per repo per batch (combiner
+    before the groupby shuffle — SURVEY §4 'pre-aggregate partial')."""
+    g = batch.group_by("repo").aggregate([("rows", "sum"), ("bytes", "sum")])
+    return g.rename_columns(["repo", "rows", "bytes"])
+
+
+def repo_sizes(input_paths, concurrency=None) -> tuple[dict[str, int], dict[str, int]]:
+    ds = rd.read_parquet(_expand_paths(input_paths), columns=["repo", "content"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = pc.binary_length(batch.column("content")).cast(pa.int64())
+        t = pa.table({
+            "repo": batch.column("repo"),
+            "rows": pa.array(np.ones(len(batch), np.int64)),
+            "bytes": lens,
+        })
+        return _repo_partials(t)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("rows", alias_name="rows"), Sum("bytes", alias_name="bytes"))
+    )
+    rows: dict[str, int] = {}
+    bts: dict[str, int] = {}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(), b["bytes"].to_pylist()):
+            rows[r] = int(n)
+            bts[r] = int(by)
+    return rows, bts
+
+
+# --------------------------------------------------------------------------
+# encoder actor (per-partition stateful stage)
+# --------------------------------------------------------------------------
+
+class EncoderGroup:
+    """Callable class for ``groupby("part_id").map_groups`` — runs in an
+    actor pool. Per partition: sort rows by (repo, path, commit) for run
+    formation, build ONE FSST symbol table from a content sample, chunk,
+    auto-select + encode each column per chunk, write the partition's
+    parquet atomically, record the manifest entry.
+
+    Reference ancestry: ``nail optimize`` (src/commands/optimize.rs) —
+    sort-by + compression + dictionary flags; here actually applied,
+    per column, distributed.
+    """
+
+    def __init__(self, out_dir: str, chunk_rows: int = 16384, chunk_bytes: int = 8 << 20):
+        self.out_dir = out_dir
+        self.chunk_rows = chunk_rows
+        self.chunk_bytes = chunk_bytes
+
+    @staticmethod
+    def _candidates(arr: pa.Array, st: dict) -> list[str]:
+        """Stats-gated candidate list (guards against overfitting the
+        one-chunk measurement: dict on near-unique strings, rle on
+        run-free data)."""
+        names = candidates_for(arr)
+        sample_n = max(st.get("sample_n", 1), 1)
+        if "dict" in names and st["distinct"] / sample_n >= 0.5:
+            names.remove("dict")
+        if "rle" in names and st["runs"] / max(st["n"], 1) >= 0.7:
+            names.remove("rle")
+        if "fsst" in names and (st.get("avg_len", 0) < 8 or entropy_estimate(arr, st) > 7.2):
+            names.remove("fsst")
+        return names
+
+    def _chunk_bounds(self, content: pa.Array) -> list[tuple[int, int]]:
+        n = len(content)
+        lens = np.asarray(pc.binary_length(content).cast(pa.int64()))
+        csum = np.cumsum(lens)
+        bounds = []
+        start = 0
+        while start < n:
+            end = min(start + self.chunk_rows, n)
+            base = csum[start - 1] if start else 0
+            cut = int(np.searchsorted(csum, base + self.chunk_bytes)) + 1
+            end = max(start + 1, min(end, cut))
+            bounds.append((start, end))
+            start = end
+        return bounds or [(0, 0)]
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        part_id = int(group.column("part_id")[0].as_py())
+        # belt-and-braces resume guard (normally filtered out upstream)
+        if os.path.exists(mf.entry_path(self.out_dir, part_id)) and os.path.exists(
+            mf.part_file(self.out_dir, part_id)
+        ):
+            return self._summary_row(part_id, group.num_rows, 0, 0, 0, t0, "skipped")
+
+        group = group.sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")])
+        data_cols = [c for c in group.column_names if c != "part_id"]
+        group = group.select(data_cols)
+
+        # per-partition FSST symbol table from the content sample; stored
+        # ONCE in the partition file's schema metadata (not per chunk)
+        content = group.column("content").combine_chunks()
+        sample_data, _ = fsst_mod.strings_to_buffer(content.slice(0, min(len(content), 2048)))
+        table = fsst_mod.build_table(sample_data)
+        fsst_codec = codecs.FsstCodec(table=table, embed_table=False)
+
+        bounds = self._chunk_bounds(content)
+        out_rows: dict[str, list] = {"part_id": [], "chunk_id": [], "n_rows": []}
+        for c in data_cols:
+            out_rows[f"{c}__codec"] = []
+            out_rows[f"{c}__meta"] = []
+            out_rows[f"{c}__payload"] = []
+
+        # per-partition codec choice: trial-encode the FIRST chunk with every
+        # candidate, zstd included, pick the measured-smallest (deterministic;
+        # recorded in the manifest; resume re-derives identically)
+        s0, e0 = bounds[0]
+        first = group.slice(s0, e0 - s0)
+        chosen: dict[str, str] = {}
+        for c in data_cols:
+            arr = first.column(c).combine_chunks()
+            st = column_stats(arr)
+            trials: list[tuple[str, int]] = []
+            n_chunks_est = max(len(bounds), 1)
+            table_cost = len(_ZSTD.compress(table.to_bytes())) / n_chunks_est
+            for name in self._candidates(arr, st):
+                codec = fsst_codec if name == "fsst" else codecs.get(name)
+                try:
+                    payload, _ = codec.encode(arr)
+                except Exception:
+                    continue
+                sz = len(_zip_payload(payload)[0])
+                if name == "fsst":  # charge the shared table, amortized
+                    sz += table_cost
+                trials.append((name, sz))
+            if not trials:
+                chosen[c] = "plain"
+            else:
+                # within 5% of the measured minimum, prefer the structured
+                # codec (dict < rle < for < fsst < plain): same bytes, but
+                # decode touches fewer zstd bytes / enables random access
+                pref = {"dict": 0, "rle": 1, "for": 2, "fsst": 3, "plain": 4}
+                min_sz = min(sz for _, sz in trials)
+                ok = [(pref[n], n) for n, sz in trials if sz <= min_sz * 1.05]
+                chosen[c] = min(ok)[1]
+
+        codec_counts: dict[str, dict[str, int]] = {c: {} for c in data_cols}
+        input_bytes = 0
+        encoded_bytes = 0
+        for chunk_id, (s, e) in enumerate(bounds):
+            chunk = group.slice(s, e - s)
+            out_rows["part_id"].append(part_id)
+            out_rows["chunk_id"].append(chunk_id)
+            out_rows["n_rows"].append(chunk.num_rows)
+            for c in data_cols:
+                arr = chunk.column(c).combine_chunks()
+                name = chosen[c]
+                codec = fsst_codec if name == "fsst" else codecs.get(name)
+                payload, meta = codec.encode(arr)
+                zpayload, raw_len = _zip_payload(payload)
+                meta["z"] = raw_len
+                out_rows[f"{c}__codec"].append(name)
+                out_rows[f"{c}__meta"].append(json.dumps(meta))
+                out_rows[f"{c}__payload"].append(zpayload)
+                codec_counts[c][name] = codec_counts[c].get(name, 0) + 1
+                input_bytes += arr.nbytes
+                encoded_bytes += len(zpayload)
+
+        schema_fields = [
+            pa.field("part_id", pa.int32()),
+            pa.field("chunk_id", pa.int32()),
+            pa.field("n_rows", pa.int32()),
+        ]
+        arrays = [
+            pa.array(out_rows["part_id"], pa.int32()),
+            pa.array(out_rows["chunk_id"], pa.int32()),
+            pa.array(out_rows["n_rows"], pa.int32()),
+        ]
+        for c in data_cols:
+            schema_fields += [
+                pa.field(f"{c}__codec", pa.string()),
+                pa.field(f"{c}__meta", pa.string()),
+                pa.field(f"{c}__payload", pa.large_binary()),
+            ]
+            arrays += [
+                pa.array(out_rows[f"{c}__codec"], pa.string()),
+                pa.array(out_rows[f"{c}__meta"], pa.string()),
+                pa.array(out_rows[f"{c}__payload"], pa.large_binary()),
+            ]
+        enc_table = pa.Table.from_arrays(arrays, schema=pa.schema(schema_fields, metadata={
+            b"nailray_columns": json.dumps(data_cols).encode(),
+            b"nailray_version": str(ENC_VERSION).encode(),
+            b"nailray_fsst_sha256": table.sha256().encode(),
+        }))
+
+        # atomic write; payload columns are already zstd-framed, so parquet
+        # page compression is off for them (and cheap zstd for the rest)
+        final = mf.part_file(self.out_dir, part_id)
+        tmp = final + f".tmp-{os.getpid()}"
+        comp = {f.name: ("none" if f.name.endswith("__payload") else "zstd")
+                for f in schema_fields}
+        # write_statistics=False: parquet min/max stats on binary payload
+        # columns would duplicate whole payloads (min==max==the value)
+        pq.write_table(enc_table, tmp, compression=comp, use_dictionary=False,
+                       row_group_size=8, write_statistics=False)
+        os.replace(tmp, final)
+
+        import base64
+
+        tbl_raw = table.to_bytes()
+        mf.write_entry(self.out_dir, {
+            "part_id": part_id,
+            "version": ENC_VERSION,
+            # the partition's shared FSST symbol table lives in the manifest
+            # (single storage; the chunk payloads reference it by sha256)
+            "fsst_table_z_b64": base64.b64encode(bytes(_ZSTD.compress(tbl_raw))).decode(),
+            "fsst_table_raw_len": len(tbl_raw),
+            "repos": sorted(pc.unique(group.column("repo")).to_pylist()),
+            "n_rows": group.num_rows,
+            "n_chunks": len(bounds),
+            "input_bytes": int(input_bytes),
+            "encoded_bytes": int(encoded_bytes),
+            "file_bytes": os.path.getsize(final),
+            "codec_choices": codec_counts,
+            "fsst_table_sha256": table.sha256(),
+            "wall_sec": round(time.time() - t0, 3),
+            "status": "encoded",
+        })
+        return self._summary_row(part_id, group.num_rows, len(bounds), input_bytes,
+                                 encoded_bytes, t0, "encoded")
+
+    @staticmethod
+    def _summary_row(part_id, n_rows, n_chunks, in_b, out_b, t0, status) -> pa.Table:
+        return pa.table({
+            "part_id": pa.array([part_id], pa.int32()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "input_bytes": pa.array([in_b], pa.int64()),
+            "encoded_bytes": pa.array([out_b], pa.int64()),
+            "wall_sec": pa.array([round(time.time() - t0, 3)], pa.float64()),
+            "status": pa.array([status], pa.string()),
+        })
+
+
+def _encode_group(group: pa.Table, out_dir: str, chunk_rows: int, chunk_bytes: int) -> pa.Table:
+    return EncoderGroup(out_dir, chunk_rows, chunk_bytes)(group)
+
+
+# --------------------------------------------------------------------------
+# driver orchestration
+# --------------------------------------------------------------------------
+
+def encode_dataset(
+    input_paths,
+    out_dir: str,
+    *,
+    target_partition_bytes: int = 256 << 20,
+    chunk_rows: int = 16384,
+    chunk_bytes: int = 8 << 20,
+    concurrency: int | tuple[int, int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full encode pipeline; returns a summary dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = _expand_paths(input_paths)
+
+    rows, bts = repo_sizes(paths)
+    plan = plan_partitions(rows, bts, target_bytes=target_partition_bytes)
+    frags = [{"file": p, "bytes": os.path.getsize(p),
+              "num_rows": pq.ParquetFile(p).metadata.num_rows} for p in paths]
+    mf.write_plan(out_dir, plan.to_json(), frags)
+
+    completed = mf.load_completed(out_dir) if resume else {}
+    skipped = sorted(completed)
+
+    ds = rd.read_parquet(paths)
+    ds = ds.map_batches(PartitionAssigner, fn_constructor_args=(plan,),
+                        batch_format="pyarrow", concurrency=(1, 8))
+    if completed:
+        done = pa.array(list(completed), pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(batch.column("part_id"), value_set=done))
+            return batch.filter(keep)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    # map_groups wraps fn, so pass a (cheap, picklable) configured instance;
+    # the per-partition state (FSST table, codebooks) is built inside the
+    # group call — one build per partition, reused across its chunks.
+    import functools
+
+    enc = ds.groupby("part_id").map_groups(
+        functools.partial(_encode_group, out_dir=out_dir, chunk_rows=chunk_rows,
+                          chunk_bytes=chunk_bytes),
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
+    summary_rows = enc.to_pandas()  # one small row per partition
+    summary = mf.summarize(out_dir)
+    summary["newly_encoded"] = int((summary_rows["status"] == "encoded").sum()) if len(summary_rows) else 0
+    summary["resumed_skipped"] = len(skipped)
+    summary["num_partitions"] = plan.num_partitions
+    summary["split_repos"] = plan.meta.get("split_repos", {})
+    return summary
+
+
+# --------------------------------------------------------------------------
+# decode + verify
+# --------------------------------------------------------------------------
+
+def decode_chunks(batch: pa.Table, fsst_table=None) -> pa.Table:
+    """Decode encoded chunk rows → original rows. ``fsst_table`` is the
+    partition's shared symbol table (from the file's schema metadata)."""
+    meta = batch.schema.metadata or {}
+    data_cols = json.loads(meta.get(b"nailray_columns", b'["repo","path","commit","lang","content"]'))
+    fsst_codec = codecs.FsstCodec(table=fsst_table)
+    outs = []
+    for i in range(batch.num_rows):
+        cols = {}
+        for c in data_cols:
+            name = batch.column(f"{c}__codec")[i].as_py()
+            m = json.loads(batch.column(f"{c}__meta")[i].as_py())
+            payload = batch.column(f"{c}__payload")[i].as_py()
+            if "z" in m:
+                payload = _unzip_payload(payload, m["z"])
+            codec = fsst_codec if name == "fsst" else codecs.get(name)
+            cols[c] = codec.decode(payload, m)
+        outs.append(pa.table(cols))
+    return pa.concat_tables(outs, promote_options="default") if outs else pa.table({})
+
+
+def _table_from_entry(entry: dict | None) -> "fsst_mod.FsstTable | None":
+    import base64
+
+    if not entry or "fsst_table_z_b64" not in entry:
+        return None
+    raw = _unzip_payload(
+        base64.b64decode(entry["fsst_table_z_b64"]), int(entry["fsst_table_raw_len"])
+    )
+    return fsst_mod.FsstTable.from_bytes(raw)
+
+
+class _PartFileDecoder:
+    """Actor-pool decode stage: one task row = one (file, row-group);
+    reads the chunk rows with pyarrow (schema metadata — and thus the
+    partition's FSST table — reliably preserved) and decodes them.
+    Streaming and distributed: a row group holds a handful of chunks."""
+
+    def __init__(self):
+        self._open: dict[str, pq.ParquetFile] = {}
+        self._tables: dict[str, object] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for task in batch.to_pylist():
+            path = task["file"]
+            pf = self._open.get(path)
+            if pf is None:
+                pf = self._open[path] = pq.ParquetFile(path)
+                out_dir = os.path.dirname(path)
+                part_id = int(os.path.basename(path)[len("part-"):-len(".parquet")])
+                entry = None
+                ep = mf.entry_path(out_dir, part_id)
+                if os.path.exists(ep):
+                    with open(ep) as fh:
+                        entry = json.load(fh)
+                self._tables[path] = _table_from_entry(entry)
+            t = pf.read_row_group(task["rg"])
+            outs.append(decode_chunks(t, fsst_table=self._tables[path]))
+        return pa.concat_tables(outs, promote_options="default")
+
+
+def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
+    files = sorted(
+        os.path.join(enc_dir, f) for f in os.listdir(enc_dir) if f.endswith(".parquet")
+    )
+    tasks = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            tasks.append({"file": f, "rg": rg})
+    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks))
+    return task_ds.map_batches(
+        _PartFileDecoder,
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def _sha_digest_partial(batch: pa.Table) -> pa.Table:
+    """Order-insensitive content fingerprint: XOR + sum of per-row
+    sha256(content) prefixes, plus row count — mergeable across blocks."""
+    col = batch.column("content")
+    x = 0
+    s = 0
+    for v in col.to_pylist():
+        h = int.from_bytes(hashlib.sha256((v or "").encode()).digest()[:16], "big")
+        x ^= h
+        s = (s + h) % (1 << 128)
+    return pa.table({
+        "xor": pa.array([format(x, "032x")]),
+        "sum": pa.array([format(s, "032x")]),
+        "rows": pa.array([batch.num_rows], pa.int64()),
+    })
+
+
+def content_digest(ds: rd.Dataset) -> dict:
+    x = 0
+    s = 0
+    rows = 0
+    parts = ds.map_batches(_sha_digest_partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for xs, ss, n in zip(b["xor"].to_pylist(), b["sum"].to_pylist(), b["rows"].to_pylist()):
+            x ^= int(xs, 16)
+            s = (s + int(ss, 16)) % (1 << 128)
+            rows += int(n)
+    return {"xor": format(x, "032x"), "sum": format(s, "032x"), "rows": rows}
+
+
+def verify_bit_identity(input_paths, enc_dir: str) -> dict:
+    """decode(encode(T)).content ≡ T.content as a multiset of per-row
+    sha256 — the north_rule invariant, computed streaming on both sides."""
+    din = content_digest(rd.read_parquet(_expand_paths(input_paths), columns=["content"]))
+    dout = content_digest(decode_dataset(enc_dir))
+    ok = din == dout
+    return {"match": ok, "input": din, "decoded": dout}

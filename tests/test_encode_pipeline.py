@@ -1,0 +1,137 @@
+"""End-to-end encode pipeline: bit identity, size target, manifest,
+resume, skew split (SURVEY §5 engine test strategy, items c & d)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nailray.encode import manifest as mf
+from nailray.encode import pipeline as pl
+
+
+@pytest.fixture(scope="module")
+def encoded(corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    summary = pl.encode_dataset(
+        corpus_dir, out, target_partition_bytes=256 << 10, chunk_rows=400, chunk_bytes=1 << 20
+    )
+    return corpus_dir, out, summary
+
+
+def test_encode_summary(encoded):
+    _, out, summary = encoded
+    assert summary["rows"] == 2000
+    assert summary["partitions"] >= 2
+    assert summary["newly_encoded"] == summary["partitions"]
+    assert summary["encoded_payload_bytes"] < summary["input_bytes"]
+
+
+def test_manifest_contents(encoded):
+    _, out, _ = encoded
+    comp = mf.load_completed(out)
+    assert comp
+    e = next(iter(comp.values()))
+    for key in ["repos", "n_rows", "n_chunks", "codec_choices", "fsst_table_sha256",
+                "input_bytes", "encoded_bytes", "wall_sec", "status"]:
+        assert key in e, key
+    plan = mf.load_plan(out)
+    assert plan["input_fragments"]
+    assert "repos" in plan["plan"]
+    # content must get fsst (or plain for tiny chunks), repo/lang dict-or-rle
+    all_choices = {}
+    for ent in comp.values():
+        for col, d in ent["codec_choices"].items():
+            for k, v in d.items():
+                all_choices.setdefault(col, {}).setdefault(k, 0)
+                all_choices[col][k] += v
+    assert "fsst" in all_choices["content"], all_choices
+    assert set(all_choices["lang"]) <= {"dict", "rle", "plain"}
+
+
+def test_skew_split(encoded):
+    _, out, summary = encoded
+    # corpus is zipf-skewed; with a 256 KiB target the giant repo must split
+    assert summary["split_repos"], summary
+
+
+def test_bit_identity(encoded):
+    src, out, _ = encoded
+    res = pl.verify_bit_identity(src, out)
+    assert res["match"], res
+
+
+def test_decode_full_table(encoded, corpus_table):
+    _, out, _ = encoded
+    from nailray.io import to_arrow
+
+    t = to_arrow(pl.decode_dataset(out))
+    assert t.num_rows == corpus_table.num_rows
+    # full row multiset equality (not just content)
+    key = lambda tb: sorted(zip(*[tb.column(c).to_pylist() for c in
+                                  ["repo", "path", "commit", "lang", "content"]]))
+    assert key(t.select(["repo", "path", "commit", "lang", "content"])) == key(corpus_table)
+
+
+def test_size_beats_zstd_baseline(encoded, corpus_table, tmp_path):
+    """Compressed-size criterion vs reference Parquet (zstd).
+
+    At this toy scale (1 MB corpus forced into 5+ partition files to
+    exercise splitting) each partition file carries a fixed cost (footer,
+    schema, symbol table) that a single-file baseline doesn't pay, so the
+    strict file-level `≤` criterion is asserted at bench scale
+    (bench.py / BASELINE.md). Here: payload bytes must beat the
+    baseline's data pages, and file bytes must be within the fixed-cost
+    envelope."""
+    _, out, summary = encoded
+    base = str(tmp_path / "baseline.parquet")
+    pq.write_table(corpus_table, base, compression="zstd")
+    base_size = os.path.getsize(base)
+    md = pq.ParquetFile(base).metadata
+    base_data = sum(
+        md.row_group(rg).column(c).total_compressed_size
+        for rg in range(md.num_row_groups)
+        for c in range(md.row_group(rg).num_columns)
+    )
+    enc_size = sum(
+        os.path.getsize(os.path.join(out, f)) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert summary["encoded_payload_bytes"] <= base_data, (
+        f"payload {summary['encoded_payload_bytes']} > baseline data pages {base_data}"
+    )
+    assert enc_size <= base_size * 1.3, f"encoded {enc_size} > 1.3× baseline {base_size}"
+
+
+def test_resume_skips_completed(encoded):
+    src, out, _ = encoded
+    # re-run: everything complete → nothing re-encoded
+    s2 = pl.encode_dataset(src, out, target_partition_bytes=256 << 10,
+                           chunk_rows=400, chunk_bytes=1 << 20)
+    assert s2["newly_encoded"] == 0
+    assert s2["resumed_skipped"] == s2["partitions"]
+    # simulate a killed run: drop one partition's manifest entry + file
+    victim = sorted(mf.load_completed(out))[0]
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.part_file(out, victim))
+    s3 = pl.encode_dataset(src, out, target_partition_bytes=256 << 10,
+                           chunk_rows=400, chunk_bytes=1 << 20)
+    assert s3["newly_encoded"] == 1  # only the victim re-encoded
+    res = pl.verify_bit_identity(src, out)
+    assert res["match"], res
+
+
+def test_codec_choice_determinism(encoded):
+    src, out, _ = encoded
+    comp = mf.load_completed(out)
+    victim = sorted(comp)[0]
+    before = comp[victim]
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.part_file(out, victim))
+    pl.encode_dataset(src, out, target_partition_bytes=256 << 10,
+                      chunk_rows=400, chunk_bytes=1 << 20)
+    after = mf.load_completed(out)[victim]
+    assert before["codec_choices"] == after["codec_choices"]
+    assert before["fsst_table_sha256"] == after["fsst_table_sha256"]
+    assert before["n_rows"] == after["n_rows"]
