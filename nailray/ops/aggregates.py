@@ -1,0 +1,481 @@
+"""Aggregate operators: stats, frequency, correlations, outliers,
+binning, pivot, fill, size, metadata (SURVEY §2.3/§2.5).
+
+Design: every two-pass operator follows aggregate → broadcast-small →
+map_batches apply (the reference's collect-into-HashMap pattern,
+src/commands/fill.rs:155-244, re-expressed without driver materializing
+data). Partial aggregation happens inside map_batches before any
+groupby shuffle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from ..expr import resolve_column
+from ..io import ROW_ID
+
+
+def _numeric_cols(schema: pa.Schema) -> list[str]:
+    return [f.name for f in schema
+            if (pa.types.is_integer(f.type) or pa.types.is_floating(f.type))
+            and f.name != ROW_ID]
+
+
+def _schema(ds: rd.Dataset) -> pa.Schema:
+    s = ds.schema()
+    return s.base_schema if hasattr(s, "base_schema") else s
+
+
+# --------------------------------------------------------------------------
+# moment partials: one streaming pass → driver-side tiny combine
+# --------------------------------------------------------------------------
+
+def numeric_moments(ds: rd.Dataset, columns: list[str] | None = None) -> dict[str, dict]:
+    """count / mean / min / max / var (population) per column in ONE pass
+    via per-batch partial sums (no groupby shuffle at all)."""
+    schema = _schema(ds)
+    cols = columns or _numeric_cols(schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {}
+        for c in cols:
+            v = batch.column(c)
+            row[f"{c}__n"] = [pc.count(v).as_py()]
+            row[f"{c}__s"] = [pc.sum(v).as_py() or 0.0]
+            vv = pc.multiply(pc.cast(v, pa.float64()), pc.cast(v, pa.float64()))
+            row[f"{c}__ss"] = [pc.sum(vv).as_py() or 0.0]
+            row[f"{c}__mn"] = [pc.min(v).as_py()]
+            row[f"{c}__mx"] = [pc.max(v).as_py()]
+        return pa.table(row)
+
+    out: dict[str, dict] = {c: {"n": 0, "s": 0.0, "ss": 0.0, "mn": None, "mx": None} for c in cols}
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            d = out[c]
+            for i in range(part.num_rows):
+                d["n"] += part.column(f"{c}__n")[i].as_py()
+                d["s"] += float(part.column(f"{c}__s")[i].as_py() or 0)
+                d["ss"] += float(part.column(f"{c}__ss")[i].as_py() or 0)
+                mn, mx = part.column(f"{c}__mn")[i].as_py(), part.column(f"{c}__mx")[i].as_py()
+                if mn is not None:
+                    d["mn"] = mn if d["mn"] is None else min(d["mn"], mn)
+                if mx is not None:
+                    d["mx"] = mx if d["mx"] is None else max(d["mx"], mx)
+    for c, d in out.items():
+        n = d["n"]
+        d["mean"] = d["s"] / n if n else None
+        d["var_pop"] = d["ss"] / n - (d["s"] / n) ** 2 if n else None
+        d["std"] = math.sqrt(max(d["var_pop"], 0.0)) * math.sqrt(n / (n - 1)) if n > 1 else None
+        d["var"] = d["std"] ** 2 if d["std"] is not None else None
+    return out
+
+
+def approx_quantiles(ds: rd.Dataset, column: str, qs: list[float],
+                     per_batch_sample: int = 2048) -> list[float]:
+    """Approximate quantiles from deterministic stride samples per batch
+    (reference uses APPROX_PERCENTILE_CONT, src/utils/stats.rs:120-141)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).drop_null()
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64())})
+        stride = max(1, n // per_batch_sample)
+        idx = pa.array(range(0, n, stride))
+        return pa.table({"v": pc.cast(pc.take(v, idx), pa.float64())})
+
+    samples = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        samples.append(np.asarray(b.column("v")))
+    allv = np.concatenate(samples) if samples else np.array([])
+    if len(allv) == 0:
+        return [None] * len(qs)
+    return [float(np.quantile(allv, q)) for q in qs]
+
+
+def stats(ds: rd.Dataset, columns: list[str] | None = None,
+          kind: str = "basic") -> pd.DataFrame:
+    """Per-column statistics (src/utils/stats.rs:104-245).
+
+    basic: count, mean, q25/q50/q75 (approx), distinct count;
+    exhaustive: + std, min, max, var_pop, duplicates."""
+    schema = _schema(ds)
+    cols = columns or [f.name for f in schema if f.name != ROW_ID]
+    num = set(_numeric_cols(schema))
+    moments = numeric_moments(ds, [c for c in cols if c in num])
+    rows = []
+    for c in cols:
+        row: dict = {"column": c}
+        if c in num:
+            m = moments[c]
+            row.update(count=m["n"], mean=m["mean"])
+            if kind == "exhaustive":
+                row.update(std=m["std"], min=m["mn"], max=m["mx"], var_pop=m["var_pop"])
+            else:
+                q = approx_quantiles(ds, c, [0.25, 0.5, 0.75])
+                row.update(q25=q[0], q50=q[1], q75=q[2])
+        else:
+            row["count"] = ds.count() - _null_count(ds, c)
+        d = distinct_count(ds, c)
+        row["distinct"] = d
+        if kind == "exhaustive":
+            row["duplicates"] = row["count"] - d
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _null_count(ds: rd.Dataset, col: str) -> int:
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": [batch.column(col).null_count]})
+    return sum(r["n"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all())
+
+
+def distinct_count(ds: rd.Dataset, col: str) -> int:
+    """Exact distributed distinct: per-batch unique partial → groupby.
+    (The partial shrinks the shuffle to the distinct set per batch.)"""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column(col).combine_chunks())
+        return pa.table({col: u.drop_null()})
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .count()
+        .count()
+    )
+
+
+def frequency(ds: rd.Dataset, columns: list[str], limit: int | None = None) -> pd.DataFrame:
+    """GROUP BY cols ORDER BY count DESC + percentage
+    (src/commands/frequency.rs:61-86)."""
+    names = ds.schema().names
+    cols = [resolve_column(names, c) for c in columns]
+    counts = ds.groupby(cols).aggregate(Count(alias_name="count"))
+    df = counts.to_pandas()
+    total = df["count"].sum()
+    df["percentage"] = df["count"] / total * 100.0
+    df = df.sort_values(["count"] + cols, ascending=[False] + [True] * len(cols),
+                        kind="mergesort").reset_index(drop=True)
+    return df.head(limit) if limit else df
+
+
+# --------------------------------------------------------------------------
+# correlations (src/utils/stats.rs:251-553)
+# --------------------------------------------------------------------------
+
+def correlation_partials(ds: rd.Dataset, cols: list[str]) -> dict:
+    """One streaming pass computing, for every pair, the null-pair-free
+    sums needed for Pearson (n, sx, sy, sxx, syy, sxy)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = {c: np.asarray(pc.cast(batch.column(c), pa.float64())) for c in cols}
+        valid = {c: ~np.isnan(arrs[c]) if arrs[c].dtype == np.float64 else np.ones(len(arrs[c]), bool)
+                 for c in cols}
+        for c in cols:
+            v = batch.column(c)
+            if v.null_count:
+                valid[c] &= np.asarray(pc.is_valid(v))
+        row = {}
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                m = valid[a] & valid[b]
+                x, y = arrs[a][m], arrs[b][m]
+                key = f"{a}|{b}"
+                row[f"{key}__n"] = [len(x)]
+                row[f"{key}__sx"] = [float(x.sum())]
+                row[f"{key}__sy"] = [float(y.sum())]
+                row[f"{key}__sxx"] = [float((x * x).sum())]
+                row[f"{key}__syy"] = [float((y * y).sum())]
+                row[f"{key}__sxy"] = [float((x * y).sum())]
+        return pa.table(row)
+
+    acc: dict[str, dict[str, float]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i, a in enumerate(cols):
+            for c2 in cols[i + 1:]:
+                key = f"{a}|{c2}"
+                d = acc.setdefault(key, {"n": 0, "sx": 0, "sy": 0, "sxx": 0, "syy": 0, "sxy": 0})
+                for f in d:
+                    col = b.column(f"{key}__{f}")
+                    d[f] += sum(x.as_py() for x in col)
+    return acc
+
+
+def pearson_matrix(ds: rd.Dataset, columns: list[str] | None = None) -> pd.DataFrame:
+    cols = columns or _numeric_cols(_schema(ds))
+    acc = correlation_partials(ds, cols)
+    mat = pd.DataFrame(np.eye(len(cols)), index=cols, columns=cols)
+    for key, d in acc.items():
+        a, b = key.split("|")
+        n = d["n"]
+        if n < 2:
+            r = float("nan")
+        else:
+            cov = d["sxy"] - d["sx"] * d["sy"] / n
+            vx = d["sxx"] - d["sx"] ** 2 / n
+            vy = d["syy"] - d["sy"] ** 2 / n
+            r = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+        mat.loc[a, b] = mat.loc[b, a] = r
+    return mat
+
+
+def pearson(ds: rd.Dataset, x: str, y: str) -> float:
+    return float(pearson_matrix(ds, [x, y]).loc[x, y])
+
+
+# --------------------------------------------------------------------------
+# outliers (src/commands/outliers.rs)
+# --------------------------------------------------------------------------
+
+def outliers(ds: rd.Dataset, columns: list[str], method: str = "zscore",
+             factor: float = 3.0, action: str = "flag") -> rd.Dataset:
+    """Flag or remove outliers. zscore uses exact mean/std (one pass);
+    iqr uses approximate quartiles. Bounds broadcast into map_batches."""
+    bounds: dict[str, tuple[float, float]] = {}
+    if method == "zscore":
+        m = numeric_moments(ds, columns)
+        for c in columns:
+            mu, sd = m[c]["mean"], m[c]["std"] or 0.0
+            bounds[c] = (mu - factor * sd, mu + factor * sd)
+    elif method == "iqr":
+        for c in columns:
+            q1, q3 = approx_quantiles(ds, c, [0.25, 0.75])
+            iqr = q3 - q1
+            bounds[c] = (q1 - factor * iqr, q3 + factor * iqr)
+    else:
+        raise ValueError(f"unknown outlier method {method!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c, (lo, hi) in bounds.items():
+            v = pc.cast(batch.column(c), pa.float64())
+            m = pc.or_(pc.less(v, lo), pc.greater(v, hi))
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.or_(mask, m)
+        if action == "flag":
+            return batch.append_column("is_outlier", mask)
+        return batch.filter(pc.invert(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# binning (src/commands/binning.rs)
+# --------------------------------------------------------------------------
+
+def binning(ds: rd.Dataset, column: str, bins: int = 10, method: str = "equal-width",
+            edges: list[float] | None = None, suffix: str = "_bin",
+            drop_original: bool = False) -> rd.Dataset:
+    """Bucket a numeric column; edges from min/max (equal-width),
+    approx quantiles (equal-frequency), or given; label '[lo, hi)'."""
+    if edges is None:
+        if method == "equal-width":
+            m = numeric_moments(ds, [column])[column]
+            edges = list(np.linspace(m["mn"], m["mx"], bins + 1))
+        elif method == "equal-frequency":
+            qs = list(np.linspace(0, 1, bins + 1))
+            edges = approx_quantiles(ds, column, qs)
+        else:
+            raise ValueError(f"unknown binning method {method!r}")
+    edges = sorted(set(float(e) for e in edges))
+    labels = [f"[{edges[i]:g}, {edges[i+1]:g})" for i in range(len(edges) - 1)]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column(column), pa.float64()))
+        idx = np.clip(np.digitize(v, edges[1:-1]), 0, len(labels) - 1)
+        lab = pa.array([labels[i] if not np.isnan(x) else None for i, x in zip(idx, v)])
+        out = batch.append_column(f"{column}{suffix}", lab)
+        if drop_original:
+            out = out.drop_columns([column])
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# pivot = grouped aggregation (src/commands/pivot.rs:171-212 —
+# documented as NOT a wide pivot, README.md:800)
+# --------------------------------------------------------------------------
+
+_AGGS = {"sum": Sum, "mean": Mean, "count": Count, "min": Min, "max": Max}
+
+
+def pivot(ds: rd.Dataset, index: list[str], pivot_cols: list[str],
+          values: list[str], agg: str = "sum") -> rd.Dataset:
+    keys = list(index) + list(pivot_cols)
+    fns = []
+    for v in values:
+        if agg == "count":
+            fns.append(Count(alias_name=f"{v}_count"))
+        else:
+            fns.append(_AGGS[agg](v, alias_name=f"{v}_{agg}"))
+    return ds.groupby(keys).aggregate(*fns)
+
+
+# --------------------------------------------------------------------------
+# fill (src/commands/fill.rs)
+# --------------------------------------------------------------------------
+
+def fill_value(ds: rd.Dataset, columns: list[str], value) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in columns:
+            i = batch.column_names.index(c)
+            col = batch.column(c)
+            batch = batch.set_column(i, c, pc.fill_null(col, pa.scalar(value, col.type)))
+        return batch
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fill_stat(ds: rd.Dataset, columns: list[str], stat: str = "mean") -> rd.Dataset:
+    """mean/median/mode fill: aggregate pass → broadcast dict →
+    COALESCE projection (src/commands/fill.rs:155-322)."""
+    values: dict[str, object] = {}
+    if stat == "mean":
+        m = numeric_moments(ds, columns)
+        values = {c: m[c]["mean"] for c in columns}
+    elif stat == "median":
+        for c in columns:
+            values[c] = approx_quantiles(ds, c, [0.5])[0]
+    elif stat == "mode":
+        for c in columns:
+            top = (
+                ds.groupby(c).aggregate(Count(alias_name="n"))
+                .sort(["n", c], descending=[True, False]).limit(2).take_all()
+            )
+            top = [r for r in top if r[c] is not None]
+            values[c] = top[0][c] if top else None
+    else:
+        raise ValueError(f"unknown fill stat {stat!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c, v in values.items():
+            if v is None:
+                continue
+            i = batch.column_names.index(c)
+            col = batch.column(c)
+            batch = batch.set_column(i, c, pc.fill_null(col, pa.scalar(v, col.type)))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fill_directional(ds_with_row_id: rd.Dataset, columns: list[str],
+                     direction: str = "forward", block_rows: int = 65536) -> rd.Dataset:
+    """Order-dependent forward/backward fill, distributed.
+
+    The reference fully materializes (src/commands/fill.rs:325-376).
+    Here: deterministic range blocks on row_id → pass 1 gathers each
+    block's boundary value (small) → driver prefix-combines carries →
+    pass 2 fills each block seeded with its carry. Two bounded shuffles,
+    no driver data materialization."""
+    fwd = direction == "forward"
+
+    def with_block(batch: pa.Table) -> pa.Table:
+        blk = pc.cast(pc.floor(pc.divide(pc.cast(batch.column(ROW_ID), pa.float64()),
+                                         float(block_rows))), pa.int64())
+        return batch.append_column("__blk", blk)
+
+    ds2 = ds_with_row_id.map_batches(with_block, batch_format="pyarrow")
+
+    def boundary(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ROW_ID)
+        row = {"__blk": [g["__blk"].iloc[0]]}
+        for c in columns:
+            s = g[c].dropna()
+            row[f"{c}__edge"] = [s.iloc[-1] if fwd else s.iloc[0]] if len(s) else [None]
+        return pd.DataFrame(row)
+
+    edges = ds2.groupby("__blk").map_groups(boundary, batch_format="pandas").to_pandas()
+    edges = edges.sort_values("__blk").reset_index(drop=True)
+    carry: dict[int, dict] = {}
+    state: dict[str, object] = {c: None for c in columns}
+    records = edges.to_dict("records")
+    for row in (records if fwd else reversed(records)):
+        carry[int(row["__blk"])] = dict(state)
+        for c in columns:
+            v = row[f"{c}__edge"]
+            if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                state[c] = v
+
+    def fill_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ROW_ID)
+        seed = carry.get(int(g["__blk"].iloc[0]), {})
+        for c in columns:
+            s = g[c]
+            if fwd:
+                s = s.ffill()
+                if seed.get(c) is not None:
+                    s = s.fillna(seed[c])
+            else:
+                s = s.bfill()
+                if seed.get(c) is not None:
+                    s = s.fillna(seed[c])
+            g[c] = s
+        return g.drop(columns="__blk")
+
+    return ds2.groupby("__blk").map_groups(fill_block, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# size & metadata (src/commands/size.rs, metadata.rs)
+# --------------------------------------------------------------------------
+
+def size_report(ds: rd.Dataset) -> dict:
+    """Exact per-column in-memory bytes via streaming partial sums
+    (beats the reference's per-type byte-cost estimate,
+    src/commands/size.rs:133-173)."""
+    names = ds.schema().names
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {c: [batch.column(c).nbytes] for c in names}
+        row["__rows"] = [batch.num_rows]
+        return pa.table(row)
+
+    acc = {c: 0 for c in names}
+    rows = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for c in names:
+            acc[c] += sum(x.as_py() for x in b.column(c))
+        rows += sum(x.as_py() for x in b.column("__rows"))
+    return {"rows": rows, "columns": acc, "total_bytes": sum(acc.values())}
+
+
+def parquet_metadata(path: str) -> dict:
+    """Footer dump: rows, row groups, per-column-chunk compression /
+    encodings / sizes / stats (src/commands/metadata.rs:45-554)."""
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    out = {
+        "num_rows": md.num_rows,
+        "num_row_groups": md.num_row_groups,
+        "created_by": md.created_by,
+        "format_version": md.format_version,
+        "serialized_footer_bytes": md.serialized_size,
+        "schema": [{"name": s.name, "physical_type": s.physical_type}
+                   for s in (md.schema.column(i) for i in range(md.num_columns))],
+        "row_groups": [],
+    }
+    comp_total = 0
+    uncomp_total = 0
+    for rg in range(md.num_row_groups):
+        r = md.row_group(rg)
+        cols = []
+        for ci in range(r.num_columns):
+            c = r.column(ci)
+            comp_total += c.total_compressed_size
+            uncomp_total += c.total_uncompressed_size
+            cols.append({
+                "path": c.path_in_schema,
+                "compression": c.compression,
+                "encodings": list(c.encodings),
+                "compressed_bytes": c.total_compressed_size,
+                "uncompressed_bytes": c.total_uncompressed_size,
+            })
+        out["row_groups"].append({"num_rows": r.num_rows, "columns": cols})
+    out["compression_ratio"] = uncomp_total / comp_total if comp_total else None
+    return out

@@ -1,0 +1,111 @@
+"""merge (two-table equi-join) and append (schema-checked union)
+(SURVEY §2.4/§2.7: src/commands/merge.rs, append.rs)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..expr import resolve_column
+
+
+def merge(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    right_prefix: str = "r_",
+    num_partitions: int = 16,
+    broadcast: bool = False,
+) -> rd.Dataset:
+    """Equi-join; right columns renamed `r_<name>`, right key dropped
+    after the join (src/commands/merge.rs:30-147).
+
+    Two physical strategies:
+    - hash join (`Dataset.join`, shuffle both sides) — the default;
+    - broadcast (`ray.put` the collected right side once, lookup inside
+      map_batches) — for small dimension tables, no shuffle.
+    """
+    lk = resolve_column(left.schema().names, left_key)
+    rk = resolve_column(right.schema().names, right_key or left_key)
+
+    if broadcast:
+        import ray as _ray
+        import pandas as pd
+
+        rt = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in right.iter_batches(batch_format="pyarrow")],
+            promote_options="default",
+        ).to_pandas()
+        rt = rt.rename(columns={c: f"{right_prefix}{c}" for c in rt.columns if c != rk})
+        ref = _ray.put(rt)
+
+        def join_batch(batch: "pd.DataFrame") -> "pd.DataFrame":
+            small = _ray.get(ref)
+            out = batch.merge(small, left_on=lk, right_on=rk,
+                              how="inner" if how == "inner" else how)
+            if rk != lk and rk in out.columns:
+                out = out.drop(columns=[rk])
+            return out
+
+        return left.map_batches(join_batch, batch_format="pandas")
+
+    # rename right columns up-front so the output matches the reference
+    rnames = right.schema().names
+    right2 = right.rename_columns({c: f"{right_prefix}{c}" for c in rnames if c != rk})
+    jt = {"inner": "inner", "left": "left_outer", "right": "right_outer",
+          "full": "full_outer"}.get(how, how)
+    joined = left.join(
+        right2,
+        join_type=jt,
+        num_partitions=num_partitions,
+        on=(lk,),
+        right_on=(rk,),
+        validate_schemas=True,
+    )
+    if rk != lk and rk in joined.schema().names:
+        joined = joined.drop_columns([rk])
+    return joined
+
+
+def append(
+    base: rd.Dataset, others: list[rd.Dataset], ignore_schema: bool = False
+) -> rd.Dataset:
+    """Union with strict schema check (names + types in order), or
+    name-based alignment filling missing columns with typed nulls when
+    ignore_schema=True (src/commands/append.rs:23-131)."""
+    def schema_of(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    base_schema = schema_of(base)
+    aligned = [base]
+    for o in others:
+        so = schema_of(o)
+        if not ignore_schema:
+            if [f.name for f in so] != [f.name for f in base_schema] or \
+               [f.type for f in so] != [f.type for f in base_schema]:
+                raise ValueError(
+                    f"schema mismatch: {so} vs {base_schema} (use ignore_schema)"
+                )
+            aligned.append(o)
+        else:
+            lowered = {f.name.lower(): f.name for f in so}
+
+            def align(batch: pa.Table, lowered=dict(lowered)) -> pa.Table:
+                cols = []
+                for f in base_schema:
+                    src = lowered.get(f.name.lower())
+                    if src is not None and src in batch.column_names:
+                        cols.append(batch.column(src).cast(f.type))
+                    else:
+                        cols.append(pa.nulls(batch.num_rows, f.type))
+                return pa.table(dict(zip([f.name for f in base_schema], cols)))
+
+            aligned.append(o.map_batches(align, batch_format="pyarrow"))
+    out = aligned[0]
+    for o in aligned[1:]:
+        out = out.union(o)
+    return out

@@ -1,0 +1,78 @@
+"""dedup row-wise / col-wise (SURVEY §2.7: src/commands/dedup.rs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..expr import resolve_column
+from ..io import ROW_ID
+
+
+def dedup_rows(
+    ds: rd.Dataset,
+    columns: list[str] | None = None,
+    keep: str = "first",
+    order_column: str = ROW_ID,
+) -> rd.Dataset:
+    """Exact dedup on selected (default all) columns; keep first/last by
+    original order (reference: ROW_NUMBER OVER (PARTITION BY keys ORDER
+    BY rn), src/commands/dedup.rs:67-136).
+
+    Ray shape: hash groupby on the keys → per-group min/max of the order
+    column. Needs ingest row_id (or any explicit order column)."""
+    names = ds.schema().names
+    keys = [resolve_column(names, c) for c in (columns or names) if c != order_column]
+    if not keys:
+        return ds  # reference: empty column spec → no-op
+
+    asc = keep == "first"
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[order_column].idxmin() if asc else g[order_column].idxmax()
+        return g.loc[[i]]
+
+    return ds.groupby(keys).map_groups(pick, batch_format="pandas")
+
+
+def dedup_columns(ds: rd.Dataset, keep: str = "first") -> rd.Dataset:
+    """Drop columns with identical content (src/commands/dedup.rs:138-281).
+
+    Reference collects everything and compares O(cols²·rows); here each
+    column gets a streaming content hash (one pass), equal-hash columns
+    are dropped. Duplicate column *names* are impossible in Arrow-land;
+    the reference errors on them (dedup.rs:155-161)."""
+    names = ds.schema().names
+
+    def col_hashes(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in names:
+            h = hashlib.sha256()
+            for chunk in batch.column(c).chunks if hasattr(batch.column(c), "chunks") else [batch.column(c)]:
+                h.update(str(chunk.to_pylist()).encode())
+            out[c] = [h.hexdigest()]
+        return pa.table(out)
+
+    # combine per-batch hashes into a whole-column fingerprint
+    partials = ds.map_batches(col_hashes, batch_format="pyarrow").take_all()
+    agg: dict[str, hashlib._hashlib.HASH] = {c: hashlib.sha256() for c in names}
+    for row in partials:
+        for c in names:
+            agg[c].update(row[c].encode())
+    fingerprint = {c: agg[c].hexdigest() for c in names}
+
+    seen: dict[str, str] = {}
+    drop: list[str] = []
+    order = names if keep == "first" else list(reversed(names))
+    for c in order:
+        f = fingerprint[c]
+        if f in seen:
+            drop.append(c)
+        else:
+            seen[f] = c
+    if not drop:
+        return ds
+    return ds.drop_columns(drop)

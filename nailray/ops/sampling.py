@@ -1,0 +1,124 @@
+"""sample (random / stratified / first / last), split, preview
+(SURVEY §2.6: src/commands/sample.rs, split.rs, preview.rs).
+
+Deterministic seeded sampling uses a splitmix-style integer hash of an
+id column — exactly reproducible in ANSI SQL for the correctness oracle
+(unlike RANDOM()-based sampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..expr import resolve_column
+
+HASH_MULT = 2654435761  # Knuth multiplicative hash, fits in uint32 domain
+HASH_MOD = 1 << 32
+
+
+def _hash_mask(ids: pa.ChunkedArray, seed: int, keep_num: int, keep_den: int) -> pa.Array:
+    """keep iff ((id*HASH_MULT + seed) mod 2^32) * den < num * 2^32.
+
+    SQL equivalent: ((id * 2654435761 + seed) % 4294967296) * den < num * 4294967296
+    """
+    v = np.asarray(pc.cast(ids, pa.int64())).astype(np.uint64)
+    h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+    return pa.array(h * np.uint64(keep_den) < np.uint64(keep_num) * np.uint64(HASH_MOD))
+
+
+def sample_hash(ds: rd.Dataset, id_column: str, fraction: float, seed: int = 42) -> rd.Dataset:
+    """Deterministic hash sample of ~fraction rows, keyed on an integer
+    id column (reference's seeded path: hash(rn||seed) mod filter,
+    src/commands/sample.rs:82-104)."""
+    num = int(round(fraction * 1_000_000))
+    col = resolve_column(ds.schema().names, id_column)
+    return ds.map_batches(
+        lambda b: b.filter(_hash_mask(b.column(col), seed, num, 1_000_000)),
+        batch_format="pyarrow",
+    )
+
+
+def sample_random(ds: rd.Dataset, n: int, total: int | None = None, seed: int = 42) -> rd.Dataset:
+    """~n uniform rows without replacement (seeded, distributed)."""
+    total = total if total is not None else ds.count()
+    if n >= total:
+        return ds
+    return ds.random_sample(n / total, seed=seed)
+
+
+def sample_first(ds: rd.Dataset, n: int) -> rd.Dataset:
+    return ds.limit(n)
+
+
+def sample_stratified(
+    ds: rd.Dataset, strat_column: str, n: int, id_column: str, seed: int = 42
+) -> rd.Dataset:
+    """Per-category proportional allocation with rounding repair
+    (src/commands/sample.rs:135-269), then per-category deterministic
+    hash-rank selection. One groupby for counts (small), one pass to tag."""
+    col = resolve_column(ds.schema().names, strat_column)
+    from ray.data.aggregate import Count
+
+    counts = {r[col]: r["count()"] for r in
+              ds.groupby(col).aggregate(Count()).take_all()}
+    total = sum(counts.values())
+    alloc = {k: int(n * v / total) for k, v in counts.items()}
+    # rounding repair: hand out the remainder to the largest categories
+    rem = n - sum(alloc.values())
+    for k in sorted(counts, key=lambda k: (-counts[k], str(k)))[:rem]:
+        alloc[k] += 1
+
+    # per category keep the alloc[k] smallest hash values: compute a
+    # per-row hash rank threshold via a per-category quantile would need
+    # a shuffle; instead use hash fraction with exact trim per category.
+    frac = {k: alloc[k] / counts[k] for k in counts}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column(id_column), pa.int64())).astype(np.uint64)
+        h = (ids * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        cats = batch.column(col).to_pylist()
+        thresh = np.fromiter((frac.get(c, 0.0) for c in cats), np.float64, len(cats))
+        return batch.filter(pa.array(h < thresh * HASH_MOD))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_hash(
+    ds: rd.Dataset, ratios: list[float], id_column: str, seed: int = 42
+) -> list[rd.Dataset]:
+    """Deterministic hash split into len(ratios) datasets (sums to 1;
+    reference: src/commands/split.rs:30-260). Each split is an
+    independent lazy dataset filtered by hash range — no materialize."""
+    s = sum(ratios)
+    ratios = [r / s for r in ratios]
+    bounds = np.cumsum([0.0] + ratios)
+    col = resolve_column(ds.schema().names, id_column)
+    outs = []
+    for i in range(len(ratios)):
+        lo, hi = bounds[i], bounds[i + 1]
+
+        def fn(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            ids = np.asarray(pc.cast(batch.column(col), pa.int64())).astype(np.uint64)
+            h = ((ids * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)).astype(np.float64) / HASH_MOD
+            return batch.filter(pa.array((h >= lo) & (h < hi)))
+
+        outs.append(ds.map_batches(fn, batch_format="pyarrow"))
+    return outs
+
+
+def split_proportionately(ds: rd.Dataset, ratios: list[float]) -> list[rd.Dataset]:
+    """Exact-count split preserving order (ds.split_proportionately)."""
+    return ds.split_proportionately(ratios[:-1]) if len(ratios) > 1 else [ds]
+
+
+def preview(ds: rd.Dataset, n: int = 5, total: int | None = None, seed: int = 42):
+    """Uniform random N rows without replacement (driver-side small result,
+    src/commands/preview.rs:42-100)."""
+    total = total if total is not None else ds.count()
+    if total <= n:
+        return ds.take_all()
+    frac = min(1.0, (n * 3) / total)
+    rows = ds.random_sample(frac, seed=seed).take(n)
+    return rows

