@@ -1,0 +1,88 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix, per-batch partial top-k → driver merge (one streaming
+  pass, no shuffle)
+- LSH-bucketed variant (random hyperplanes): the scale path — bucket
+  vectors once, search only matching buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in batch.column(col).to_pylist()])
+
+
+def topk_cosine(ds: rd.Dataset, query: np.ndarray, k: int = 10,
+                embedding_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact top-k by cosine similarity: per-batch vectorized partial
+    top-k, merged on the driver (partials are k rows per batch)."""
+    q = np.asarray(query, np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, embedding_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        top = np.argsort(-sims)[:k]
+        return pa.table({
+            id_col: pa.array([batch.column(id_col)[int(i)].as_py() for i in top]),
+            "sim": pa.array(sims[top]),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r[id_col]))
+    return pd.DataFrame(best)
+
+
+class HyperplaneLsh:
+    """Seeded random-hyperplane LSH for cosine similarity."""
+
+    def __init__(self, dim: int, n_bits: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bits, dim))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def add_lsh_bucket(ds: rd.Dataset, dim: int, embedding_col: str = "embedding",
+                   n_bits: int = 16, seed: int = 42) -> rd.Dataset:
+    """Bucket stage for the ANN scale path: one int64 bucket per vector.
+    Query-time: hash the query, scan only rows whose bucket matches
+    (plus neighbors at hamming ≤ 1 for recall)."""
+    class Bucketer:
+        def __init__(self):
+            self.lsh = HyperplaneLsh(dim, n_bits, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, embedding_col)
+            return batch.append_column("lsh_bucket", pa.array(self.lsh.bucket(m)))
+
+    return ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def topk_cosine_lsh(ds_bucketed: rd.Dataset, query: np.ndarray, k: int,
+                    dim: int, embedding_col: str = "embedding",
+                    id_col: str = "vec_id", n_bits: int = 16, seed: int = 42) -> pd.DataFrame:
+    """Search only buckets within hamming ≤ 1 of the query's bucket."""
+    lsh = HyperplaneLsh(dim, n_bits, seed)
+    qb = int(lsh.bucket(np.asarray(query, np.float64)[None, :])[0])
+    near = pa.array([qb] + [qb ^ (1 << i) for i in range(n_bits)], pa.int64())
+    import pyarrow.compute as pc
+
+    cand = ds_bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("lsh_bucket"), value_set=near)),
+        batch_format="pyarrow",
+    )
+    return topk_cosine(cand, query, k, embedding_col, id_col)

@@ -1,0 +1,105 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by actor-pool map_batches stages.
+
+The decode kernels are STUBBED (no image/audio libraries in this
+container): `decode_image` raises NotImplementedError unless a library
+is importable; `FakeImageDecoder` is a deterministic stand-in used to
+test the Ray-side plumbing (schema, batch sizing, actor signature,
+output layout), which is real and tested.
+
+At 100 TB: binary payloads are large → small batch_size, pyarrow batch
+format (binary columns don't survive pandas object dtype cleanly), and
+per-stage `num_cpus`/`concurrency` sized so decode doesn't starve IO.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.int64()),
+    pa.field("kind", pa.string()),           # image | audio | video
+    pa.field("mime", pa.string()),
+    pa.field("payload", pa.large_binary()),  # opaque encoded bytes
+    pa.field("width", pa.int32()),
+    pa.field("height", pa.int32()),
+])
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(128, 4096, n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n),
+        "mime": pa.array(["image/png"] * n),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
+        "height": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
+    })
+
+
+def decode_image(payload: bytes):
+    """Real decode — requires an imaging library (not in this container)."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io as _io
+
+        return np.asarray(Image.open(_io.BytesIO(payload)))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not available in this "
+            "environment; use FakeImageDecoder for plumbing tests"
+        ) from e
+
+
+class FakeImageDecoder:
+    """Deterministic decode stand-in: payload bytes → fixed-size feature
+    vector (hash-seeded). The actor-pool signature matches what a real
+    decoder stage would use: state in __init__, vectorized __call__,
+    pyarrow in/out, feature column as list<float>."""
+
+    def __init__(self, feature_dim: int = 64, payload_col: str = "payload"):
+        self.dim = feature_dim
+        self.payload_col = payload_col
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p) for p in batch.column(self.payload_col).to_pylist()]
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )
+
+
+def extract_features(ds: rd.Dataset, feature_dim: int = 64,
+                     batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """Feature-extraction stage: small batches (large payloads), actor
+    pool, zero-copy Arrow in/out."""
+    return ds.map_batches(
+        FakeImageDecoder,
+        fn_constructor_args=(feature_dim,),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
+    """Video frame sampling stand-in: keeps every n-th media row
+    deterministically (by media_id)."""
+    def fn(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("media_id"), dtype=np.int64)
+        return b.filter(pa.array(ids % every_n == 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,125 @@
+"""Training-data operators: dedup (exact/minhash/simhash), text
+analysis, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nailray import ann, multimodal
+from nailray.io import read_parquet, to_arrow
+from nailray.textops import analysis, dedup
+
+
+def _docs(sf_dir):
+    return read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup(sf_dir):
+    ds = _docs(sf_dir)
+    out = to_arrow(dedup.exact_dedup(ds, "text", "doc_id")).to_pandas()
+    import duckdb
+    ref = duckdb.connect().execute(
+        f"select count(*) from (select min(doc_id) from "
+        f"read_parquet('{sf_dir}/documents.parquet') group by text)"
+    ).fetchone()[0]
+    assert len(out) == ref
+    assert out["doc_id"].is_unique
+
+
+def test_minhash_near_dup():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    texts = [base, base + " extra", "completely different content about quantum physics " * 3,
+             base.replace("quick", "quik"), "another unrelated short text snippet entirely"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    ds = rd.from_arrow(t)
+    out = dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.5, num_perm=64, bands=16)
+    kept = sorted(to_arrow(out).to_pandas()["doc_id"])
+    assert 0 in kept  # canonical survives
+    assert len(kept) < 5  # near-dups of 0 dropped
+    assert 2 in kept and 4 in kept  # unrelated docs survive
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    mid = dedup.ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.2 < mid < 0.9
+
+
+def test_simhash_candidates():
+    texts = ["the quick brown fox jumps over the lazy dog every day",
+             "the quick brown fox jumps over the lazy dog every night",
+             "entirely different words here about compilers and parsers",
+             "the quick brown fox jumps over the lazy dog every day"]  # dup of 0
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    ds = dedup.add_simhash(rd.from_arrow(t), "text")
+    hs = to_arrow(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d01 = bin(int(hs["simhash"][0]) ^ int(hs["simhash"][1])).count("1")
+    d02 = bin(int(hs["simhash"][0]) ^ int(hs["simhash"][2])).count("1")
+    assert d01 < d02  # similar docs are closer in hamming space
+    assert int(hs["simhash"][0]) == int(hs["simhash"][3])  # identical text
+    # banding guarantees candidacy for hamming ≤ 3 (pigeonhole on 4×16 bits)
+    cand = to_arrow(dedup.simhash_candidates(ds, "doc_id", max_hamming=3)).to_pandas()
+    assert {(a, b) for a, b in zip(cand["id_a"], cand["id_b"])} >= {(0, 3)}
+
+
+def test_text_analysis(sf_dir):
+    ds = _docs(sf_dir)
+    out = to_arrow(analysis.token_counts(ds, "text")).to_pandas()
+    assert (out["n_words"] >= 0).all()
+    # n_chars column in the table should match our computed chars
+    assert (out["n_chars_calc"] == out["n_chars"]).all()
+    q = to_arrow(analysis.quality_scores(ds.limit(50), "text")).to_pandas()
+    assert q["quality_score"].between(0, 1).all()
+    lid = to_arrow(analysis.language_id(ds.limit(50), "text")).to_pandas()
+    assert set(lid["lang_pred"]) <= {"en", "de", "fr", "es", "it", "unknown"}
+    fp = to_arrow(analysis.fingerprint(ds.limit(20), "text")).to_pandas()
+    assert fp["fingerprint"].str.len().eq(16).all()
+    # fingerprint ignores whitespace normalization differences
+    t = pa.table({"text": ["a  b\tc", "a b c"]})
+    fp2 = to_arrow(analysis.fingerprint(rd.from_arrow(t), "text")).to_pandas()
+    assert fp2["fingerprint"][0] == fp2["fingerprint"][1]
+
+
+def test_ann_bruteforce_vs_numpy(sf_dir):
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = to_arrow(ds)
+    mat = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    ids = np.asarray(t.column("vec_id"))
+    q = mat[0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    ref = set(ids[np.argsort(-sims)[:10]].tolist())
+    got = ann.topk_cosine(ds, q, k=10)
+    assert set(got["vec_id"]) == ref
+    assert got["sim"].iloc[0] > 0.999  # self-match first
+
+
+def test_ann_lsh(sf_dir):
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = to_arrow(ds)
+    dim = len(t.column("embedding")[0].as_py())
+    q = np.asarray(t.column("embedding")[0].as_py(), np.float64)
+    bucketed = ann.add_lsh_bucket(ds, dim, n_bits=8)
+    got = ann.topk_cosine_lsh(bucketed, q, k=5, dim=dim, n_bits=8)
+    assert len(got) == 5
+    assert got["vec_id"].iloc[0] == t.column("vec_id")[0].as_py()  # finds self
+
+
+def test_multimodal_plumbing():
+    t = multimodal.synthesize_media_table(100, seed=3)
+    ds = rd.from_arrow(t)
+    out = to_arrow(multimodal.extract_features(ds, feature_dim=16, batch_size=16))
+    assert out.num_rows == 100
+    assert len(out.column("features")[0].as_py()) == 16
+    # deterministic: same payload → same features
+    f0 = out.to_pandas().set_index("media_id")["features"]
+    out2 = to_arrow(multimodal.extract_features(ds, feature_dim=16, batch_size=32)).to_pandas()
+    f1 = out2.set_index("media_id")["features"]
+    assert list(f0[0]) == list(f1[0])
+    sampled = multimodal.frame_sample(ds, every_n=10)
+    assert sampled.count() == 10
+    # stub decode raises cleanly without the imaging lib
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"notanimage")
