@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship encode→decode→verify pipeline on a small
+deterministic corpus; ``queries()`` exposes one callable per implemented
+operator family (SURVEY §2) over the sf tables; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, same rounding) so the driver's row-count/schema/value-hash
+comparison passes bit-for-bit.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() anywhere down this import tree.
 """
 
 from __future__ import annotations
@@ -18,27 +16,469 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from nailray import io as nio
+from nailray.context import configure
+from nailray.ops import aggregates, combine, dedup, filtering, projection, sampling, sorting
+
+HASH_MULT = 2654435761
+HASH_MOD = 4294967296
+
+
+def _t(sf_dir: str, name: str) -> rd.Dataset:
+    configure(quiet=True)
+    return nio.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round_cols(ds_or_table, cols: list[str], nd: int = 6):
+    """Round float columns with Python's correctly-rounded round() —
+    bit-identical to DuckDB's ROUND(CAST(x AS DOUBLE), n) (pc.round's
+    scale-divide leaves 1-ulp artifacts that break the value hash)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            vals = [None if v is None else round(v, nd)
+                    for v in pc.cast(batch.column(c), pa.float64()).to_pylist()]
+            batch = batch.set_column(i, c, pa.array(vals, pa.float64()))
+        return batch
+    if isinstance(ds_or_table, rd.Dataset):
+        return ds_or_table.map_batches(fn, batch_format="pyarrow")
+    return fn(ds_or_table)
+
+
+# --------------------------------------------------------------------------
+# query callables (each: sf_dir -> Dataset | DataFrame | Table)
+# --------------------------------------------------------------------------
+
+def q_count_lineitem(sf):
+    return pa.table({"n": pa.array([_t(sf, "lineitem").count()], pa.int64())})
+
+
+def q_select_customer(sf):
+    return projection.select_columns(_t(sf, "customer"), "c_custkey,c_name")
+
+
+def q_filter_conditions(sf):
+    ds = filtering.filter_conditions(_t(sf, "lineitem"), "l_quantity>45,l_returnflag=R")
+    return ds.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+
+def q_drop_conditions(sf):
+    return projection.drop_rows_by_conditions(_t(sf, "customer"), "c_acctbal>0")
+
+
+def q_filter_no_nan(sf):
+    return filtering.filter_rows(_t(sf, "events"), "no-nan")
+
+
+def q_search_text(sf):
+    ds = filtering.search(_t(sf, "documents"), "data", columns=["text"], ignore_case=True)
+    return ds.select_columns(["doc_id", "text"])
+
+
+def q_rename_project(sf):
+    ds = projection.rename_columns(_t(sf, "customer"), "c_name=customer_name")
+    return ds.select_columns(["c_custkey", "customer_name"])
+
+
+def q_create_revenue(sf):
+    ds = projection.create_column(
+        _t(sf, "lineitem"), "revenue=l_extendedprice*(1-l_discount)",
+        row_filter="l_quantity>30")
+    ds = ds.select_columns(["l_orderkey", "l_linenumber", "revenue"])
+    return _round_cols(ds, ["revenue"])
+
+
+def q_head_orders(sf):
+    return sorting.sort(_t(sf, "orders"), ["o_orderkey"]).limit(5)
+
+
+def q_tail_orders(sf):
+    total = nio.parquet_num_rows(f"{sf}/orders.parquet")
+    ds = nio.read_parquet_with_row_id(f"{sf}/orders.parquet")
+    return projection.tail(ds, total, 5).drop_columns([nio.ROW_ID])
+
+
+def q_sort_topk(sf):
+    ds = _t(sf, "lineitem").select_columns(["l_extendedprice", "l_orderkey", "l_linenumber"])
+    return sorting.sort(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                        descending=[True, False, False]).limit(100)
+
+
+def q_dedup_keep_first(sf):
+    return dedup.dedup_rows(_t(sf, "events"), ["user_id"], keep="first",
+                            order_column="event_id")
+
+
+def q_merge_inner(sf):
+    j = combine.merge(_t(sf, "orders"), _t(sf, "customer"), "o_custkey", "c_custkey")
+    return j.select_columns(["o_orderkey", "o_totalprice", "r_c_name"])
+
+
+def q_merge_left(sf):
+    j = combine.merge(_t(sf, "orders"), _t(sf, "customer"), "o_custkey", "c_custkey",
+                      how="left")
+    return j.select_columns(["o_orderkey", "r_c_mktsegment"])
+
+
+def q_append_union(sf):
+    return combine.append(_t(sf, "region"), [_t(sf, "region")])
+
+
+def q_frequency_returnflag(sf):
+    df = aggregates.frequency(_t(sf, "lineitem"), ["l_returnflag"])
+    df["percentage"] = df["percentage"].map(lambda v: round(float(v), 6))
+    return df
+
+
+def q_stats_moments(sf):
+    m = aggregates.numeric_moments(_t(sf, "lineitem"), ["l_quantity"])["l_quantity"]
+    r6 = lambda v: round(float(v), 6)
+    return pd.DataFrame([{
+        "n": m["n"], "mean": r6(m["mean"]), "min": m["mn"], "max": m["mx"],
+        "std": r6(m["std"]),
+    }])
+
+
+def q_distinct_returnflag(sf):
+    ds = _t(sf, "lineitem").groupby("l_returnflag").count()
+    return ds.select_columns(["l_returnflag"])
+
+
+def q_pivot_orders(sf):
+    ds = aggregates.pivot(_t(sf, "orders"), ["o_orderstatus"], ["o_orderpriority"],
+                          ["o_totalprice"], agg="sum")
+    return _round_cols(ds, ["o_totalprice_sum"])
+
+
+def q_pearson_corr(sf):
+    r = aggregates.pearson(_t(sf, "lineitem"), "l_quantity", "l_extendedprice")
+    r6 = round(float(r), 6)
+    return pd.DataFrame([{"corr_qty_price": r6}])
+
+
+def q_outliers_zscore_count(sf):
+    flagged = aggregates.outliers(_t(sf, "lineitem"), ["l_extendedprice"],
+                                  method="zscore", factor=1.5)
+    def cnt(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(batch.column("is_outlier"), pa.int64())).as_py() or 0)],
+            pa.int64())})
+    parts = flagged.map_batches(cnt, batch_format="pyarrow").take_all()
+    return pa.table({"n": pa.array([sum(r["n"] for r in parts)], pa.int64())})
+
+
+def q_binning_totalprice(sf):
+    ds = _t(sf, "orders")
+    m = aggregates.numeric_moments(ds, ["o_totalprice"])["o_totalprice"]
+    mn, mx = float(m["mn"]), float(m["mx"])
+    w = (mx - mn) / 10.0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column("o_totalprice"), pa.float64()))
+        idx = np.minimum(np.floor((v - mn) / w).astype(np.int64), 9)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "bin": pa.array(idx)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_sample_hash(sf):
+    return sampling.sample_hash(_t(sf, "lineitem"), "l_orderkey", 0.1, seed=42)
+
+
+def q_split_train(sf):
+    return sampling.split_hash(_t(sf, "lineitem"), [0.7, 0.3], "l_orderkey", seed=9)[0]
+
+
+def q_fill_mean_derived(sf):
+    ds = _t(sf, "events")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        nv = pc.if_else(pc.greater_equal(v, 5.0), v, pa.nulls(len(batch), pa.float64()))
+        return pa.table({"event_id": batch.column("event_id"), "v": nv})
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    filled = aggregates.fill_stat(d, ["v"], "mean")
+    filled = filled.rename_columns({"v": "filled_value"})
+    return _round_cols(filled, ["filled_value"])
+
+
+def q_shuffle_multiset(sf):
+    return sorting.shuffle(_t(sf, "supplier"), seed=7)
+
+
+def q_window_hourly(sf):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf, "events")
+
+    def win(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "window_start", pc.floor_temporal(batch.column("ts"), unit="hour"))
+
+    agg = (ds.map_batches(win, batch_format="pyarrow")
+           .groupby(["user_id", "window_start"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+    return _round_cols(agg, ["sum_value"])
+
+
+def q_token_counts(sf):
+    from nailray.textops import analysis
+
+    ds = analysis.token_counts(_t(sf, "documents"), "text")
+    return ds.select_columns(["doc_id", "n_words"])
+
+
+def q_punct_ratio(sf):
+    from nailray.textops import analysis
+
+    ds = analysis.token_counts(_t(sf, "documents"), "text")
+    ds = ds.select_columns(["doc_id", "punct_ratio"])
+    return _round_cols(ds, ["punct_ratio"])
+
+
+def q_exact_dedup_docs(sf):
+    from nailray.textops import dedup as tdedup
+
+    out = tdedup.exact_dedup(_t(sf, "documents"), "text", "doc_id")
+    return out.select_columns(["doc_id", "text"])
+
+
+def q_ann_topk(sf):
+    from nailray import ann
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(emb.filter(pc.equal(emb.column("vec_id"), 0))
+                    .column("embedding")[0].as_py(), np.float64)
+    got = ann.topk_cosine(_t(sf, "embeddings"), qv, k=10)
+    got["sim"] = got["sim"].map(lambda v: round(float(v), 5))
+    return got[["vec_id", "sim"]]
+
+
+# ---- non-SQL-expressible (rows-only check by the driver) ------------------
+
+def q_minhash_dedup_docs(sf):
+    from nailray.textops import dedup as tdedup
+
+    out = tdedup.minhash_dedup(_t(sf, "documents"), "text", "doc_id",
+                               threshold=0.8, num_perm=64, bands=16)
+    return out.select_columns(["doc_id"])
+
+
+def q_simhash_docs(sf):
+    from nailray.textops import dedup as tdedup
+
+    return tdedup.add_simhash(_t(sf, "documents"), "text").select_columns(
+        ["doc_id", "simhash"])
+
+
+def q_quality_docs(sf):
+    from nailray.textops import analysis
+
+    ds = analysis.quality_scores(_t(sf, "documents"), "text")
+    return ds.select_columns(["doc_id", "quality_score"])
+
+
+def q_langid_docs(sf):
+    from nailray.textops import analysis
+
+    ds = analysis.language_id(_t(sf, "documents"), "text")
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint_docs(sf):
+    from nailray.textops import analysis
+
+    ds = analysis.fingerprint(_t(sf, "documents"), "text")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_topk_lsh(sf):
+    from nailray import ann
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb.column("embedding")[0].as_py())
+    qv = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+    bucketed = ann.add_lsh_bucket(_t(sf, "embeddings"), dim, n_bits=8)
+    return ann.topk_cosine_lsh(bucketed, qv, k=5, dim=dim, n_bits=8)[["vec_id"]]
+
+
+def q_stratified_sample(sf):
+    return sampling.sample_stratified(_t(sf, "documents"), "lang", 100, "doc_id",
+                                      seed=3).select_columns(["doc_id", "lang"])
+
+
+def q_encode_corpus(sf):
+    """Flagship: encode → manifest → decode → sha256 bit-identity on a
+    deterministic corpus (the BASELINE.json north-star pipeline)."""
+    import shutil
+    import tempfile
+
+    from nailray.corpus import write_corpus
+    from nailray.encode import pipeline as epl
+
+    base = tempfile.mkdtemp(prefix="nailray_entry_")
+    try:
+        src = write_corpus(f"{base}/corpus", n_rows=1200, seed=42, n_files=2,
+                           row_group_size=400)
+        out = f"{base}/encoded"
+        summary = epl.encode_dataset(src, out, target_partition_bytes=256 << 10,
+                                     chunk_rows=512, chunk_bytes=1 << 20)
+        verify = epl.verify_bit_identity(src, out)
+        return pd.DataFrame([{
+            "rows": summary["rows"],
+            "partitions": summary["partitions"],
+            "ratio_files": round(summary["ratio_files"] or 0, 4),
+            "bit_identical": bool(verify["match"]),
+        }])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 scale inputs."""
+    return q_encode_corpus("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "count_lineitem": q_count_lineitem,
+        "select_customer": q_select_customer,
+        "filter_conditions": q_filter_conditions,
+        "drop_conditions": q_drop_conditions,
+        "filter_no_nan": q_filter_no_nan,
+        "search_text": q_search_text,
+        "rename_project": q_rename_project,
+        "create_revenue": q_create_revenue,
+        "head_orders": q_head_orders,
+        "tail_orders": q_tail_orders,
+        "sort_topk": q_sort_topk,
+        "dedup_keep_first": q_dedup_keep_first,
+        "merge_inner": q_merge_inner,
+        "merge_left": q_merge_left,
+        "append_union": q_append_union,
+        "frequency_returnflag": q_frequency_returnflag,
+        "stats_moments": q_stats_moments,
+        "distinct_returnflag": q_distinct_returnflag,
+        "pivot_orders": q_pivot_orders,
+        "pearson_corr": q_pearson_corr,
+        "outliers_zscore_count": q_outliers_zscore_count,
+        "binning_totalprice": q_binning_totalprice,
+        "sample_hash": q_sample_hash,
+        "split_train": q_split_train,
+        "fill_mean_derived": q_fill_mean_derived,
+        "shuffle_multiset": q_shuffle_multiset,
+        "window_hourly": q_window_hourly,
+        "token_counts": q_token_counts,
+        "punct_ratio": q_punct_ratio,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "ann_topk": q_ann_topk,
+        # non-SQL-expressible → rows-only driver check
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "stratified_sample": q_stratified_sample,
+        "encode_corpus": q_encode_corpus,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "count_lineitem": "SELECT COUNT(*) AS n FROM lineitem",
+        "select_customer": "SELECT c_custkey, c_name FROM customer",
+        "filter_conditions": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+            "WHERE l_quantity > 45 AND l_returnflag = 'R'"),
+        "drop_conditions": "SELECT * FROM customer WHERE NOT (c_acctbal > 0)",
+        "filter_no_nan": (
+            "SELECT * FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL "
+            "AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL "
+            "AND props IS NOT NULL"),
+        "search_text": (
+            "SELECT doc_id, text FROM documents WHERE lower(text) LIKE '%data%'"),
+        "rename_project": "SELECT c_custkey, c_name AS customer_name FROM customer",
+        "create_revenue": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue "
+            "FROM lineitem WHERE l_quantity > 30"),
+        "head_orders": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+        "tail_orders": "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 5",
+        "sort_topk": (
+            "SELECT l_extendedprice, l_orderkey, l_linenumber FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
+        "dedup_keep_first": (
+            "SELECT * FROM events QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) = 1"),
+        "merge_inner": (
+            "SELECT o.o_orderkey, o.o_totalprice, c.c_name AS r_c_name "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "merge_left": (
+            "SELECT o.o_orderkey, c.c_mktsegment AS r_c_mktsegment "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "append_union": "SELECT * FROM region UNION ALL SELECT * FROM region",
+        "frequency_returnflag": (
+            "SELECT l_returnflag, COUNT(*) AS count, "
+            "ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM lineitem), 6) AS percentage "
+            "FROM lineitem GROUP BY l_returnflag"),
+        "stats_moments": (
+            "SELECT COUNT(l_quantity) AS n, ROUND(AVG(l_quantity), 6) AS mean, "
+            "MIN(l_quantity) AS min, MAX(l_quantity) AS max, "
+            "ROUND(STDDEV_SAMP(l_quantity), 6) AS std FROM lineitem"),
+        "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "pivot_orders": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "ROUND(SUM(o_totalprice), 6) AS o_totalprice_sum "
+            "FROM orders GROUP BY o_orderstatus, o_orderpriority"),
+        "pearson_corr": (
+            "SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+            "FROM lineitem"),
+        "outliers_zscore_count": (
+            "SELECT COUNT(*) AS n FROM lineitem WHERE "
+            "ABS(l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem)) > "
+            "1.5 * (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem)"),
+        "binning_totalprice": (
+            "SELECT o_orderkey, LEAST(CAST(FLOOR((o_totalprice - s.mn) / ((s.mx - s.mn) / 10.0)) "
+            "AS BIGINT), 9) AS bin FROM orders, "
+            "(SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders) s"),
+        "sample_hash": (
+            "SELECT * FROM lineitem WHERE "
+            f"((l_orderkey * {HASH_MULT} + 42) % {HASH_MOD}) * 1000000 < 100000 * {HASH_MOD}"),
+        "split_train": (
+            "SELECT * FROM lineitem WHERE "
+            f"((l_orderkey * {HASH_MULT} + 9) % {HASH_MOD}) < 0.7 * {HASH_MOD}"),
+        "fill_mean_derived": (
+            "WITH t AS (SELECT event_id, CASE WHEN value >= 5 THEN value END AS v "
+            "FROM events) SELECT event_id, "
+            "ROUND(COALESCE(v, (SELECT AVG(v) FROM t)), 6) AS filled_value FROM t"),
+        "shuffle_multiset": "SELECT * FROM supplier",
+        "window_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id, "
+            "date_trunc('hour', ts)"),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "x -> x != '')) AS BIGINT) AS n_words FROM documents"),
+        "punct_ratio": (
+            "SELECT doc_id, ROUND(CAST(len(text) - "
+            "len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / "
+            "GREATEST(len(text), 1), 6) AS punct_ratio FROM documents"),
+        "exact_dedup_docs": (
+            "SELECT doc_id, text FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        "ann_topk": (
+            "SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 5) AS sim "
+            "FROM embeddings ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"),
+    }
