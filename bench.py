@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""nailray benchmark harness.
+
+Default mode: runs the headline encode pipeline (on a cached
+deterministic corpus) plus representative operator pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "encode": {"gbps": ..., "ratio_files": ..., "bit_identical": ...}}
+
+``--scaling``: runs the SAME headline job in fresh processes at
+num_cpus=8 and num_cpus=32 (the in-sandbox stand-in for N vs 4N nodes)
+and reports both throughputs plus scaling efficiency.
+
+Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_DIR = os.environ.get("NAILRAY_BENCH_CORPUS", "/tmp/nailray_bench_corpus")
+CORPUS_ROWS = int(os.environ.get("NAILRAY_BENCH_ROWS", "100000"))
+CORPUS_AVG_LINES = int(os.environ.get("NAILRAY_BENCH_AVG_LINES", "60"))
+
+
+def _corpus() -> str:
+    from nailray.corpus import write_corpus
+
+    return write_corpus(BENCH_CORPUS_DIR, n_rows=CORPUS_ROWS, seed=42,
+                        avg_lines=CORPUS_AVG_LINES, n_files=16,
+                        row_group_size=8192)
+
+
+def _warm_cache(path: str) -> int:
+    total = 0
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "rb") as fh:
+                total += len(fh.read())
+    return total
+
+
+def run_headline() -> dict:
+    """Encode → verify on the bench corpus; returns timings + metrics."""
+    from nailray.encode import pipeline as epl
+
+    src = _corpus()
+    _warm_cache(src)
+    out = tempfile.mkdtemp(prefix="nailray_bench_enc_")
+    try:
+        t0 = time.time()
+        summary = epl.encode_dataset(src, out, chunk_rows=16384, chunk_bytes=8 << 20)
+        t_encode = time.time() - t0
+        t0 = time.time()
+        verify = epl.verify_bit_identity(src, out)
+        t_verify = time.time() - t0
+        input_gb = summary["input_bytes"] / 1e9
+        return {
+            "encode_sec": round(t_encode, 3),
+            "verify_sec": round(t_verify, 3),
+            "input_gb": round(input_gb, 4),
+            "gbps": round(input_gb / t_encode, 4),
+            "ratio_files": round(summary["ratio_files"] or 0, 4),
+            "partitions": summary["partitions"],
+            "bit_identical": bool(verify["match"]),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_queries() -> dict[str, float]:
+    """Representative operator pipelines over the sf tables."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from nailray import ann, io as nio
+    from nailray.ops import combine, sorting
+    from nailray.textops import analysis, dedup as tdedup
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        return deco
+
+    li = f"{SF_DIR}/lineitem.parquet"
+
+    @timed("q1_groupby_agg")
+    def _q1():
+        ds = nio.read_parquet(li, columns=["l_returnflag", "l_linestatus",
+                                           "l_quantity", "l_extendedprice", "l_discount"])
+
+        def rev(b: pa.Table) -> pa.Table:
+            r = pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(1.0, b.column("l_discount")))
+            return b.append_column("revenue", r)
+
+        (ds.map_batches(rev, batch_format="pyarrow")
+         .groupby(["l_returnflag", "l_linestatus"])
+         .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                    Sum("revenue", alias_name="revenue"),
+                    Count(alias_name="n"))
+         .to_pandas())
+
+    @timed("sort_topk")
+    def _topk():
+        ds = nio.read_parquet(li, columns=["l_extendedprice", "l_orderkey", "l_linenumber"])
+        sorting.sort(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                     descending=[True, False, False]).limit(100).to_pandas()
+
+    @timed("merge_broadcast")
+    def _merge_b():
+        # customer is a small dimension table → broadcast join (no shuffle)
+        combine.merge(nio.read_parquet(f"{SF_DIR}/orders.parquet"),
+                      nio.read_parquet(f"{SF_DIR}/customer.parquet"),
+                      "o_custkey", "c_custkey", broadcast=True).count()
+
+    @timed("merge_hash")
+    def _merge():
+        combine.merge(nio.read_parquet(f"{SF_DIR}/orders.parquet"),
+                      nio.read_parquet(f"{SF_DIR}/customer.parquet"),
+                      "o_custkey", "c_custkey", num_partitions=8).count()
+
+    @timed("exact_dedup_docs")
+    def _dedup():
+        tdedup.exact_dedup(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                           "text", "doc_id").count()
+
+    @timed("token_counts")
+    def _tokens():
+        analysis.token_counts(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                              "text").count()
+
+    @timed("ann_topk")
+    def _ann():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ann.topk_cosine(nio.read_parquet(f"{SF_DIR}/embeddings.parquet"), q, k=10)
+
+    @timed("window_hourly")
+    def _window():
+        ds = nio.read_parquet(f"{SF_DIR}/events.parquet")
+
+        def win(b: pa.Table) -> pa.Table:
+            return b.append_column("w", pc.floor_temporal(b.column("ts"), unit="hour"))
+
+        (ds.map_batches(win, batch_format="pyarrow")
+         .groupby(["user_id", "w"])
+         .aggregate(Count(alias_name="n"), Sum("value", alias_name="s"))
+         .count())
+
+    return timings
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from nailray.context import configure
+
+    configure(quiet=True)
+    try:
+        headline = run_headline()
+        queries = run_queries()
+        return {
+            "metric": "encode throughput (GB/s) + operator pipeline wall times",
+            "value": headline["encode_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "encode": headline,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Same headline job in fresh processes at 8 and 32 CPUs."""
+    # pre-generate the corpus once so both runs read identical bytes
+    from nailray.corpus import write_corpus
+
+    write_corpus(BENCH_CORPUS_DIR, n_rows=CORPUS_ROWS, seed=42,
+                 avg_lines=CORPUS_AVG_LINES, n_files=16, row_group_size=8192)
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = sub(lo_n)
+    hi = sub(hi_n)
+    gbps_lo = lo["encode"]["gbps"]
+    gbps_hi = hi["encode"]["gbps"]
+    eff = (gbps_hi / gbps_lo) / (hi_n / lo_n)
+    return {
+        "metric": "encode throughput scaling (N vs 4N parallelism)",
+        "num_cpus_lo": lo_n, "num_cpus_hi": hi_n,
+        "gbps_lo": gbps_lo, "gbps_hi": gbps_hi,
+        "sec_lo": lo["encode"]["encode_sec"], "sec_hi": hi["encode"]["encode_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bit_identical": lo["encode"]["bit_identical"] and hi["encode"]["bit_identical"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

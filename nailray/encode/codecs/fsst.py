@@ -39,10 +39,14 @@ from .base import Codec, apply_nulls, buffer_to_strings, frame, split_nulls, str
 from .bitpack import ForCodec
 
 _ROUNDS = 4
-_PAIRS_PER_ROUND = 448
+_PAIRS_PER_ROUND = 320
 _MIN_PAIR_COUNT = 4
 _SAMPLE_BYTES = 1 << 18
-MAXSYM = 2048  # 256 literals + ≤4×448 merged symbols (≤16-byte expansions)
+# 256 literals + ≤4×320 merged symbols (≤16-byte expansions). Chosen by
+# measurement (see BASELINE.md): with the uint16 final coding below,
+# 4×320 beats plain+zstd on source text by ~5% at ~15 MB/s/core; the
+# ~4.7 MiB per-round LUT still behaves under a full actor pool.
+MAXSYM = 1536
 
 
 class FsstTable:
@@ -186,36 +190,27 @@ def build_table(sample: np.ndarray, rounds: int = _ROUNDS, pairs_per_round: int 
         next_id += len(top)
     rl = np.concatenate(rules_l) if rules_l else np.zeros(0, np.uint16)
     rr = np.concatenate(rules_r) if rules_r else np.zeros(0, np.uint16)
-    # final byte-code assignment from the sample's symbol frequencies
-    syms, counts = np.unique(seq, return_counts=True)
-    order = np.lexsort((syms, -counts))
-    top_syms = syms[order[:255]].astype(np.uint16)
-    return FsstTable(rl, rr, sizes, top_syms)
+    # top_syms kept (empty) for table-format compatibility; the final
+    # coding is the raw uint16 stream (see compress())
+    return FsstTable(rl, rr, sizes, np.zeros(0, np.uint16))
 
 
-def compress(data: np.ndarray, table: FsstTable) -> tuple[bytes, bytes]:
-    """uint8 buffer → (code byte stream, uint16 wide stream)."""
+def compress(data: np.ndarray, table: FsstTable) -> bytes:
+    """uint8 buffer → little-endian uint16 symbol stream.
+
+    The final entropy coding is deliberately left to the downstream zstd
+    stage: measured on source text, zstd over the raw uint16 symbols
+    beats a 255-code escape byte-packing by 3-8% (the packing destroys
+    symbol-boundary alignment zstd models well)."""
     seq = data.astype(np.uint16)
     for lut in table.lookups():
         seq = _apply_round(seq, lut)
-    n_ids = 256 + int(sum(table.round_sizes))
-    code_map = np.full(n_ids, 255, np.uint8)
-    code_map[table.top_syms] = np.arange(len(table.top_syms), dtype=np.uint8)
-    b = code_map[seq]
-    esc = b == 255
-    wide = seq[esc].astype(np.uint16)
-    return b.tobytes(), wide.tobytes()
+    return seq.astype("<u2", copy=False).tobytes()
 
 
-def decompress(codes: bytes, wide: bytes, table: FsstTable, n_out: int) -> np.ndarray:
-    """(code stream, wide stream) → original uint8 buffer, bit-exact."""
-    b = np.frombuffer(codes, np.uint8)
-    seq = np.empty(len(b), np.uint16)
-    sym_of_code = np.zeros(256, np.uint16)
-    sym_of_code[: len(table.top_syms)] = table.top_syms
-    esc = b == 255
-    seq[~esc] = sym_of_code[b[~esc]]
-    seq[esc] = np.frombuffer(wide, np.uint16)
+def decompress(stream: bytes, table: FsstTable, n_out: int) -> np.ndarray:
+    """uint16 symbol stream → original uint8 buffer, bit-exact."""
+    seq = np.frombuffer(stream, "<u2")
     # expand symbols via the precomputed expansion matrix
     mat, lens = table.expansion()
     L = lens[seq]
@@ -249,20 +244,20 @@ class FsstCodec(Codec):
         filled, validity = split_nulls(arr)
         data, lengths = strings_to_buffer(filled)
         table = self.table if self.table is not None else build_table(data)
-        codes, wide = compress(data, table)
+        stream = compress(data, table)
         len_payload, _ = self._for.encode(pa.array(lengths))
         tbl = table.to_bytes() if self.embed_table else b""
         head = struct.pack("<QI", int(len(data)), len(arr))
-        payload = frame([head, tbl, codes, wide, len_payload, validity])
+        payload = frame([head, tbl, stream, len_payload, validity])
         return payload, {
             "type": typ,
             "table_sha256": table.sha256(),
             "raw_bytes": int(len(data)),
-            "stream_bytes": len(codes) + len(wide),
+            "stream_bytes": len(stream),
         }
 
     def decode(self, payload: bytes, meta: dict) -> pa.Array:
-        head, tbl, codes, wide, len_payload, validity = unframe(payload)
+        head, tbl, stream, len_payload, validity = unframe(payload)
         n_bytes, n_rows = struct.unpack_from("<QI", head)
         if tbl:
             table = FsstTable.from_bytes(tbl)
@@ -276,7 +271,7 @@ class FsstCodec(Codec):
                 )
             if meta.get("table_sha256") not in (None, table.sha256()):
                 raise ValueError("fsst table hash mismatch on decode")
-        data = decompress(codes, wide, table, n_bytes)
+        data = decompress(stream, table, n_bytes)
         lengths = np.asarray(self._for.decode(len_payload, {"type": "int64"}), dtype=np.int64)
         typ = pa.large_string() if meta["type"] == "large_string" else pa.string()
         out = buffer_to_strings(data, lengths, typ)

@@ -71,11 +71,31 @@ def _repo_partials(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["repo", "rows", "bytes"])
 
 
-def repo_sizes(input_paths, concurrency=None) -> tuple[dict[str, int], dict[str, int]]:
-    ds = rd.read_parquet(_expand_paths(input_paths), columns=["repo", "content"])
+def _read_blocks() -> int:
+    """Read parallelism: enough blocks that no downstream stage (shuffle
+    map/reduce, encode actors) serializes on block count."""
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) * 4
+
+
+def repo_sizes(input_paths, exact_bytes: bool = False) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-repo (rows, bytes) for partition planning.
+
+    Default: scan ONLY the ``repo`` column (column-pruned read) for row
+    counts and take the average content bytes/row from the parquet
+    footers — no content scan. ``exact_bytes=True`` scans content
+    lengths too (use when per-repo size skew within rows matters more
+    than the extra pass)."""
+    paths = _expand_paths(input_paths)
+    cols = ["repo", "content"] if exact_bytes else ["repo"]
+    ds = rd.read_parquet(paths, columns=cols, override_num_blocks=_read_blocks())
 
     def partial(batch: pa.Table) -> pa.Table:
-        lens = pc.binary_length(batch.column("content")).cast(pa.int64())
+        if exact_bytes:
+            lens = pc.binary_length(batch.column("content")).cast(pa.int64())
+        else:
+            lens = pa.array(np.zeros(len(batch), np.int64))
         t = pa.table({
             "repo": batch.column("repo"),
             "rows": pa.array(np.ones(len(batch), np.int64)),
@@ -94,6 +114,21 @@ def repo_sizes(input_paths, concurrency=None) -> tuple[dict[str, int], dict[str,
         for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(), b["bytes"].to_pylist()):
             rows[r] = int(n)
             bts[r] = int(by)
+    if not exact_bytes:
+        # footer metadata: uncompressed content bytes / rows → avg row cost
+        tot_bytes = 0
+        tot_rows = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            tot_rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                r = md.row_group(rg)
+                for ci in range(r.num_columns):
+                    c = r.column(ci)
+                    if c.path_in_schema == "content":
+                        tot_bytes += c.total_uncompressed_size
+        avg = tot_bytes / max(tot_rows, 1)
+        bts = {r: int(n * avg) for r, n in rows.items()}
     return rows, bts
 
 
@@ -113,10 +148,15 @@ class EncoderGroup:
     per column, distributed.
     """
 
-    def __init__(self, out_dir: str, chunk_rows: int = 16384, chunk_bytes: int = 8 << 20):
+    def __init__(self, out_dir: str, chunk_rows: int = 16384, chunk_bytes: int = 8 << 20,
+                 prefer_tol: float = 1.08):
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.chunk_bytes = chunk_bytes
+        # structured-codec preference margin: within this factor of the
+        # measured-smallest trial, pick the lighter codec (random access,
+        # fewer zstd bytes on decode) over plain+zstd
+        self.prefer_tol = prefer_tol
 
     @staticmethod
     def _candidates(arr: pa.Array, st: dict) -> list[str]:
@@ -129,7 +169,10 @@ class EncoderGroup:
             names.remove("dict")
         if "rle" in names and st["runs"] / max(st["n"], 1) >= 0.7:
             names.remove("rle")
-        if "fsst" in names and (st.get("avg_len", 0) < 8 or entropy_estimate(arr, st) > 7.2):
+        # fsst only pays off on long-string columns (content); short keys
+        # (path/commit/lang) are covered by dict/rle and the trial cost of
+        # a wasted fsst pass is real CPU at scale
+        if "fsst" in names and (st.get("avg_len", 0) < 48 or entropy_estimate(arr, st) > 7.2):
             names.remove("fsst")
         return names
 
@@ -181,6 +224,9 @@ class EncoderGroup:
         s0, e0 = bounds[0]
         first = group.slice(s0, e0 - s0)
         chosen: dict[str, str] = {}
+        # chunk-0 encodings from the trials are kept and reused below —
+        # the chosen codec's first chunk is never encoded twice
+        trial_cache: dict[tuple[str, str], tuple[bytes, dict]] = {}
         for c in data_cols:
             arr = first.column(c).combine_chunks()
             st = column_stats(arr)
@@ -190,9 +236,10 @@ class EncoderGroup:
             for name in self._candidates(arr, st):
                 codec = fsst_codec if name == "fsst" else codecs.get(name)
                 try:
-                    payload, _ = codec.encode(arr)
+                    payload, meta = codec.encode(arr)
                 except Exception:
                     continue
+                trial_cache[(c, name)] = (payload, meta)
                 sz = len(_zip_payload(payload)[0])
                 if name == "fsst":  # charge the shared table, amortized
                     sz += table_cost
@@ -205,7 +252,7 @@ class EncoderGroup:
                 # decode touches fewer zstd bytes / enables random access
                 pref = {"dict": 0, "rle": 1, "for": 2, "fsst": 3, "plain": 4}
                 min_sz = min(sz for _, sz in trials)
-                ok = [(pref[n], n) for n, sz in trials if sz <= min_sz * 1.05]
+                ok = [(pref[n], n) for n, sz in trials if sz <= min_sz * self.prefer_tol]
                 chosen[c] = min(ok)[1]
 
         codec_counts: dict[str, dict[str, int]] = {c: {} for c in data_cols}
@@ -217,17 +264,20 @@ class EncoderGroup:
             out_rows["chunk_id"].append(chunk_id)
             out_rows["n_rows"].append(chunk.num_rows)
             for c in data_cols:
-                arr = chunk.column(c).combine_chunks()
                 name = chosen[c]
-                codec = fsst_codec if name == "fsst" else codecs.get(name)
-                payload, meta = codec.encode(arr)
+                if chunk_id == 0 and (c, name) in trial_cache:
+                    payload, meta = trial_cache[(c, name)]
+                else:
+                    arr = chunk.column(c).combine_chunks()
+                    codec = fsst_codec if name == "fsst" else codecs.get(name)
+                    payload, meta = codec.encode(arr)
                 zpayload, raw_len = _zip_payload(payload)
                 meta["z"] = raw_len
                 out_rows[f"{c}__codec"].append(name)
                 out_rows[f"{c}__meta"].append(json.dumps(meta))
                 out_rows[f"{c}__payload"].append(zpayload)
                 codec_counts[c][name] = codec_counts[c].get(name, 0) + 1
-                input_bytes += arr.nbytes
+                input_bytes += chunk.column(c).nbytes
                 encoded_bytes += len(zpayload)
 
         schema_fields = [
@@ -318,17 +368,28 @@ def encode_dataset(
     input_paths,
     out_dir: str,
     *,
-    target_partition_bytes: int = 256 << 20,
+    target_partition_bytes: int | None = None,
     chunk_rows: int = 16384,
     chunk_bytes: int = 8 << 20,
     concurrency: int | tuple[int, int] | None = None,
     resume: bool = True,
 ) -> dict:
-    """Run the full encode pipeline; returns a summary dict."""
+    """Run the full encode pipeline; returns a summary dict.
+
+    ``target_partition_bytes=None`` sizes partitions adaptively:
+    ~3 partitions per CPU (good load balance without tiny-file
+    overhead), clamped to [4 MiB, 256 MiB] — at cluster scale the
+    256 MiB cap dominates and bounds per-actor memory."""
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
 
     rows, bts = repo_sizes(paths)
+    if target_partition_bytes is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        total = max(sum(bts.values()), 1)
+        target_partition_bytes = int(min(max(total / (3 * cpus), 4 << 20), 256 << 20))
     plan = plan_partitions(rows, bts, target_bytes=target_partition_bytes)
     frags = [{"file": p, "bytes": os.path.getsize(p),
               "num_rows": pq.ParquetFile(p).metadata.num_rows} for p in paths]
@@ -337,7 +398,7 @@ def encode_dataset(
     completed = mf.load_completed(out_dir) if resume else {}
     skipped = sorted(completed)
 
-    ds = rd.read_parquet(paths)
+    ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
     ds = ds.map_batches(PartitionAssigner, fn_constructor_args=(plan,),
                         batch_format="pyarrow", concurrency=(1, 8))
     if completed:
