@@ -38,15 +38,16 @@ import pyarrow as pa
 from .base import Codec, apply_nulls, buffer_to_strings, frame, split_nulls, strings_to_buffer, unframe
 from .bitpack import ForCodec
 
-_ROUNDS = 4
+_ROUNDS = 3
 _PAIRS_PER_ROUND = 320
 _MIN_PAIR_COUNT = 4
 _SAMPLE_BYTES = 1 << 18
-# 256 literals + ≤4×320 merged symbols (≤16-byte expansions). Chosen by
-# measurement (see BASELINE.md): with the uint16 final coding below,
-# 4×320 beats plain+zstd on source text by ~5% at ~15 MB/s/core; the
-# ~4.7 MiB per-round LUT still behaves under a full actor pool.
-MAXSYM = 1536
+# 256 literals + ≤3×320 merged symbols (≤8-byte expansions, FSST's cap).
+# Chosen by measurement (see BASELINE.md): with the uint16 final coding
+# below, 3×320 still beats plain+zstd on source text (~2%) while doing
+# 25% less memory traffic than 4 rounds — the encode kernel is memory-
+# bandwidth-bound under a full actor pool.
+MAXSYM = 1216
 
 
 class FsstTable:
@@ -80,18 +81,21 @@ class FsstTable:
         return self._expansion
 
     def lookups(self):
-        """Per-round dense LUTs: pair (hi*MAXSYM+lo) → merged code (0 = no
-        rule). Symbol ids stay < MAXSYM by construction, so one gather per
-        element replaces a binary search."""
+        """Per-round dense LUTs: pair (hi*alph+lo) → merged code (0 = no
+        rule), sized to that round's input alphabet. Round 1's table is
+        256×256 (64 KiB — cache resident, and its keys fit uint16); later
+        rounds grow with the alphabet. One gather per element replaces a
+        binary search."""
         if self._lookup is None:
             out = []
             base = 256
             off = 0
             for sz in self.round_sizes:
-                lut = np.zeros(MAXSYM * MAXSYM, np.uint16)
-                keys = self.rules_l[off : off + sz].astype(np.int64) * MAXSYM + self.rules_r[off : off + sz]
+                alph = base  # input alphabet size of this round
+                lut = np.zeros(alph * alph, np.uint16)
+                keys = self.rules_l[off : off + sz].astype(np.int64) * alph + self.rules_r[off : off + sz]
                 lut[keys] = np.arange(base, base + sz, dtype=np.uint16)
-                out.append(lut)
+                out.append((lut, alph))
                 base += sz
                 off += sz
             self._lookup = out
@@ -130,35 +134,80 @@ def _idx(n: int) -> np.ndarray:
     return _IDX_CACHE[:n]
 
 
-def _apply_round(seq: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    """One vectorized merge round: replace greedy non-overlapping pair
-    matches with their symbol codes. ``lut`` maps hi*MAXSYM+lo → code
-    (0 = no rule)."""
-    n = len(seq)
-    if n < 2 or lut is None:
-        return seq
-    key = seq[:-1].astype(np.int32)
-    key *= MAXSYM
-    key += seq[1:]
+_TILE = 1 << 16  # elements per window: keeps all round temporaries
+# (~1 MiB) cache-resident so the kernel does ~2 DRAM passes per round
+# instead of ~17 — the encode stage is memory-bound under an actor pool
+
+
+def _window_round(win: np.ndarray, lut: np.ndarray, alph: int,
+                  carry_in: bool, has_lookahead: bool) -> tuple[np.ndarray, bool]:
+    """Greedy pair-merge over one window.
+
+    ``win`` holds the window's elements plus (when ``has_lookahead``) one
+    element of the next window, so the pair bridging the boundary is
+    decided here; ``carry_in`` = this window's first element was consumed
+    by the previous window's bridging pair."""
+    L = len(win) - 1 if has_lookahead else len(win)
+    npairs = len(win) - 1
+    if npairs <= 0 or L <= 0:
+        out = win[1:L] if carry_in else win[:L]
+        return out, False
+    if alph <= 256:
+        # byte round: keys fit uint16, LUT is 64 KiB (L1-resident)
+        key = win[:-1] << np.uint16(8)
+        key |= win[1:]
+    else:
+        key = win[:-1].astype(np.int32)
+        key *= alph
+        key += win[1:]
     code = lut[key]
     match = code != 0
+    if carry_in:
+        match[0] = False
     if not match.any():
-        return seq
+        out = win[1:L] if carry_in else win[:L]
+        return out.copy(), False
     # greedy left-to-right within runs of consecutive matches = keep even
     # offsets from each run start (vectorized parity trick): the last
     # non-match position before i fixes the run start.
-    idx = _idx(n - 1)
+    idx = _idx(npairs)
     w = idx.copy()
     w[match] = -1
     last_nomatch = np.maximum.accumulate(w)
     last_nomatch -= idx  # now -(i - last_nomatch); odd diff ⇔ keep
     keep = match & ((last_nomatch & 1) == 1)
-    out_vals = seq.copy()
-    out_vals[:-1][keep] = code[keep]
-    drop = np.empty(n, bool)
-    drop[0] = False
-    drop[1:] = keep
-    return out_vals[~drop]
+    out_vals = win[:L].copy()
+    out_vals[:npairs][keep] = code[keep]
+    drop = np.empty(L, bool)
+    drop[0] = carry_in
+    drop[1:] = keep[: L - 1]
+    carry_out = bool(keep[L - 1]) if has_lookahead else False
+    return out_vals[~drop], carry_out
+
+
+def _apply_round(seq: np.ndarray, lut: np.ndarray, alph: int = MAXSYM) -> np.ndarray:
+    """One vectorized merge round: replace greedy non-overlapping pair
+    matches with their symbol codes. ``lut`` maps hi*alph+lo → code
+    (0 = no rule); symbols ≥ alph (added by later rounds) cannot occur
+    in this round's input. Processed in cache-sized tiles; the greedy
+    parse carries across tile boundaries exactly."""
+    n = len(seq)
+    if n < 2 or lut is None:
+        return seq
+    if n <= _TILE + (_TILE >> 1):
+        out, _ = _window_round(seq, lut, alph, False, False)
+        return out
+    parts = []
+    carry = False
+    s = 0
+    while s < n:
+        e = min(s + _TILE, n)
+        look = e < n
+        out, carry = _window_round(seq[s : e + 1] if look else seq[s:n],
+                                   lut, alph, carry, look)
+        parts.append(out)
+        s = e
+    return np.concatenate(parts)
 
 
 def build_table(sample: np.ndarray, rounds: int = _ROUNDS, pairs_per_round: int = _PAIRS_PER_ROUND) -> FsstTable:
@@ -182,11 +231,12 @@ def build_table(sample: np.ndarray, rounds: int = _ROUNDS, pairs_per_round: int 
         rules_l.append((top >> 16).astype(np.uint16))
         rules_r.append((top & 0xFFFF).astype(np.uint16))
         if len(top):
-            lut = np.zeros(MAXSYM * MAXSYM, np.uint16)
-            lut[(top >> 16).astype(np.int64) * MAXSYM + (top & 0xFFFF)] = np.arange(
+            alph = next_id  # alphabet size entering this round
+            lut = np.zeros(alph * alph, np.uint16)
+            lut[(top >> 16).astype(np.int64) * alph + (top & 0xFFFF)] = np.arange(
                 next_id, next_id + len(top), dtype=np.uint16
             )
-            seq = _apply_round(seq, lut)
+            seq = _apply_round(seq, lut, alph)
         next_id += len(top)
     rl = np.concatenate(rules_l) if rules_l else np.zeros(0, np.uint16)
     rr = np.concatenate(rules_r) if rules_r else np.zeros(0, np.uint16)
@@ -203,8 +253,8 @@ def compress(data: np.ndarray, table: FsstTable) -> bytes:
     beats a 255-code escape byte-packing by 3-8% (the packing destroys
     symbol-boundary alignment zstd models well)."""
     seq = data.astype(np.uint16)
-    for lut in table.lookups():
-        seq = _apply_round(seq, lut)
+    for lut, alph in table.lookups():
+        seq = _apply_round(seq, lut, alph)
     return seq.astype("<u2", copy=False).tobytes()
 
 

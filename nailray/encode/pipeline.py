@@ -76,7 +76,9 @@ def _read_blocks() -> int:
     map/reduce, encode actors) serializes on block count."""
     import ray
 
-    return int(ray.cluster_resources().get("CPU", 8)) * 4
+    # 2 blocks per CPU measured fastest (fewer: shuffle serializes;
+    # more: per-block shuffle overhead dominates)
+    return int(ray.cluster_resources().get("CPU", 8)) * 2
 
 
 def repo_sizes(input_paths, exact_bytes: bool = False) -> tuple[dict[str, int], dict[str, int]]:
@@ -149,13 +151,14 @@ class EncoderGroup:
     """
 
     def __init__(self, out_dir: str, chunk_rows: int = 16384, chunk_bytes: int = 8 << 20,
-                 prefer_tol: float = 1.08):
+                 prefer_tol: float = 1.02):
         self.out_dir = out_dir
         self.chunk_rows = chunk_rows
         self.chunk_bytes = chunk_bytes
-        # structured-codec preference margin: within this factor of the
+        # structured-codec tie-break margin: within this factor of the
         # measured-smallest trial, pick the lighter codec (random access,
-        # fewer zstd bytes on decode) over plain+zstd
+        # fewer zstd bytes on decode) over plain+zstd; kept small so the
+        # measured-size criterion stays in charge
         self.prefer_tol = prefer_tol
 
     @staticmethod
@@ -430,6 +433,76 @@ def encode_dataset(
     return summary
 
 
+class _FragmentEncoder:
+    """Actor-pool stage for :func:`encode_fragments`: one task row =
+    one input file, encoded as its own partition (no shuffle)."""
+
+    def __init__(self, out_dir: str, chunk_rows: int, chunk_bytes: int):
+        self.eg = EncoderGroup(out_dir, chunk_rows, chunk_bytes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for task in batch.to_pylist():
+            t = pq.read_table(task["file"])
+            t = t.append_column("part_id", pa.array(
+                np.full(t.num_rows, task["part_id"], np.int32)))
+            outs.append(self.eg(t))
+        return pa.concat_tables(outs, promote_options="default")
+
+
+def encode_fragments(
+    input_paths,
+    out_dir: str,
+    *,
+    chunk_rows: int = 16384,
+    chunk_bytes: int = 8 << 20,
+    concurrency=None,
+    resume: bool = True,
+) -> dict:
+    """Shuffle-free encode: partition = input fragment (file).
+
+    Use when the input layout already matches the desired partitioning
+    (e.g. a crawl dump written one file per repo group): skips the stats
+    pass and the all-to-all exchange entirely — embarrassingly parallel,
+    scales with CPUs/nodes until storage bandwidth. Same manifest/resume
+    contract as :func:`encode_dataset` (partition id = file index)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = _expand_paths(input_paths)
+    completed = mf.load_completed(out_dir) if resume else {}
+    tasks = [{"file": p, "part_id": i} for i, p in enumerate(paths)
+             if i not in completed]
+    frags = [{"file": p, "bytes": os.path.getsize(p), "part_id": i}
+             for i, p in enumerate(paths)]
+    mf.write_plan(out_dir, {"mode": "fragment", "num_partitions": len(paths)}, frags)
+    if tasks:
+        import ray
+
+        if concurrency is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = max(1, min(len(tasks), cpus))
+        # one block per task row — from_arrow yields a single block, which
+        # would serialize the whole pool behind one map task
+        # materialize the (tiny) task list first: an actor pool reserving
+        # every CPU would otherwise starve the repartition stage upstream
+        # and deadlock the pipeline
+        task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks)).materialize()
+        enc = task_ds.map_batches(
+            _FragmentEncoder,
+            fn_constructor_args=(out_dir, chunk_rows, chunk_bytes),
+            batch_size=1,
+            batch_format="pyarrow",
+            num_cpus=1,
+            concurrency=concurrency,
+        )
+        enc.to_pandas()
+    summary = mf.summarize(out_dir)
+    summary["newly_encoded"] = len(tasks)
+    summary["resumed_skipped"] = len(completed)
+    summary["num_partitions"] = len(paths)
+    summary["split_repos"] = {}
+    return summary
+
+
 # --------------------------------------------------------------------------
 # decode + verify
 # --------------------------------------------------------------------------
@@ -505,7 +578,7 @@ def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             tasks.append({"file": f, "rg": rg})
-    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks))
+    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
     return task_ds.map_batches(
         _PartFileDecoder,
         batch_size=1,

@@ -111,7 +111,9 @@ def read_parquet_with_row_id(
     """
     paths = _expand_paths(paths)
     tasks = _row_group_tasks(paths, columns)
-    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks))
+    # repartition: one block per row-group task (a single from_arrow block
+    # would make the whole read run inside one Ray task)
+    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
     # ~1 row group per batch keeps output blocks row-group sized.
     return task_ds.map_batches(
         _RowGroupReader,

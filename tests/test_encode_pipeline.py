@@ -14,9 +14,24 @@ from nailray.encode import pipeline as pl
 
 @pytest.fixture(scope="module")
 def encoded(corpus_dir, tmp_path_factory):
+    """Multi-partition encode (tiny partitions — exercises splitting,
+    chunking, resume; codec choices at this scale legitimately favor
+    plain+zstd for content)."""
     out = str(tmp_path_factory.mktemp("enc"))
     summary = pl.encode_dataset(
         corpus_dir, out, target_partition_bytes=256 << 10, chunk_rows=400, chunk_bytes=1 << 20
+    )
+    return corpus_dir, out, summary
+
+
+@pytest.fixture(scope="module")
+def encoded_big(corpus_dir, tmp_path_factory):
+    """Single-partition encode (realistic partition size relative to the
+    corpus — the regime where FSST beats plain+zstd and the size
+    criterion is asserted)."""
+    out = str(tmp_path_factory.mktemp("encbig"))
+    summary = pl.encode_dataset(
+        corpus_dir, out, target_partition_bytes=64 << 20, chunk_rows=4000, chunk_bytes=16 << 20
     )
     return corpus_dir, out, summary
 
@@ -40,7 +55,19 @@ def test_manifest_contents(encoded):
     plan = mf.load_plan(out)
     assert plan["input_fragments"]
     assert "repos" in plan["plan"]
-    # content must get fsst (or plain for tiny chunks), repo/lang dict-or-rle
+    all_choices = {}
+    for ent in comp.values():
+        for col, d in ent["codec_choices"].items():
+            for k, v in d.items():
+                all_choices.setdefault(col, {}).setdefault(k, 0)
+                all_choices[col][k] += v
+    assert set(all_choices["lang"]) <= {"dict", "rle", "plain"}
+
+
+def test_codec_choices_at_scale(encoded_big):
+    # at realistic partition sizes the measured trials pick fsst for
+    # content and dict/rle for the key columns
+    comp = mf.load_completed(encoded_big[1])
     all_choices = {}
     for ent in comp.values():
         for col, d in ent["codec_choices"].items():
@@ -48,7 +75,7 @@ def test_manifest_contents(encoded):
                 all_choices.setdefault(col, {}).setdefault(k, 0)
                 all_choices[col][k] += v
     assert "fsst" in all_choices["content"], all_choices
-    assert set(all_choices["lang"]) <= {"dict", "rle", "plain"}
+    assert set(all_choices["lang"]) <= {"dict", "rle"}
 
 
 def test_skew_split(encoded):
@@ -75,17 +102,14 @@ def test_decode_full_table(encoded, corpus_table):
     assert key(t.select(["repo", "path", "commit", "lang", "content"])) == key(corpus_table)
 
 
-def test_size_beats_zstd_baseline(encoded, corpus_table, tmp_path):
+def test_size_beats_zstd_baseline(encoded_big, corpus_table, tmp_path):
     """Compressed-size criterion vs reference Parquet (zstd).
 
-    At this toy scale (1 MB corpus forced into 5+ partition files to
-    exercise splitting) each partition file carries a fixed cost (footer,
-    schema, symbol table) that a single-file baseline doesn't pay, so the
-    strict file-level `≤` criterion is asserted at bench scale
-    (bench.py / BASELINE.md). Here: payload bytes must beat the
-    baseline's data pages, and file bytes must be within the fixed-cost
-    envelope."""
-    _, out, summary = encoded
+    Asserted on the realistically-partitioned encode: payload bytes must
+    beat the baseline's data pages; file bytes within the fixed-cost
+    envelope (footer/schema per partition). The strict file-level `≤` is
+    also tracked at bench scale (bench.py / BASELINE.md)."""
+    _, out, summary = encoded_big
     base = str(tmp_path / "baseline.parquet")
     pq.write_table(corpus_table, base, compression="zstd")
     base_size = os.path.getsize(base)
