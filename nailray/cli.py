@@ -1,0 +1,312 @@
+"""``nailray`` CLI — mirrors the reference's command surface
+(/root/reference/src/cli.rs:42-61, src/commands/mod.rs:51-148):
+
+    nailray <cmd> INPUT [-o OUTPUT] [-f FORMAT] [-j JOBS] [--verbose] [--random SEED]
+
+plus the engine's own ``encode`` / ``decode`` / ``verify`` (the
+distributed successor of ``nail optimize``). The CLI owns the Ray
+session (guarded init; nothing library-side initializes Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(jobs: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=jobs or None,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from .context import configure
+
+    configure(quiet=True)
+
+
+def _read(path: str, with_row_id: bool = False):
+    from . import io as nio
+
+    fmt = nio.detect_format(path) if not os.path.isdir(path) else "parquet"
+    if fmt == "parquet":
+        return nio.read_parquet_with_row_id(path) if with_row_id else nio.read_parquet(path)
+    if fmt == "csv":
+        return nio.read_csv(path)
+    if fmt == "json":
+        return nio.read_json(path)
+    if fmt == "xlsx":
+        return nio.read_xlsx(path)
+    raise ValueError(f"unsupported input format {fmt}")
+
+
+def _output(ds, args, default_rows: int = 5):
+    """-o → write file (format from -f or extension, default parquet);
+    else console record cards (src/utils/output.rs:15-41)."""
+    from . import io as nio
+    from .format import format_records
+
+    if getattr(args, "output", None):
+        out = args.output
+        fmt = args.format or (nio.detect_format(out) if "." in os.path.basename(out) else "parquet")
+        if hasattr(ds, "schema") and nio.ROW_ID in ds.schema().names:
+            ds = ds.drop_columns([nio.ROW_ID])
+        if fmt == "parquet":
+            ds.write_parquet(out)
+        elif fmt == "csv":
+            ds.write_csv(out)
+        elif fmt == "json":
+            ds.write_json(out)
+        elif fmt == "xlsx":
+            nio.write_xlsx(ds, out)
+        else:
+            raise ValueError(f"unsupported output format {fmt}")
+        if args.verbose:
+            print(f"wrote {out}", file=sys.stderr)
+    else:
+        rows = ds.take(default_rows) if hasattr(ds, "take") else ds
+        print(format_records(rows))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nailray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("input")
+        sp.add_argument("-o", "--output")
+        sp.add_argument("-f", "--format")
+        sp.add_argument("-j", "--jobs", type=int)
+        sp.add_argument("--verbose", action="store_true")
+        sp.add_argument("--random", type=int, default=None)
+        return sp
+
+    add("convert", help="read any format, write any format")
+    sp = add("head"); sp.add_argument("-n", type=int, default=5)
+    sp = add("tail"); sp.add_argument("-n", type=int, default=5)
+    add("count")
+    sp = add("headers"); sp.add_argument("--filter")
+    add("schema")
+    sp = add("metadata")
+    add("size")
+    sp = add("preview"); sp.add_argument("-n", type=int, default=5)
+    sp = add("select"); sp.add_argument("-c", "--columns"); sp.add_argument("-r", "--rows")
+    sp = add("drop"); sp.add_argument("-c", "--columns"); sp.add_argument("-r", "--rows")
+    sp = add("filter"); sp.add_argument("-c", "--conditions"); sp.add_argument("--rows-mode", choices=["no-nan", "numeric-only", "char-only", "no-zeros"])
+    sp = add("search"); sp.add_argument("--value", required=True); sp.add_argument("--columns"); sp.add_argument("--ignore-case", action="store_true"); sp.add_argument("--exact", action="store_true"); sp.add_argument("--rows", action="store_true")
+    sp = add("rename"); sp.add_argument("-c", "--columns", required=True)
+    sp = add("create"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("-r", "--row-filter")
+    sp = add("id"); sp.add_argument("--prefix", default=""); sp.add_argument("--id-col-name", default="id")
+    sp = add("sort"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--desc", action="store_true"); sp.add_argument("--nulls", default="first", choices=["first", "last", "skip"])
+    add("shuffle")
+    sp = add("sample"); sp.add_argument("-n", type=int, default=100); sp.add_argument("--method", default="random", choices=["random", "first", "last", "stratified"]); sp.add_argument("--stratify-by"); sp.add_argument("--id-column")
+    sp = add("split"); sp.add_argument("--ratios", default="0.8,0.2"); sp.add_argument("--id-column", required=False); sp.add_argument("--prefix", default="split")
+    sp = add("dedup"); sp.add_argument("-c", "--columns"); sp.add_argument("--row-wise", action="store_true"); sp.add_argument("--col-wise", action="store_true"); sp.add_argument("--keep", default="first", choices=["first", "last"])
+    sp = add("merge"); sp.add_argument("--right", required=True); sp.add_argument("--key", required=True); sp.add_argument("--key-mapping"); sp.add_argument("--how", default="inner", choices=["inner", "left", "right"])
+    sp = add("append"); sp.add_argument("--others", required=True); sp.add_argument("--ignore-schema", action="store_true")
+    sp = add("stats"); sp.add_argument("-c", "--columns"); sp.add_argument("--stats-type", default="basic", choices=["basic", "exhaustive"])
+    sp = add("frequency"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--limit", type=int)
+    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"])
+    sp = add("outliers"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="zscore", choices=["zscore", "iqr", "modified-zscore", "isolation"]); sp.add_argument("--factor", type=float, default=3.0); sp.add_argument("--remove", action="store_true")
+    sp = add("binning"); sp.add_argument("-c", "--column", required=True); sp.add_argument("--bins", type=int, default=10); sp.add_argument("--method", default="equal-width", choices=["equal-width", "equal-frequency"]); sp.add_argument("--drop-original", action="store_true")
+    sp = add("pivot"); sp.add_argument("--index", required=True); sp.add_argument("--pivot", required=True); sp.add_argument("--values", required=True); sp.add_argument("--agg", default="sum", choices=["sum", "mean", "count", "min", "max"])
+    sp = add("fill"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="value", choices=["value", "mean", "median", "mode", "forward", "backward"]); sp.add_argument("--value")
+    sp = add("optimize", help="distributed per-column encode (the engine core; successor of nail optimize)")
+    sp.add_argument("--partition-bytes", type=int, default=None)
+    sp = add("encode", help="alias of optimize")
+    sp.add_argument("--partition-bytes", type=int, default=None)
+    sp.add_argument("--fragment-mode", action="store_true")
+    sp = add("decode", help="decode an encoded directory back to parquet rows")
+    sp = add("verify", help="sha256 bit-identity between source and encoded dir")
+    sp.add_argument("--encoded", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _init_ray(args.jobs)
+    from . import io as nio
+    from .ops import (aggregates, combine, dedup as ddp, filtering, projection,
+                      sampling, sorting)
+
+    cmd = args.cmd
+    needs_row_id = cmd in ("tail", "id") or (cmd in ("select", "drop") and getattr(args, "rows", None)) \
+        or (cmd == "search" and getattr(args, "rows", False)) \
+        or (cmd == "dedup" and getattr(args, "row_wise", False))
+    ds = None
+    if cmd not in ("verify", "decode"):
+        ds = _read(args.input, with_row_id=needs_row_id)
+
+    if cmd == "convert":
+        _output(ds, args)
+    elif cmd == "head":
+        _output(projection.head(ds, args.n), args, args.n)
+    elif cmd == "tail":
+        total = nio.parquet_num_rows(args.input)
+        _output(projection.tail(ds, total, args.n), args, args.n)
+    elif cmd == "count":
+        print(ds.count())
+    elif cmd == "headers":
+        print("\n".join(projection.headers(ds, args.filter)))
+    elif cmd == "schema":
+        print(json.dumps(projection.schema_info(ds), indent=2))
+    elif cmd == "metadata":
+        print(json.dumps(aggregates.parquet_metadata(args.input), indent=2, default=str))
+    elif cmd == "size":
+        print(json.dumps(aggregates.size_report(ds), indent=2))
+    elif cmd == "preview":
+        from .format import format_records
+
+        print(format_records(sampling.preview(ds, args.n, seed=args.random or 42)))
+    elif cmd == "select":
+        if args.columns:
+            ds = projection.select_columns(ds, args.columns)
+        if args.rows:
+            ds = projection.select_rows(ds, args.rows)
+        _output(ds, args)
+    elif cmd == "drop":
+        if args.columns:
+            ds = projection.drop_columns(ds, args.columns)
+        if args.rows:
+            spec = args.rows
+            if any(op in spec for op in ("=", ">", "<")):
+                ds = projection.drop_rows_by_conditions(ds, spec)
+            else:
+                ds = projection.drop_rows(ds, spec)
+        _output(ds, args)
+    elif cmd == "filter":
+        if args.conditions:
+            ds = filtering.filter_conditions(ds, args.conditions)
+        if args.rows_mode:
+            ds = filtering.filter_rows(ds, args.rows_mode)
+        _output(ds, args)
+    elif cmd == "search":
+        cols = args.columns.split(",") if args.columns else None
+        out = filtering.search_rows(ds, args.value, columns=cols,
+                                    ignore_case=args.ignore_case, exact=args.exact) \
+            if args.rows else filtering.search(ds, args.value, columns=cols,
+                                               ignore_case=args.ignore_case, exact=args.exact)
+        _output(out, args)
+    elif cmd == "rename":
+        _output(projection.rename_columns(ds, args.columns), args)
+    elif cmd == "create":
+        _output(projection.create_column(ds, args.columns, args.row_filter), args)
+    elif cmd == "id":
+        _output(projection.add_id_column(ds, args.prefix, args.id_col_name), args)
+    elif cmd == "sort":
+        _output(sorting.sort(ds, args.columns, descending=args.desc, nulls=args.nulls), args)
+    elif cmd == "shuffle":
+        _output(sorting.shuffle(ds, seed=args.random), args)
+    elif cmd == "sample":
+        if args.method == "first":
+            out = sampling.sample_first(ds, args.n)
+        elif args.method == "last":
+            total = ds.count()
+            out = ds.limit(total)  # placeholder; use tail with row ids
+            out = sampling.sample_first(sorting.shuffle(ds, seed=args.random), args.n)
+        elif args.method == "stratified":
+            out = sampling.sample_stratified(ds, args.stratify_by, args.n,
+                                             args.id_column, seed=args.random or 42)
+        else:
+            out = sampling.sample_random(ds, args.n, seed=args.random or 42)
+        _output(out, args)
+    elif cmd == "split":
+        ratios = [float(x) for x in args.ratios.split(",")]
+        if args.id_column:
+            parts = sampling.split_hash(ds, ratios, args.id_column, seed=args.random or 42)
+        else:
+            parts = sampling.split_proportionately(ds, ratios)
+        base = args.output or args.prefix
+        for i, part in enumerate(parts):
+            part.write_parquet(f"{base}_{i}")
+            if args.verbose:
+                print(f"wrote {base}_{i}", file=sys.stderr)
+    elif cmd == "dedup":
+        if args.col_wise:
+            out = ddp.dedup_columns(ds, keep=args.keep)
+        else:
+            cols = args.columns.split(",") if args.columns else None
+            out = ddp.dedup_rows(ds, cols, keep=args.keep)
+        _output(out, args)
+    elif cmd == "merge":
+        right = _read(args.right)
+        lk = args.key
+        rk = None
+        if args.key_mapping:
+            lk, rk = args.key_mapping.split("=", 1)
+        _output(combine.merge(ds, right, lk, rk, how=args.how), args)
+    elif cmd == "append":
+        others = [_read(p) for p in args.others.split(",")]
+        _output(combine.append(ds, others, ignore_schema=args.ignore_schema), args)
+    elif cmd == "stats":
+        cols = args.columns.split(",") if args.columns else None
+        print(aggregates.stats(ds, cols, kind=args.stats_type).to_string(index=False))
+    elif cmd == "frequency":
+        print(aggregates.frequency(ds, args.columns.split(","), args.limit).to_string(index=False))
+    elif cmd == "correlations":
+        cols = args.columns.split(",") if args.columns else None
+        if args.method == "pearson":
+            print(aggregates.pearson_matrix(ds, cols).to_string())
+        else:
+            fn = aggregates.spearman if args.method == "spearman" else aggregates.kendall
+            c = cols or aggregates._numeric_cols(aggregates._schema(ds))
+            for i, a in enumerate(c):
+                for b in c[i + 1:]:
+                    print(a, b, round(fn(ds, a, b), 6))
+    elif cmd == "outliers":
+        out = aggregates.outliers(ds, args.columns.split(","), method=args.method,
+                                  factor=args.factor,
+                                  action="remove" if args.remove else "flag")
+        _output(out, args)
+    elif cmd == "binning":
+        _output(aggregates.binning(ds, args.column, bins=args.bins, method=args.method,
+                                   drop_original=args.drop_original), args)
+    elif cmd == "pivot":
+        _output(aggregates.pivot(ds, args.index.split(","), args.pivot.split(","),
+                                 args.values.split(","), agg=args.agg), args)
+    elif cmd == "fill":
+        cols = args.columns.split(",")
+        if args.method == "value":
+            from .expr import infer_literal
+
+            out = aggregates.fill_value(ds, cols, infer_literal(args.value))
+        elif args.method in ("mean", "median", "mode"):
+            out = aggregates.fill_stat(ds, cols, args.method)
+        else:
+            ds = _read(args.input, with_row_id=True)
+            out = aggregates.fill_directional(ds, cols, args.method)
+        _output(out, args)
+    elif cmd in ("optimize", "encode"):
+        from .encode import pipeline as epl
+
+        out_dir = args.output or (args.input.rstrip("/") + ".encoded")
+        if getattr(args, "fragment_mode", False):
+            summary = epl.encode_fragments(args.input, out_dir)
+        else:
+            summary = epl.encode_dataset(args.input, out_dir,
+                                         target_partition_bytes=args.partition_bytes)
+        print(json.dumps(summary, indent=2, default=str))
+    elif cmd == "decode":
+        from .encode import pipeline as epl
+
+        out_dir = args.output or (args.input.rstrip("/") + ".decoded")
+        epl.decode_dataset(args.input).write_parquet(out_dir)
+        print(f"decoded to {out_dir}")
+    elif cmd == "verify":
+        from .encode import pipeline as epl
+
+        res = epl.verify_bit_identity(args.input, args.encoded)
+        print(json.dumps(res, indent=2))
+        return 0 if res["match"] else 1
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,6 +153,59 @@ def write_json(ds: rd.Dataset, path: str, **kw) -> None:
     ds.write_json(path, **kw)
 
 
+def read_xlsx(path: str) -> rd.Dataset:
+    """XLSX ingest (reference: src/utils/io.rs:36-165 — first worksheet,
+    headers from row 0, per-column type vote over ≤100 sample rows).
+
+    XLSX is inherently driver-sized (one in-memory workbook); gated on
+    ``openpyxl`` which is not present in this container."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "XLSX support requires openpyxl (not available in this environment)"
+        ) from e
+    wb = openpyxl.load_workbook(path, read_only=True)
+    ws = wb.worksheets[0]
+    rows = list(ws.iter_rows(values_only=True))
+    if not rows:
+        return rd.from_arrow(pa.table({}))
+    headers = [str(h) for h in rows[0]]
+    cols: dict[str, list] = {h: [] for h in headers}
+    for r in rows[1:]:
+        for h, v in zip(headers, r):
+            cols[h].append(v)
+    # per-column type vote over ≤100 sample rows → Utf8/Int64/Float64
+    arrays = {}
+    for h, vals in cols.items():
+        sample = [v for v in vals[:100] if v is not None]
+        if sample and all(isinstance(v, int) for v in sample):
+            arrays[h] = pa.array(vals, pa.int64())
+        elif sample and all(isinstance(v, (int, float)) for v in sample):
+            arrays[h] = pa.array([None if v is None else float(v) for v in vals], pa.float64())
+        else:
+            arrays[h] = pa.array([None if v is None else str(v) for v in vals], pa.string())
+    return rd.from_arrow(pa.table(arrays))
+
+
+def write_xlsx(ds: rd.Dataset, path: str) -> None:
+    """XLSX sink (reference: src/utils/io.rs:216-322) — driver-side full
+    collect; bounded outputs only. Gated on openpyxl."""
+    try:
+        import openpyxl
+    except ImportError as e:
+        raise NotImplementedError(
+            "XLSX support requires openpyxl (not available in this environment)"
+        ) from e
+    t = to_arrow(ds)
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.append(t.column_names)
+    for row in t.to_pylist():
+        ws.append([row[c] for c in t.column_names])
+    wb.save(path)
+
+
 def detect_format(path: str) -> str:
     """Format by extension only — parity with src/utils/mod.rs:47-57."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")

@@ -228,6 +228,68 @@ def pearson(ds: rd.Dataset, x: str, y: str) -> float:
     return float(pearson_matrix(ds, [x, y]).loc[x, y])
 
 
+def _cdf_rank_fn(ds: rd.Dataset, col: str, per_batch_sample: int = 4096):
+    """Sampled empirical CDF → approximate global rank function.
+
+    The reference's Spearman is itself an approximation (two independent
+    ORDER BY windows, src/utils/stats.rs:374-381 — noted in SURVEY §2.5);
+    here ranks come from a deterministic stride-sampled CDF, one
+    streaming pass, broadcastable."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null()
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64())})
+        stride = max(1, n // per_batch_sample)
+        return pa.table({"v": pc.cast(pc.take(v, pa.array(range(0, n, stride))), pa.float64())})
+
+    samples = [np.asarray(b.column("v"))
+               for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    sorted_sample = np.sort(np.concatenate(samples)) if samples else np.array([])
+
+    def rank(vals: np.ndarray) -> np.ndarray:
+        if len(sorted_sample) == 0:
+            return np.zeros(len(vals))
+        lo = np.searchsorted(sorted_sample, vals, side="left")
+        hi = np.searchsorted(sorted_sample, vals, side="right")
+        return (lo + hi) / 2.0  # mid-rank for ties
+
+    return rank
+
+
+def spearman(ds: rd.Dataset, x: str, y: str) -> float:
+    """Spearman rho = Pearson over (approximate) global ranks."""
+    rx = _cdf_rank_fn(ds, x)
+    ry = _cdf_rank_fn(ds, y)
+
+    def to_ranks(batch: pa.Table) -> pa.Table:
+        vx = np.asarray(pc.cast(batch.column(x), pa.float64()))
+        vy = np.asarray(pc.cast(batch.column(y), pa.float64()))
+        return pa.table({"rank_x": pa.array(rx(vx)), "rank_y": pa.array(ry(vy))})
+
+    ranked = ds.map_batches(to_ranks, batch_format="pyarrow")
+    return pearson(ranked, "rank_x", "rank_y")
+
+
+def kendall(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000, seed: int = 42) -> float:
+    """Kendall tau on a seeded sample (the reference computes an O(n²)
+    self-CROSS-JOIN, src/utils/stats.rs:386-410 — quadratic is only
+    viable on a bounded sample at scale)."""
+    total = ds.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    sub = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    df = sub.select_columns([x, y]).to_pandas().dropna().head(sample_rows)
+    vx, vy = df[x].to_numpy(np.float64), df[y].to_numpy(np.float64)
+    n = len(vx)
+    if n < 2:
+        return float("nan")
+    sx = np.sign(vx[:, None] - vx[None, :])
+    sy = np.sign(vy[:, None] - vy[None, :])
+    conc = (sx * sy)[np.triu_indices(n, 1)]
+    npairs = n * (n - 1) / 2  # tau-a
+    return float(conc.sum() / npairs)
+
+
 # --------------------------------------------------------------------------
 # outliers (src/commands/outliers.rs)
 # --------------------------------------------------------------------------
@@ -247,6 +309,25 @@ def outliers(ds: rd.Dataset, columns: list[str], method: str = "zscore",
             q1, q3 = approx_quantiles(ds, c, [0.25, 0.75])
             iqr = q3 - q1
             bounds[c] = (q1 - factor * iqr, q3 + factor * iqr)
+    elif method == "modified-zscore":
+        # median ± factor * MAD / 0.6745 (src/commands/outliers.rs:356-480)
+        for c in columns:
+            med = approx_quantiles(ds, c, [0.5])[0]
+
+            def dev(batch: pa.Table, c=c, med=med) -> pa.Table:
+                v = pc.cast(batch.column(c), pa.float64())
+                return pa.table({c: pc.abs(pc.subtract(v, med))})
+
+            mad = approx_quantiles(ds.map_batches(dev, batch_format="pyarrow"), c, [0.5])[0]
+            spread = factor * (mad / 0.6745 if mad else 1.0)
+            bounds[c] = (med - spread, med + spread)
+    elif method == "isolation":
+        # min/max-range heuristic (src/commands/outliers.rs:484-615)
+        m = numeric_moments(ds, columns)
+        for c in columns:
+            rng = (m[c]["mx"] - m[c]["mn"]) or 1.0
+            margin = rng * (1.0 - min(factor / 10.0, 0.99)) / 2.0
+            bounds[c] = (m[c]["mn"] + margin, m[c]["mx"] - margin)
     else:
         raise ValueError(f"unknown outlier method {method!r}")
 
