@@ -263,6 +263,80 @@ def q_ann_topk(sf):
     return got[["vec_id", "sim"]]
 
 
+
+
+def q_select_rows(sf):
+    from nailray.ops import projection
+
+    ds = nio.read_parquet_with_row_id(f"{sf}/orders.parquet")
+    return projection.select_rows(ds, "10,20,30-35").drop_columns([nio.ROW_ID])
+
+
+def q_search_rows(sf):
+    ds = nio.read_parquet_with_row_id(f"{sf}/documents.parquet")
+    return filtering.search_rows(ds, "the", columns=["text"])
+
+
+def q_id_prefix(sf):
+    ds = nio.read_parquet_with_row_id(f"{sf}/orders.parquet",
+                                      columns=["o_orderkey"])
+    out = projection.add_id_column(ds, prefix="row_", name="uid")
+    return out.select_columns(["uid", "o_orderkey"])
+
+
+def q_merge_right(sf):
+    j = combine.merge(_t(sf, "orders"), _t(sf, "customer"), "o_custkey", "c_custkey",
+                      how="right")
+    return j.select_columns(["o_orderkey", "r_c_name"])
+
+
+def q_stats_exhaustive(sf):
+    ds = _t(sf, "lineitem")
+    m = aggregates.numeric_moments(ds, ["l_quantity"])["l_quantity"]
+    distinct = aggregates.distinct_count(ds, "l_quantity")
+    r6 = lambda v: round(float(v), 6)
+    return pd.DataFrame([{
+        "n": m["n"], "mean": r6(m["mean"]), "std": r6(m["std"]),
+        "min": m["mn"], "max": m["mx"], "var_pop": r6(m["var_pop"]),
+        "distinct": distinct, "duplicates": m["n"] - distinct,
+    }])
+
+
+def q_frequency_multi(sf):
+    df = aggregates.frequency(_t(sf, "lineitem"), ["l_returnflag", "l_linestatus"])
+    df["percentage"] = df["percentage"].map(lambda v: round(float(v), 6))
+    return df
+
+
+def q_mode_priority(sf):
+    from ray.data.aggregate import Count
+
+    top = (_t(sf, "orders").groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n"))
+           .sort(["n", "o_orderpriority"], descending=[True, False]).limit(1))
+    return top.select_columns(["o_orderpriority"]).rename_columns(
+        {"o_orderpriority": "mode_value"})
+
+
+def q_fill_forward(sf):
+    ds = _t(sf, "events")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        nv = pc.if_else(pc.greater_equal(v, 5.0), v, pa.nulls(len(batch), pa.float64()))
+        return pa.table({"event_id": batch.column("event_id"), "v": nv})
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    filled = aggregates.fill_directional(d, ["v"], "forward", block_rows=128,
+                                         order_column="event_id")
+    # explicit pyarrow projection (Dataset.rename_columns fuses a Project
+    # into the pandas-format map_groups upstream and breaks in ray 2.49)
+    return filled.map_batches(
+        lambda b: pa.table({"event_id": b.column("event_id"),
+                            "filled_value": b.column("v")}),
+        batch_format="pyarrow")
+
+
 # ---- non-SQL-expressible (rows-only check by the driver) ------------------
 
 def q_minhash_dedup_docs(sf):
@@ -381,6 +455,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "punct_ratio": q_punct_ratio,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ann_topk": q_ann_topk,
+        "select_rows": q_select_rows,
+        "search_rows": q_search_rows,
+        "id_prefix": q_id_prefix,
+        "merge_right": q_merge_right,
+        "stats_exhaustive": q_stats_exhaustive,
+        "frequency_multi": q_frequency_multi,
+        "mode_priority": q_mode_priority,
+        "fill_forward": q_fill_forward,
         # non-SQL-expressible → rows-only driver check
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -476,6 +558,35 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT doc_id, text FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        "select_rows": (
+            "SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY "
+            "o_orderkey) AS rn FROM orders) WHERE rn IN (10, 20) OR rn BETWEEN 30 AND 35"),
+        "search_rows": (
+            "SELECT doc_id + 1 AS row_id FROM documents WHERE text LIKE '%the%'"),
+        "id_prefix": (
+            "SELECT CONCAT('row_', CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) "
+            "AS VARCHAR)) AS uid, o_orderkey FROM orders"),
+        "merge_right": (
+            "SELECT o.o_orderkey, c.c_name AS r_c_name FROM orders o "
+            "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "stats_exhaustive": (
+            "SELECT COUNT(l_quantity) AS n, ROUND(AVG(l_quantity), 6) AS mean, "
+            "ROUND(STDDEV_SAMP(l_quantity), 6) AS std, MIN(l_quantity) AS min, "
+            "MAX(l_quantity) AS max, ROUND(VAR_POP(l_quantity), 6) AS var_pop, "
+            "COUNT(DISTINCT l_quantity) AS distinct, "
+            "COUNT(l_quantity) - COUNT(DISTINCT l_quantity) AS duplicates FROM lineitem"),
+        "frequency_multi": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS count, "
+            "ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM lineitem), 6) AS percentage "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "mode_priority": (
+            "SELECT o_orderpriority AS mode_value FROM orders GROUP BY o_orderpriority "
+            "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1"),
+        "fill_forward": (
+            "WITH t AS (SELECT event_id, CASE WHEN value >= 5 THEN value END AS v "
+            "FROM events) SELECT event_id, LAST_VALUE(v IGNORE NULLS) OVER "
+            "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS filled_value FROM t"),
         "ann_topk": (
             "SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 5) AS sim "

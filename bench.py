@@ -76,9 +76,29 @@ def run_headline() -> dict:
         epl.encode_fragments(src, out2, chunk_rows=16384, chunk_bytes=8 << 20)
         t_frag = time.time() - t0
         shutil.rmtree(out2, ignore_errors=True)
+        # compressed-size criterion at bench scale: ours (files + manifest)
+        # vs the same table written as single-file zstd parquet
+        import pyarrow.parquet as _pq
+        import pyarrow as _pa
+
+        base_path = os.path.join(tempfile.gettempdir(), "nailray_bench_baseline.parquet")
+        if not os.path.exists(base_path):
+            tabs = [_pq.read_table(os.path.join(src, f))
+                    for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+            _pq.write_table(_pa.concat_tables(tabs), base_path, compression="zstd")
+        baseline_bytes = os.path.getsize(base_path)
+        ours_bytes = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out) if f.endswith(".parquet"))
+        ours_bytes += sum(
+            os.path.getsize(os.path.join(out, "_manifest", f))
+            for f in os.listdir(os.path.join(out, "_manifest")))
         input_gb = summary["input_bytes"] / 1e9
         return {
             "encode_sec": round(t_encode, 3),
+            "encoded_bytes_total": ours_bytes,
+            "baseline_zstd_bytes": baseline_bytes,
+            "size_vs_baseline": round(ours_bytes / baseline_bytes, 4),
             "encode_fragments_sec": round(t_frag, 3),
             "verify_sec": round(t_verify, 3),
             "input_gb": round(input_gb, 4),

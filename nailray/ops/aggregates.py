@@ -446,7 +446,8 @@ def fill_stat(ds: rd.Dataset, columns: list[str], stat: str = "mean") -> rd.Data
 
 
 def fill_directional(ds_with_row_id: rd.Dataset, columns: list[str],
-                     direction: str = "forward", block_rows: int = 65536) -> rd.Dataset:
+                     direction: str = "forward", block_rows: int = 65536,
+                     order_column: str = ROW_ID) -> rd.Dataset:
     """Order-dependent forward/backward fill, distributed.
 
     The reference fully materializes (src/commands/fill.rs:325-376).
@@ -455,16 +456,17 @@ def fill_directional(ds_with_row_id: rd.Dataset, columns: list[str],
     pass 2 fills each block seeded with its carry. Two bounded shuffles,
     no driver data materialization."""
     fwd = direction == "forward"
+    ROW = order_column
 
     def with_block(batch: pa.Table) -> pa.Table:
-        blk = pc.cast(pc.floor(pc.divide(pc.cast(batch.column(ROW_ID), pa.float64()),
+        blk = pc.cast(pc.floor(pc.divide(pc.cast(batch.column(ROW), pa.float64()),
                                          float(block_rows))), pa.int64())
         return batch.append_column("__blk", blk)
 
     ds2 = ds_with_row_id.map_batches(with_block, batch_format="pyarrow")
 
     def boundary(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ROW_ID)
+        g = g.sort_values(ROW)
         row = {"__blk": [g["__blk"].iloc[0]]}
         for c in columns:
             s = g[c].dropna()
@@ -484,7 +486,7 @@ def fill_directional(ds_with_row_id: rd.Dataset, columns: list[str],
                 state[c] = v
 
     def fill_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ROW_ID)
+        g = g.sort_values(ROW)
         seed = carry.get(int(g["__blk"].iloc[0]), {})
         for c in columns:
             s = g[c]
