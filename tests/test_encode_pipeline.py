@@ -159,3 +159,19 @@ def test_codec_choice_determinism(encoded):
     assert before["codec_choices"] == after["codec_choices"]
     assert before["fsst_table_sha256"] == after["fsst_table_sha256"]
     assert before["n_rows"] == after["n_rows"]
+
+
+def test_empty_input(tmp_path):
+    """Empty-input parity (reference: src/utils/io.rs:340-383 writes valid
+    empty outputs): encode/verify of a 0-row corpus succeeds."""
+    import pyarrow as pa
+
+    d = tmp_path / "empty_src"
+    d.mkdir()
+    schema = pa.schema([(c, pa.string()) for c in
+                        ["repo", "path", "commit", "lang", "content"]])
+    pq.write_table(schema.empty_table(), str(d / "empty.parquet"))
+    out = str(tmp_path / "empty_enc")
+    s = pl.encode_dataset(str(d), out)
+    assert s["rows"] == 0 and s["partitions"] == 0
+    assert pl.verify_bit_identity(str(d), out)["match"]
