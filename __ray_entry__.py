@@ -337,7 +337,33 @@ def q_fill_forward(sf):
         batch_format="pyarrow")
 
 
+def q_sliding_windows(sf):
+    from nailray.ops import window
+
+    out = window.sliding(_t(sf, "events"), "user_id", "ts", "value",
+                         width_s=7200, slide_s=3600)
+    return _round_cols(out, ["sum_value"])
+
+
+def q_session_windows(sf):
+    from nailray.ops import window
+
+    out = window.session(_t(sf, "events"), "user_id", "ts", "value", gap_s=600)
+    return _round_cols(out, ["sum_value"])
+
+
 # ---- non-SQL-expressible (rows-only check by the driver) ------------------
+
+def q_embedding_near_dup(sf):
+    from nailray.textops.dedup import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(_t(sf, "embeddings"), "embedding", "vec_id",
+                                      threshold=0.9, n_bits=10)
+    import pandas as _pd
+
+    df = nio.to_arrow(pairs).to_pandas()
+    return df if len(df) else _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
 
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
@@ -463,7 +489,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
         "fill_forward": q_fill_forward,
+        "sliding_windows": q_sliding_windows,
+        "session_windows": q_session_windows,
         # non-SQL-expressible → rows-only driver check
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
@@ -582,6 +611,21 @@ def oracle_sql() -> dict[str, str]:
         "mode_priority": (
             "SELECT o_orderpriority AS mode_value FROM orders GROUP BY o_orderpriority "
             "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1"),
+        "sliding_windows": (
+            "SELECT user_id, ws AS window_start_s, COUNT(*) AS n, "
+            "ROUND(SUM(value), 6) AS sum_value FROM ("
+            "SELECT user_id, FLOOR(epoch(ts)/3600)*3600 AS ws, value FROM events "
+            "UNION ALL "
+            "SELECT user_id, (FLOOR(epoch(ts)/3600) - 1)*3600 AS ws, value FROM events"
+            ") GROUP BY user_id, ws"),
+        "session_windows": (
+            "WITH o AS (SELECT user_id, ts, value, CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR ts - LAG(ts) OVER w > INTERVAL 600 SECONDS THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, "
+            "ROUND(SUM(value), 6) AS sum_value FROM s GROUP BY user_id, sid"),
         "fill_forward": (
             "WITH t AS (SELECT event_id, CASE WHEN value >= 5 THEN value END AS v "
             "FROM events) SELECT event_id, LAST_VALUE(v IGNORE NULLS) OVER "

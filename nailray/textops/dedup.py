@@ -265,6 +265,69 @@ def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    ds: rd.Dataset,
+    embedding_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Scale path: hyperplane-LSH bucket each vector (one map_batches),
+    groupby bucket, exact pairwise cosine within buckets (bounded by
+    bucket size). Near-identical vectors agree on all hyperplane signs,
+    so true near-dups share a bucket with high probability; recall can
+    be raised by unioning multiple seeds."""
+    import numpy as np
+
+    from ..ann import HyperplaneLsh, _batch_matrix
+
+    first = ds.take(1)
+    dim = len(first[0][embedding_col]) if first else 0
+
+    class Bucketer:
+        def __init__(self):
+            self.lsh = HyperplaneLsh(dim, n_bits, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, embedding_col)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            unit = m / norms[:, None]
+            return pa.table({
+                id_col: batch.column(id_col),
+                "bucket": pa.array(self.lsh.bucket(m)),
+                "unit": pa.array(list(unit.astype(np.float32))),
+            })
+
+    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        g = g.sort_values(id_col)
+        ids = list(g[id_col])
+        m = np.stack([np.asarray(u, np.float64) for u in g["unit"]])
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), 1)
+        ok = sims[iu] >= threshold
+        return pd.DataFrame({
+            "id_a": np.asarray(ids)[iu[0][ok]],
+            "id_b": np.asarray(ids)[iu[1][ok]],
+            "cosine": sims[iu][ok],
+        })
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # n-gram jaccard (exact verification kernel)
 # --------------------------------------------------------------------------
 

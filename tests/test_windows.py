@@ -1,0 +1,64 @@
+"""Windowed aggregates and embedding near-dup."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nailray.io import read_parquet, to_arrow
+from nailray.ops import window
+from nailray.textops.dedup import embedding_near_duplicates
+
+
+def test_tumbling_vs_duckdb(sf_dir):
+    ds = read_parquet(f"{sf_dir}/events.parquet")
+    got = to_arrow(window.tumbling(ds, "user_id", "ts", "value", "hour")).to_pandas()
+    ref = duckdb.connect().execute(
+        f"select user_id, date_trunc('hour', ts) ws, count(*) n, sum(value) s "
+        f"from read_parquet('{sf_dir}/events.parquet') group by 1,2"
+    ).fetchdf()
+    assert len(got) == len(ref)
+    assert got["n"].sum() == ref["n"].sum()
+
+
+def test_sliding_counts(sf_dir):
+    ds = read_parquet(f"{sf_dir}/events.parquet")
+    n = ds.count()
+    got = to_arrow(window.sliding(ds, "user_id", "ts", "value",
+                                  width_s=7200, slide_s=3600)).to_pandas()
+    # every event lands in exactly width/slide = 2 windows
+    assert got["n"].sum() == 2 * n
+    # window starts are slide-aligned
+    assert (got["window_start_s"] % 3600 == 0).all()
+
+
+def test_session_windows():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:30", "2024-01-01 00:01:00",  # session 1
+        "2024-01-01 02:00:00",                                               # session 2
+        "2024-01-01 02:10:00", "2024-01-01 02:10:20",                        # session 3
+    ])
+    t = pa.table({
+        "user_id": pa.array([7] * 6, pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array([1.0] * 6),
+    })
+    got = to_arrow(window.session(rd.from_arrow(t), "user_id", "ts", "value",
+                                  gap_s=120)).to_pandas().sort_values("session_start")
+    assert list(got["n"]) == [3, 1, 2]
+    assert got["sum_value"].sum() == 6.0
+
+
+def test_embedding_near_duplicates():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    vecs = [base, base + rng.standard_normal(16) * 0.01,  # near-dup pair
+            rng.standard_normal(16), rng.standard_normal(16)]
+    t = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    pairs = to_arrow(embedding_near_duplicates(rd.from_arrow(t), "embedding",
+                                               "vec_id", threshold=0.95)).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", []))} == {(0, 1)}
