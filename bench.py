@@ -39,7 +39,7 @@ def _corpus() -> str:
 
     return write_corpus(BENCH_CORPUS_DIR, n_rows=CORPUS_ROWS, seed=42,
                         avg_lines=CORPUS_AVG_LINES, n_files=64,
-                        row_group_size=8192)
+                        row_group_size=8192, outlier_docs=4)
 
 
 def _warm_cache(path: str) -> int:
@@ -241,7 +241,8 @@ def run_scaling() -> dict:
     from nailray.corpus import write_corpus
 
     write_corpus(BENCH_CORPUS_DIR, n_rows=CORPUS_ROWS, seed=42,
-                 avg_lines=CORPUS_AVG_LINES, n_files=64, row_group_size=8192)
+                 avg_lines=CORPUS_AVG_LINES, n_files=64, row_group_size=8192,
+                 outlier_docs=4)
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), NAILRAY_SCALING_MODE="1")

@@ -89,8 +89,14 @@ def make_corpus(
     n_repos: int = 40,
     avg_lines: int = 12,
     max_content_len: int = 65536,
+    outlier_docs: int = 0,
+    outlier_bytes: int = 2 << 20,
 ) -> pa.Table:
-    """Build the deterministic corpus table (small/medium scale)."""
+    """Build the deterministic corpus table (small/medium scale).
+
+    ``outlier_docs`` appends a few multi-MB generated files (FIXTURES F0:
+    "a few multi-MB outliers at bench scale") — exercises the wide-row
+    path: byte-capped chunking, small batch sizing, skew splitting."""
     rng = np.random.default_rng(seed)
 
     # --- repos: zipf-skewed sizes; repo 0 is the giant one -------------
@@ -188,6 +194,20 @@ def make_corpus(
             langs.append(lang)
             contents.append(body)
 
+    if outlier_docs:
+        orng = np.random.default_rng(seed * 31 + 7)
+        pool = pools["c"]
+        for i in range(outlier_docs):
+            n_lines_big = outlier_bytes // 40
+            pick = orng.integers(0, len(pool), n_lines_big)
+            nums = orng.integers(0, 1 << 30, n_lines_big)
+            body = "".join(f"{pool[p][:-1]} /* {v:08x} */\n" for p, v in zip(pick, nums))
+            repos.append("org0/megarepo")
+            paths.append(f"generated/bundle_{i}.c")
+            commits.append(hashlib.sha1(f"outlier:{seed}:{i}".encode()).hexdigest())
+            langs.append("c")
+            contents.append(body)
+
     return pa.table(
         {
             "repo": pa.array(repos, pa.string()),
@@ -207,6 +227,7 @@ def write_corpus(
     avg_lines: int = 12,
     row_group_size: int = 20_000,
     n_files: int = 1,
+    outlier_docs: int = 0,
 ) -> str:
     """Write the corpus as parquet under ``out_dir`` (cached by params).
 
@@ -219,7 +240,7 @@ def write_corpus(
     params = {
         "n_rows": n_rows, "seed": seed, "n_repos": n_repos,
         "avg_lines": avg_lines, "row_group_size": row_group_size,
-        "n_files": n_files, "v": 4,
+        "n_files": n_files, "outlier_docs": outlier_docs, "v": 5,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -232,7 +253,8 @@ def write_corpus(
     for f in os.listdir(out_dir):
         if f.endswith(".parquet"):
             os.remove(os.path.join(out_dir, f))
-    table = make_corpus(n_rows, seed=seed, n_repos=n_repos, avg_lines=avg_lines)
+    table = make_corpus(n_rows, seed=seed, n_repos=n_repos, avg_lines=avg_lines,
+                        outlier_docs=outlier_docs)
     # split into n_files contiguous slices (keeps repo grouping / runs)
     per = (table.num_rows + n_files - 1) // n_files
     for i in range(n_files):
