@@ -72,6 +72,68 @@ def add_lsh_bucket(ds: rd.Dataset, dim: int, embedding_col: str = "embedding",
     return ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def build_ivf_centroids(ds: rd.Dataset, embedding_col: str = "embedding",
+                        n_centroids: int = 64, sample_per_batch: int = 1024,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a deterministic stride sample
+    (driver-side numpy — centroids are tiny and broadcast)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, embedding_col)
+        stride = max(1, len(m) // sample_per_batch)
+        return pa.table({"v": pa.array(list(m[::stride].astype(np.float32)))})
+
+    samples = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        samples.extend(np.asarray(x, np.float64) for x in b.column("v").to_pylist())
+    x = np.stack(samples)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def add_ivf_bucket(ds: rd.Dataset, centroids: np.ndarray,
+                   embedding_col: str = "embedding") -> rd.Dataset:
+    """Assign each vector to its nearest centroid (one gather-free
+    matmul per batch; centroids ship once per actor)."""
+    class Assigner:
+        def __init__(self):
+            self.cent = centroids
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, embedding_col)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return batch.append_column(
+                "ivf_bucket", pa.array(np.argmax(m @ self.cent.T, axis=1).astype(np.int32)))
+
+    return ds.map_batches(Assigner, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def topk_cosine_ivf(ds_bucketed: rd.Dataset, centroids: np.ndarray,
+                    query: np.ndarray, k: int, nprobe: int = 4,
+                    embedding_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Probe only the ``nprobe`` centroids nearest the query — the IVF
+    scale path (scan fraction ≈ nprobe/n_centroids)."""
+    q = np.asarray(query, np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = pa.array(np.argsort(-(centroids @ qn))[:nprobe].astype(np.int32))
+    import pyarrow.compute as pc
+
+    cand = ds_bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_bucket"), value_set=probe)),
+        batch_format="pyarrow",
+    )
+    return topk_cosine(cand, query, k, embedding_col, id_col)
+
+
 def topk_cosine_lsh(ds_bucketed: rd.Dataset, query: np.ndarray, k: int,
                     dim: int, embedding_col: str = "embedding",
                     id_col: str = "vec_id", n_bits: int = 16, seed: int = 42) -> pd.DataFrame:

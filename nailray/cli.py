@@ -16,16 +16,21 @@ import os
 import sys
 
 
-def _init_ray(jobs: int | None):
+def _init_ray(jobs: int | None) -> bool:
+    """Returns True iff this call created the Ray session (so main() only
+    shuts down a session it owns — callers may embed the CLI)."""
     import ray
 
+    created = False
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=jobs or None,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
+        created = True
     from .context import configure
 
     configure(quiet=True)
+    return created
 
 
 def _read(path: str, with_row_id: bool = False):
@@ -128,7 +133,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    _init_ray(args.jobs)
+    owns_ray = _init_ray(args.jobs)
     from . import io as nio
     from .ops import (aggregates, combine, dedup as ddp, filtering, projection,
                       sampling, sorting)
@@ -301,10 +306,15 @@ def main(argv: list[str] | None = None) -> int:
 
         res = epl.verify_bit_identity(args.input, args.encoded)
         print(json.dumps(res, indent=2))
-        return 0 if res["match"] else 1
-    import ray
+        if owns_ray:
+            import ray
 
-    ray.shutdown()
+            ray.shutdown()
+        return 0 if res["match"] else 1
+    if owns_ray:
+        import ray
+
+        ray.shutdown()
     return 0
 
 

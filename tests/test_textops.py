@@ -123,3 +123,20 @@ def test_multimodal_plumbing():
     import pytest
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"notanimage")
+
+
+def test_ann_ivf(sf_dir):
+    from nailray import ann as A
+
+    ds = read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = to_arrow(ds)
+    q = np.asarray(t.column("embedding")[0].as_py(), np.float64)
+    cent = A.build_ivf_centroids(ds, n_centroids=16, seed=1)
+    assert cent.shape[0] == 16
+    bucketed = A.add_ivf_bucket(ds, cent)
+    got = A.topk_cosine_ivf(bucketed, cent, q, k=5, nprobe=4)
+    assert len(got) == 5
+    assert got["vec_id"].iloc[0] == t.column("vec_id")[0].as_py()  # finds self
+    # recall vs brute force at nprobe=4/16 should be decent
+    exact = set(A.topk_cosine(ds, q, k=5)["vec_id"])
+    assert len(set(got["vec_id"]) & exact) >= 2
