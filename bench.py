@@ -220,8 +220,10 @@ def run_once() -> dict:
 
         rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
             lambda b: b, num_cpus=1).count()
-        headline = run_headline()
+        # queries first: the encode headline leaves actor pools / object
+        # store pressure behind that would inflate the query timings
         queries = {} if os.environ.get("NAILRAY_SCALING_MODE") else run_queries()
+        headline = run_headline()
         return {
             "metric": "encode throughput (GB/s) + operator pipeline wall times",
             "value": headline["encode_sec"],
