@@ -589,12 +589,22 @@ def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
 
 def _sha_digest_partial(batch: pa.Table) -> pa.Table:
     """Order-insensitive content fingerprint: XOR + sum of per-row
-    sha256(content) prefixes, plus row count — mergeable across blocks."""
-    col = batch.column("content")
+    sha256(content) prefixes, plus row count — mergeable across blocks.
+
+    Hashes the Arrow utf-8 data buffer directly (memoryview slices) —
+    no per-row Python string materialization/re-encode."""
+    from .codecs.base import strings_to_buffer
+
+    col = batch.column("content").combine_chunks()
+    col = pc.if_else(pc.is_valid(col), col, "")  # null → "" like .encode() of None-guard
+    data, lengths = strings_to_buffer(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    mv = memoryview(data)
+    offsets = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
     x = 0
     s = 0
-    for v in col.to_pylist():
-        h = int.from_bytes(hashlib.sha256((v or "").encode()).digest()[:16], "big")
+    for i in range(len(lengths)):
+        h = int.from_bytes(hashlib.sha256(mv[offsets[i]:offsets[i + 1]]).digest()[:16], "big")
         x ^= h
         s = (s + h) % (1 << 128)
     return pa.table({
