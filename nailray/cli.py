@@ -128,6 +128,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("decode", help="decode an encoded directory back to parquet rows")
     sp = add("verify", help="sha256 bit-identity between source and encoded dir")
     sp.add_argument("--encoded", required=True)
+    sp.add_argument("--partitions", action="store_true",
+                    help="partition-level verify against manifest digests (no input read)")
     return p
 
 
@@ -304,7 +306,11 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "verify":
         from .encode import pipeline as epl
 
-        res = epl.verify_bit_identity(args.input, args.encoded)
+        if args.partitions:
+            res = epl.verify_partitions(args.encoded)
+            res["match"] = not res["failed"]
+        else:
+            res = epl.verify_bit_identity(args.input, args.encoded)
         print(json.dumps(res, indent=2))
         if owns_ray:
             import ray

@@ -206,6 +206,7 @@ class EncoderGroup:
         group = group.sort_by([("repo", "ascending"), ("path", "ascending"), ("commit", "ascending")])
         data_cols = [c for c in group.column_names if c != "part_id"]
         group = group.select(data_cols)
+        _dx, _ds, _dn = _content_digest_of(group.column("content"))
 
         # per-partition FSST symbol table from the content sample; stored
         # ONCE in the partition file's schema metadata (not per chunk)
@@ -340,6 +341,12 @@ class EncoderGroup:
             "file_bytes": os.path.getsize(final),
             "codec_choices": codec_counts,
             "fsst_table_sha256": table.sha256(),
+            # per-partition content fingerprint (order-insensitive per-row
+            # sha256 aggregate): enables decode verification per partition
+            # without re-reading the input
+            "content_digest": {
+                "xor": format(_dx, "032x"), "sum": format(_ds, "032x"), "rows": _dn,
+            },
             "wall_sec": round(time.time() - t0, 3),
             "status": "encoded",
         })
@@ -587,17 +594,14 @@ def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
     )
 
 
-def _sha_digest_partial(batch: pa.Table) -> pa.Table:
-    """Order-insensitive content fingerprint: XOR + sum of per-row
-    sha256(content) prefixes, plus row count — mergeable across blocks.
-
-    Hashes the Arrow utf-8 data buffer directly (memoryview slices) —
-    no per-row Python string materialization/re-encode."""
+def _content_digest_of(col: pa.ChunkedArray | pa.Array) -> tuple[int, int, int]:
+    """(xor, sum, rows) of per-row sha256 prefixes over a content column."""
     from .codecs.base import strings_to_buffer
 
-    col = batch.column("content").combine_chunks()
-    col = pc.if_else(pc.is_valid(col), col, "")  # null → "" like .encode() of None-guard
-    data, lengths = strings_to_buffer(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = pc.if_else(pc.is_valid(col), col, "")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data, lengths = strings_to_buffer(col)
     mv = memoryview(data)
     offsets = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])
@@ -607,6 +611,16 @@ def _sha_digest_partial(batch: pa.Table) -> pa.Table:
         h = int.from_bytes(hashlib.sha256(mv[offsets[i]:offsets[i + 1]]).digest()[:16], "big")
         x ^= h
         s = (s + h) % (1 << 128)
+    return x, s, len(lengths)
+
+
+def _sha_digest_partial(batch: pa.Table) -> pa.Table:
+    """Order-insensitive content fingerprint: XOR + sum of per-row
+    sha256(content) prefixes, plus row count — mergeable across blocks.
+
+    Hashes the Arrow utf-8 data buffer directly (memoryview slices) —
+    no per-row Python string materialization/re-encode."""
+    x, s, _n = _content_digest_of(batch.column("content"))
     return pa.table({
         "xor": pa.array([format(x, "032x")]),
         "sum": pa.array([format(s, "032x")]),
@@ -634,3 +648,61 @@ def verify_bit_identity(input_paths, enc_dir: str) -> dict:
     dout = content_digest(decode_dataset(enc_dir))
     ok = din == dout
     return {"match": ok, "input": din, "decoded": dout}
+
+
+def verify_partitions(enc_dir: str) -> dict:
+    """Partition-level decode verification against the manifest digests
+    recorded at encode time — no input re-read needed.
+
+    Decodes every partition file, recomputes the order-insensitive
+    per-row sha256 aggregate, compares it to the partition's manifest
+    ``content_digest``, and writes the outcome (+decode wall) back into
+    the manifest entry (the north_rule's "encode/decode metrics")."""
+    completed = mf.load_completed(enc_dir)
+    files = {pid: mf.part_file(enc_dir, pid) for pid in completed}
+
+    class _VerifyPart:
+        def __init__(self):
+            self._dec = _PartFileDecoder()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for task in batch.to_pylist():
+                t0 = time.time()
+                pid = task["part_id"]
+                sub = pa.table({"file": pa.array([task["file"]] * task["n_rg"]),
+                                "rg": pa.array(list(range(task["n_rg"])))})
+                try:
+                    decoded = self._dec(sub)
+                    x, s, n = _content_digest_of(decoded.column("content"))
+                    row = {"part_id": pid, "xor": format(x, "032x"),
+                           "sum": format(s, "032x"), "rows": n}
+                except Exception as e:  # corrupt payload → verification failure
+                    row = {"part_id": pid, "xor": "", "sum": "", "rows": -1,
+                           "error": f"{type(e).__name__}: {e}"[:200]}
+                row.setdefault("error", "")
+                row["decode_sec"] = round(time.time() - t0, 3)
+                rows.append(row)
+            return pa.Table.from_pylist(rows)
+
+    tasks = [{"part_id": pid, "file": f,
+              "n_rg": pq.ParquetFile(f).metadata.num_row_groups}
+             for pid, f in files.items()]
+    if not tasks:
+        return {"partitions": 0, "verified": 0, "failed": []}
+    task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
+    results = task_ds.map_batches(_VerifyPart, batch_size=1, batch_format="pyarrow",
+                                  concurrency=(1, 8)).take_all()
+    failed = []
+    for r in results:
+        e = completed[r["part_id"]]
+        want = e.get("content_digest", {})
+        ok = (not r.get("error") and want.get("xor") == r["xor"]
+              and want.get("sum") == r["sum"] and want.get("rows") == r["rows"])
+        e["decode_verify"] = {"ok": bool(ok), "decode_sec": r["decode_sec"],
+                              "error": r.get("error", "")}
+        mf.write_entry(enc_dir, e)
+        if not ok:
+            failed.append(r["part_id"])
+    return {"partitions": len(results), "verified": len(results) - len(failed),
+            "failed": failed}

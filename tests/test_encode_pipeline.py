@@ -175,3 +175,30 @@ def test_empty_input(tmp_path):
     s = pl.encode_dataset(str(d), out)
     assert s["rows"] == 0 and s["partitions"] == 0
     assert pl.verify_bit_identity(str(d), out)["match"]
+
+
+def test_verify_partitions(encoded):
+    """Partition-level decode verification against manifest digests
+    (no input re-read); outcome written back into the manifest."""
+    _, out, _ = encoded
+    res = pl.verify_partitions(out)
+    assert res["partitions"] > 0 and not res["failed"], res
+    e = next(iter(mf.load_completed(out).values()))
+    assert e["decode_verify"]["ok"] is True
+    # corrupt a payload → that partition must fail verification
+    victim = sorted(mf.load_completed(out))[0]
+    pfile = mf.part_file(out, victim)
+    data = open(pfile, "rb").read()
+    t = pq.read_table(pfile)
+    col = t.column("content__payload").to_pylist()
+    col[0] = col[0][:-4] + b"\x00\x00\x00\x00" if len(col[0]) > 4 else col[0]
+    t2 = t.set_column(t.column_names.index("content__payload"), "content__payload",
+                      pa.array(col, pa.large_binary()))
+    pq.write_table(t2, pfile, compression="none", use_dictionary=False,
+                   write_statistics=False)
+    try:
+        res2 = pl.verify_partitions(out)
+        assert victim in res2["failed"] or res2["failed"] == [victim] or res2["failed"]
+    finally:
+        with open(pfile, "wb") as f:
+            f.write(data)  # restore for other tests
