@@ -337,6 +337,18 @@ def q_fill_forward(sf):
         batch_format="pyarrow")
 
 
+def q_semi_join(sf):
+    # orders of customers in the AUTOMOBILE segment (broadcast semi join)
+    seg = filtering.filter_conditions(_t(sf, "customer"), "c_mktsegment=AUTOMOBILE")
+    return combine.semi_join(_t(sf, "orders"), seg, "o_custkey", "c_custkey")
+
+
+def q_anti_join(sf):
+    # lineitems whose order is NOT in the filtered order set
+    big = filtering.filter_conditions(_t(sf, "orders"), "o_totalprice>200000")
+    return combine.anti_join(_t(sf, "lineitem"), big, "l_orderkey", "o_orderkey")
+
+
 def q_sliding_windows(sf):
     from nailray.ops import window
 
@@ -489,6 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
         "fill_forward": q_fill_forward,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         # non-SQL-expressible → rows-only driver check
@@ -611,6 +625,12 @@ def oracle_sql() -> dict[str, str]:
         "mode_priority": (
             "SELECT o_orderpriority AS mode_value FROM orders GROUP BY o_orderpriority "
             "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 1"),
+        "semi_join": (
+            "SELECT * FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')"),
+        "anti_join": (
+            "SELECT * FROM lineitem WHERE l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)"),
         "sliding_windows": (
             "SELECT user_id, ws AS window_start_s, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM ("

@@ -109,3 +109,59 @@ def append(
     for o in aligned[1:]:
         out = out.union(o)
     return out
+
+
+def _key_set(ds: rd.Dataset, key: str) -> pa.Array:
+    """Distinct key values of the (small) right side, collected once for
+    broadcast — the semi/anti pattern from the Ray guide: ship the key
+    set (or a Bloom filter of it at larger scale), filter in map_batches,
+    no shuffle."""
+    import pyarrow.compute as pc
+
+    vals = set()
+    small = ds.select_columns([key])
+    for b in small.iter_batches(batch_format="pyarrow"):
+        vals.update(pc.unique(b.column(key).combine_chunks()).to_pylist())
+    return pa.array(sorted(v for v in vals if v is not None))
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+              right_key: str | None = None) -> rd.Dataset:
+    """Rows of left whose key appears in right (broadcast, no shuffle).
+
+    Not present in the reference (SURVEY §2.4: 'no semi/anti joins') —
+    an engine extra for pipeline filtering against allowlists."""
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from ..expr import resolve_column
+
+    lk = resolve_column(left.schema().names, left_key)
+    rk = resolve_column(right.schema().names, right_key or left_key)
+    ref = _ray.put(_key_set(right, rk))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(ref)
+        return batch.filter(pc.is_in(batch.column(lk), value_set=keys))
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+              right_key: str | None = None) -> rd.Dataset:
+    """Rows of left whose key does NOT appear in right (broadcast)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from ..expr import resolve_column
+
+    lk = resolve_column(left.schema().names, left_key)
+    rk = resolve_column(right.schema().names, right_key or left_key)
+    ref = _ray.put(_key_set(right, rk))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(ref)
+        mask = pc.is_in(batch.column(lk), value_set=keys)
+        return batch.filter(pc.invert(pc.fill_null(mask, False)))
+
+    return left.map_batches(fn, batch_format="pyarrow")

@@ -97,3 +97,37 @@ def test_property_int_roundtrip(vals):
     arr = pa.array(vals, pa.int64())
     for name in ["plain", "for", "rle", "dict"]:
         assert roundtrip(name, arr).equals(arr), name
+
+
+def test_codec_registry_extension():
+    """The codec registry is the engine's user-extension surface
+    (SURVEY §2.10): register a custom codec by name, round-trip it."""
+    import pyarrow as pa
+
+    from nailray.encode.codecs import base
+
+    class ReverseCodec(base.Codec):
+        name = "reverse-demo"
+
+        def encode(self, arr):
+            vals = [None if v is None else v[::-1] for v in arr.to_pylist()]
+            return base.frame([str(vals).encode()]), {"type": str(arr.type)}
+
+        def decode(self, payload, meta):
+            import ast
+
+            vals = ast.literal_eval(base.unframe(payload)[0].decode())
+            return pa.array([None if v is None else v[::-1] for v in vals], pa.string())
+
+        def estimate(self, arr, stats):
+            return float(stats["nbytes"])
+
+    codecs.register(ReverseCodec())
+    try:
+        assert "reverse-demo" in codecs.names()
+        arr = pa.array(["abc", None, "xyz"], pa.string())
+        c = codecs.get("reverse-demo")
+        p, m = c.encode(arr)
+        assert c.decode(p, m).equals(arr)
+    finally:
+        codecs._REGISTRY.pop("reverse-demo", None)

@@ -353,3 +353,23 @@ def test_size_and_metadata(corpus_dir, sf_dir):
     md = aggregates.parquet_metadata(f"{sf_dir}/lineitem.parquet")
     assert md["num_rows"] == 6000 and md["row_groups"]
     assert md["compression_ratio"] is None or md["compression_ratio"] > 0
+
+
+def test_semi_anti_join(sf_dir):
+    import duckdb
+
+    from nailray.ops import combine as cmb
+
+    orders = nio.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = nio.read_parquet(f"{sf_dir}/customer.parquet")
+    semi = cmb.semi_join(orders, cust, "o_custkey", "c_custkey")
+    anti = cmb.anti_join(orders, cust, "o_custkey", "c_custkey")
+    con = duckdb.connect()
+    n_semi = con.execute(
+        f"select count(*) from read_parquet('{sf_dir}/orders.parquet') where "
+        f"o_custkey in (select c_custkey from read_parquet('{sf_dir}/customer.parquet'))"
+    ).fetchone()[0]
+    assert semi.count() == n_semi
+    assert anti.count() == orders.count() - n_semi
+    # schema unchanged (unlike merge, no column prefixing)
+    assert semi.schema().names == orders.schema().names
