@@ -66,6 +66,22 @@ class PartitionPlan:
             "meta": self.meta,
         }
 
+    @classmethod
+    def from_json(cls, d: dict) -> "PartitionPlan":
+        """Rebuild the plan persisted in ``_plan.json`` — resume MUST
+        reuse the stored part_id mapping, never replan (a replan on a
+        different CPU count would remap part ids while old completed ids
+        are still filtered out, silently dropping/duplicating rows)."""
+        repos = list(d["repos"])
+        return cls(
+            repos=repos,
+            bases=np.asarray([d["repos"][r]["base"] for r in repos], np.int32),
+            nshards=np.asarray([d["repos"][r]["shards"] for r in repos], np.int32),
+            num_partitions=int(d["num_partitions"]),
+            target_bytes=int(d["target_bytes"]),
+            meta=d.get("meta", {}),
+        )
+
 
 def plan_partitions(
     repo_rows: dict[str, int],

@@ -38,7 +38,7 @@ from ray.data.aggregate import Sum
 
 from . import codecs, manifest as mf
 from .codecs import fsst as fsst_mod
-from .partition import PartitionAssigner, plan_partitions
+from .partition import PartitionAssigner, PartitionPlan, plan_partitions
 from .select import candidates_for
 from .stats import column_stats, entropy_estimate
 from ..io import _expand_paths
@@ -393,20 +393,49 @@ def encode_dataset(
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
 
-    rows, bts = repo_sizes(paths)
-    if target_partition_bytes is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        total = max(sum(bts.values()), 1)
-        target_partition_bytes = int(min(max(total / (3 * cpus), 4 << 20), 256 << 20))
-    plan = plan_partitions(rows, bts, target_bytes=target_partition_bytes)
     frags = [{"file": p, "bytes": os.path.getsize(p),
               "num_rows": pq.ParquetFile(p).metadata.num_rows} for p in paths]
-    mf.write_plan(out_dir, plan.to_json(), frags)
-
     completed = mf.load_completed(out_dir) if resume else {}
     skipped = sorted(completed)
+
+    plan: PartitionPlan | None = None
+    if completed:
+        # Resume with finished partitions: the stored part_id mapping is
+        # LAW. Replanning (e.g. on a different CPU count → different
+        # adaptive target) would remap part ids while old completed ids
+        # are filtered out before the shuffle — silent row loss/dup.
+        stored = mf.load_plan(out_dir)
+        if stored is None or "repos" not in stored.get("plan", {}):
+            raise RuntimeError(
+                f"resume: {out_dir} has completed partitions but no usable "
+                "_plan.json — cannot recover the part_id mapping; remove the "
+                "output dir (or pass resume=False) to re-encode from scratch")
+        same_inputs = (
+            [(f["file"], f["num_rows"]) for f in stored.get("input_fragments", [])]
+            == [(f["file"], f["num_rows"]) for f in frags])
+        if not same_inputs:
+            raise RuntimeError(
+                "resume: input fragments differ from the stored plan in "
+                f"{mf.plan_path(out_dir)} — completed partitions were encoded "
+                "from a different input set; remove the output dir to re-encode")
+        plan = PartitionPlan.from_json(stored["plan"])
+        if (target_partition_bytes is not None
+                and int(target_partition_bytes) != plan.target_bytes):
+            raise RuntimeError(
+                f"resume: requested target_partition_bytes={target_partition_bytes} "
+                f"differs from the stored plan's {plan.target_bytes}; the stored "
+                "plan governs a resumed run — omit the argument or start fresh")
+
+    if plan is None:
+        rows, bts = repo_sizes(paths)
+        if target_partition_bytes is None:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            total = max(sum(bts.values()), 1)
+            target_partition_bytes = int(min(max(total / (3 * cpus), 4 << 20), 256 << 20))
+        plan = plan_partitions(rows, bts, target_bytes=target_partition_bytes)
+        mf.write_plan(out_dir, plan.to_json(), frags)
 
     ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
     ds = ds.map_batches(PartitionAssigner, fn_constructor_args=(plan,),
@@ -476,10 +505,21 @@ def encode_fragments(
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
     completed = mf.load_completed(out_dir) if resume else {}
-    tasks = [{"file": p, "part_id": i} for i, p in enumerate(paths)
-             if i not in completed]
     frags = [{"file": p, "bytes": os.path.getsize(p), "part_id": i}
              for i, p in enumerate(paths)]
+    if completed:
+        # part_id = file index: the stored file list is the mapping. A
+        # changed input list would silently mis-skip — refuse instead.
+        stored = mf.load_plan(out_dir)
+        stored_files = [f["file"] for f in (stored or {}).get("input_fragments", [])]
+        if stored is None or stored.get("plan", {}).get("mode") != "fragment" \
+                or stored_files != paths:
+            raise RuntimeError(
+                "resume: input file list differs from the stored fragment plan "
+                f"in {mf.plan_path(out_dir)} (part_id = file index would remap); "
+                "remove the output dir to re-encode from scratch")
+    tasks = [{"file": p, "part_id": i} for i, p in enumerate(paths)
+             if i not in completed]
     mf.write_plan(out_dir, {"mode": "fragment", "num_partitions": len(paths)}, frags)
     if tasks:
         import ray

@@ -37,20 +37,36 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
     k = int(np.ceil(width_s / slide_s))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ts = np.asarray(pc.cast(batch.column(ts_col), pa.int64())) / 1e6  # epoch sec
-        keys = batch.column(key)
+        # Normalize to microseconds first so ns/ms/s-unit timestamp columns
+        # all land on the same epoch-second scale.
+        ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        ts = np.asarray(ts_us) / 1e6  # epoch sec (float)
+        keys = batch.column(key).combine_chunks() \
+            if isinstance(batch.column(key), pa.ChunkedArray) else batch.column(key)
         vals = pc.cast(batch.column(value_col), pa.float64())
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
         out_k, out_w, out_v = [], [], []
         base = (np.floor(ts / slide_s)).astype(np.int64)
         for j in range(k):
-            # every event belongs to exactly k slide-aligned windows:
-            # starts (base-j)*slide for j in [0, k)
-            out_k.append(keys)
-            out_w.append(pa.array((base - j) * slide_s))
-            out_v.append(vals)
+            # candidate slide-aligned window starts: (base-j)*slide, j in [0, k).
+            # Containment [start, start+width) must be checked explicitly: when
+            # width is not a multiple of slide, the earliest candidate windows
+            # end before the event. start <= ts always holds by construction.
+            start = (base - j) * float(slide_s)
+            mask = ts < start + width_s
+            if mask.all():
+                out_k.append(keys)
+                out_w.append(pa.array(start, type=pa.float64()))
+                out_v.append(vals)
+            else:
+                idx = np.flatnonzero(mask)
+                out_k.append(keys.take(pa.array(idx)))
+                out_w.append(pa.array(start[idx], type=pa.float64()))
+                out_v.append(vals.take(pa.array(idx)))
         return pa.table({
             key: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_k]),
-            "window_start_s": pa.concat_arrays([a for a in out_w]),
+            "window_start_s": pa.concat_arrays(out_w),
             value_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_v]),
         })
 

@@ -146,6 +146,66 @@ def test_resume_skips_completed(encoded):
     assert res["match"], res
 
 
+def test_resume_reuses_stored_plan(corpus_dir, tmp_path):
+    """A resumed run must reuse the persisted _plan.json part_id mapping —
+    NOT replan (a replan under a different adaptive target would remap
+    part ids while old completed ids are filtered out → silent row
+    loss/dup). Changed inputs or target must fail loudly."""
+    out = str(tmp_path / "enc")
+    pl.encode_dataset(corpus_dir, out, target_partition_bytes=256 << 10,
+                      chunk_rows=400, chunk_bytes=1 << 20)
+    plan_before = mf.load_plan(out)
+    victim = sorted(mf.load_completed(out))[0]
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.part_file(out, victim))
+    # resume with target_partition_bytes=None: the adaptive target would
+    # differ from 256 KiB — the stored plan must govern anyway
+    s = pl.encode_dataset(corpus_dir, out, chunk_rows=400, chunk_bytes=1 << 20)
+    assert s["newly_encoded"] == 1
+    assert mf.load_plan(out)["plan"] == plan_before["plan"]  # not rewritten
+    assert pl.verify_bit_identity(corpus_dir, out)["match"]
+    # conflicting explicit target on resume → loud error
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.part_file(out, victim))
+    with pytest.raises(RuntimeError, match="target_partition_bytes"):
+        pl.encode_dataset(corpus_dir, out, target_partition_bytes=1 << 20,
+                          chunk_rows=400, chunk_bytes=1 << 20)
+    # changed input set on resume → loud error
+    extra = tmp_path / "extra_src"
+    extra.mkdir()
+    import shutil
+    for f in sorted(os.listdir(corpus_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(corpus_dir, f), extra / f)
+    shutil.copy(next(str(extra / f) for f in os.listdir(extra)),
+                extra / "dup-extra.parquet")
+    with pytest.raises(RuntimeError, match="input fragments differ"):
+        pl.encode_dataset(str(extra), out, chunk_rows=400, chunk_bytes=1 << 20)
+
+
+def test_fragment_resume_rejects_changed_inputs(corpus_dir, tmp_path):
+    out = str(tmp_path / "encfrag")
+    pl.encode_fragments(corpus_dir, out, chunk_rows=400, chunk_bytes=1 << 20)
+    assert pl.verify_bit_identity(corpus_dir, out)["match"]
+    victim = sorted(mf.load_completed(out))[0]
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.part_file(out, victim))
+    import shutil
+    extra = tmp_path / "fragsrc2"
+    extra.mkdir()
+    for f in sorted(os.listdir(corpus_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(corpus_dir, f), extra / f)
+    (extra / "zzz-new.parquet").write_bytes(
+        (extra / sorted(os.listdir(extra))[0]).read_bytes())
+    with pytest.raises(RuntimeError, match="file list differs"):
+        pl.encode_fragments(str(extra), out, chunk_rows=400, chunk_bytes=1 << 20)
+    # unchanged inputs: resume re-encodes only the victim
+    s = pl.encode_fragments(corpus_dir, out, chunk_rows=400, chunk_bytes=1 << 20)
+    assert s["newly_encoded"] == 1
+    assert pl.verify_bit_identity(corpus_dir, out)["match"]
+
+
 def test_codec_choice_determinism(encoded):
     src, out, _ = encoded
     comp = mf.load_completed(out)

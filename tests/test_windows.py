@@ -33,6 +33,41 @@ def test_sliding_counts(sf_dir):
     assert (got["window_start_s"] % 3600 == 0).all()
 
 
+def test_sliding_containment_non_multiple_width():
+    """width not a multiple of slide: an event is only in windows whose
+    [start, start+width) range actually contains it."""
+    ts = pd.to_datetime([
+        "2024-01-01 01:10:00",  # in-slot offset 600 < 1800 → 2 windows
+        "2024-01-01 01:40:00",  # in-slot offset 2400 >= 1800 → 1 window
+    ])
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array([1.0, 1.0]),
+    })
+    got = to_arrow(window.sliding(rd.from_arrow(t), "user_id", "ts", "value",
+                                  width_s=5400, slide_s=3600)).to_pandas()
+    # event 1 → windows starting 00:00 and 01:00; event 2 → only 01:00
+    starts = got.set_index("window_start_s")["n"].to_dict()
+    base = pd.Timestamp("2024-01-01 00:00:00").timestamp()
+    assert starts == {base: 1, base + 3600: 2}
+    assert got["window_start_s"].dtype == "float64"
+
+
+def test_sliding_ns_timestamp_unit():
+    """timestamp[ns] input must land on the same epoch-second windows."""
+    ts = pd.to_datetime(["2024-01-01 01:10:00"])
+    t_ns = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array(ts).cast(pa.timestamp("ns")),
+        "value": pa.array([1.0]),
+    })
+    got = to_arrow(window.sliding(rd.from_arrow(t_ns), "user_id", "ts", "value",
+                                  width_s=7200, slide_s=3600)).to_pandas()
+    base = pd.Timestamp("2024-01-01 00:00:00").timestamp()
+    assert set(got["window_start_s"]) == {base, base + 3600}
+
+
 def test_session_windows():
     ts = pd.to_datetime([
         "2024-01-01 00:00:00", "2024-01-01 00:00:30", "2024-01-01 00:01:00",  # session 1
