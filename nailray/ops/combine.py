@@ -115,14 +115,21 @@ def _key_set(ds: rd.Dataset, key: str) -> pa.Array:
     """Distinct key values of the (small) right side, collected once for
     broadcast — the semi/anti pattern from the Ray guide: ship the key
     set (or a Bloom filter of it at larger scale), filter in map_batches,
-    no shuffle."""
+    no shuffle.
+
+    Vectorized: per-batch ``pc.unique`` partials concatenated and
+    uniqued once — no per-value Python set churn (the winner set of an
+    exact dedup can be millions of ids)."""
     import pyarrow.compute as pc
 
-    vals = set()
+    partials = []
     small = ds.select_columns([key])
     for b in small.iter_batches(batch_format="pyarrow"):
-        vals.update(pc.unique(b.column(key).combine_chunks()).to_pylist())
-    return pa.array(sorted(v for v in vals if v is not None))
+        partials.append(pc.unique(b.column(key).combine_chunks()))
+    if not partials:
+        return pa.array([])
+    merged = pc.unique(pa.concat_arrays(partials))
+    return merged.drop_null()
 
 
 def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -29,13 +28,19 @@ def dedup_rows(
     if not keys:
         return ds  # reference: empty column spec → no-op
 
-    asc = keep == "first"
+    # Scale shape: shuffle only (keys..., order_column) — a projection —
+    # through the groupby; pick the winning order id per key combo with a
+    # pre-combined Min/Max aggregate, then broadcast the winner id set and
+    # filter the original rows in place (full rows never enter a shuffle).
+    from ray.data.aggregate import Max, Min
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        i = g[order_column].idxmin() if asc else g[order_column].idxmax()
-        return g.loc[[i]]
+    from .combine import semi_join
 
-    return ds.groupby(keys).map_groups(pick, batch_format="pandas")
+    agg = Min if keep == "first" else Max
+    winners = (ds.select_columns(keys + [order_column])
+               .groupby(keys)
+               .aggregate(agg(order_column, alias_name="__keep_id")))
+    return semi_join(ds, winners, order_column, "__keep_id")
 
 
 def dedup_columns(ds: rd.Dataset, keep: str = "first") -> rd.Dataset:

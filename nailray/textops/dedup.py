@@ -35,15 +35,37 @@ def add_content_hash(ds: rd.Dataset, text_col: str, out_col: str = "content_sha2
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """The shuffled stage of exact dedup: ``(content_sha256, keep_id)``
+    winner rows, one per distinct text. The exchange carries ONLY the
+    hash/id projection — never the document text (asserted by a schema
+    probe in the tests)."""
+    from ray.data.aggregate import Min
+
+    def hash_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_sha256": pa.array(_sha256_col(batch.column(text_col).to_pylist())),
+            id_col: batch.column(id_col),
+        })
+
+    pairs = ds.map_batches(hash_ids, batch_format="pyarrow")
+    return (pairs.groupby("content_sha256")
+            .aggregate(Min(id_col, alias_name="keep_id")))
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """Keep the min-id row per distinct text (hash-partitioned)."""
-    hashed = add_content_hash(ds, text_col)
+    """Keep the min-id row per distinct text.
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[id_col].idxmin()]]
+    Scale shape: a ``groupby(hash).aggregate(Min)`` over the two-column
+    ``(content_sha256, id)`` projection picks the winner id per distinct
+    text (tiny shuffle, pre-combined per block by Ray's aggregate), then
+    the winning id set is broadcast once (``ray.put``) and applied as a
+    ``map_batches`` filter over the original dataset — the full-text
+    rows never enter an exchange."""
+    from ..ops.combine import semi_join
 
-    out = hashed.groupby("content_sha256").map_groups(keep_min, batch_format="pandas")
-    return out.drop_columns(["content_sha256"])
+    winners = exact_dedup_winners(ds, text_col, id_col)
+    return semi_join(ds, winners, id_col, "keep_id")
 
 
 # --------------------------------------------------------------------------
@@ -116,9 +138,16 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
-                        bands: int = 16) -> rd.Dataset:
+                        bands: int = 16, max_bucket: int = 512) -> rd.Dataset:
     """Explode signatures to (band_id, band_hash) rows; docs sharing a
-    bucket are candidates. Returns (id_a, id_b, est_jaccard) pairs."""
+    bucket are candidates. Returns (id_a, id_b, est_jaccard) pairs.
+
+    Dup-heavy-corpus guard (the norm in web crawls): within a bucket,
+    rows with IDENTICAL full signatures are collapsed to the min-id
+    representative first — each such cluster emits O(cluster) star pairs
+    (rep ↔ member, est_jaccard 1.0), not O(cluster²). The remaining
+    distinct-signature representatives pair pairwise, capped at
+    ``max_bucket`` (overflow is logged as dropped coverage)."""
     rows_per_band = num_perm // bands
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -138,20 +167,43 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                              "id_b": pd.Series([], dtype=g[id_col].dtype),
+                              "est_jaccard": pd.Series([], dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
-                                 "id_b": pd.Series([], dtype=g[id_col].dtype),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
+            return empty
         g = g.sort_values(id_col)
-        ids = list(g[id_col])
-        sigs = [np.frombuffer(s, np.uint64) for s in g["sig"]]
         a_, b_, j_ = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
-                j_.append(float((sigs[i] == sigs[j]).mean()))
-        return pd.DataFrame({"id_a": a_, "id_b": b_, "est_jaccard": j_})
+        rep_ids: list = []
+        rep_sigs: list = []
+        # identical signatures → star pairs to the min-id rep (linear)
+        for _, sub in g.groupby("sig", sort=False):
+            sub_ids = list(sub[id_col])
+            rep_ids.append(sub_ids[0])
+            rep_sigs.append(np.frombuffer(sub["sig"].iloc[0], np.uint64))
+            for other in sub_ids[1:]:
+                a_.append(sub_ids[0]); b_.append(other); j_.append(1.0)
+        r = len(rep_ids)
+        if r > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh bucket holds %d distinct signatures; pairing capped at "
+                "%d (coverage dropped — raise bands or max_bucket)", r, max_bucket)
+            rep_ids, rep_sigs, r = rep_ids[:max_bucket], rep_sigs[:max_bucket], max_bucket
+        if r >= 2:
+            m = np.stack(rep_sigs)  # r × num_perm
+            iu, ju = np.triu_indices(r, 1)
+            est = (m[iu] == m[ju]).mean(axis=1)
+            ids_arr = np.asarray(rep_ids)
+            a_.extend(ids_arr[iu].tolist())
+            b_.extend(ids_arr[ju].tolist())
+            j_.extend(est.tolist())
+        if not a_:
+            return empty
+        return pd.DataFrame({"id_a": pd.Series(a_, dtype=g[id_col].dtype),
+                             "id_b": pd.Series(b_, dtype=g[id_col].dtype),
+                             "est_jaccard": pd.Series(j_, dtype="float64")})
 
     cand = exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
 
@@ -164,15 +216,18 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
 
 def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                  seed: int = 42) -> rd.Dataset:
+                  seed: int = 42, max_bucket: int = 512,
+                  max_edges: int = 50_000_000) -> rd.Dataset:
     """Full near-dedup: signatures → LSH candidates → threshold →
-    connected components (driver union-find over the SMALL pair set —
-    documented assumption: near-dup pairs ≪ corpus) → drop non-canonical."""
+    connected components → drop non-canonical ids.
+
+    The union-find state is (id → parent) only — edges are STREAMED into
+    it via ``iter_batches`` (thresholded per batch), never materialized
+    as one driver list. ``max_edges`` bounds driver memory on
+    pathological corpora: past it, further edges are dropped and logged
+    (under-merging — some near-dups survive — never wrong drops)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    # the pair set is small (near-dup candidates only); filter on driver —
-    # guards against the empty-schema dataset an all-empty groupby yields
-    edges = [e for e in pairs.take_all() if e.get("est_jaccard", 0.0) >= threshold]
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket=max_bucket)
 
     parent: dict = {}
 
@@ -182,18 +237,42 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
             x = parent[x]
         return x
 
-    for e in edges:
-        a, b = find(e["id_a"]), find(e["id_b"])
-        if a != b:
-            parent[max(a, b)] = min(a, b)
+    n_edges = 0
+    truncated = False
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        if "est_jaccard" not in b.column_names:  # all-empty groupby → empty schema
+            continue
+        b = b.filter(pc.greater_equal(b.column("est_jaccard"), threshold))
+        for ia, ib in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            if n_edges >= max_edges:
+                truncated = True
+                break
+            a, bb = find(ia), find(ib)
+            if a != bb:
+                parent[max(a, bb)] = min(a, bb)
+            n_edges += 1
+        if truncated:
+            break
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_dedup: edge stream capped at %d — remaining candidate "
+            "pairs dropped (some near-dups will survive)", max_edges)
     drop = {x for x in parent if find(x) != x}
+    if not drop:
+        return ds
+
+    import ray as _ray
+
+    drop_ref = _ray.put(pa.array(sorted(drop)))
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        mask = pc.invert(pc.is_in(ids, value_set=pa.array(list(drop), ids.type)))
-        return batch.filter(mask)
+        value_set = _ray.get(drop_ref).cast(ids.type)
+        return batch.filter(pc.invert(pc.is_in(ids, value_set=value_set)))
 
-    return ds.map_batches(keep, batch_format="pyarrow") if drop else ds
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -223,9 +302,14 @@ def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash") -> rd.D
 
 
 def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
-                       max_hamming: int = 3) -> rd.Dataset:
+                       max_hamming: int = 3, max_bucket: int = 2048) -> rd.Dataset:
     """Band the 64-bit simhash into 4×16-bit chunks: any pair within
-    hamming ≤ 3 shares at least one exact chunk (pigeonhole)."""
+    hamming ≤ 3 shares at least one exact chunk (pigeonhole).
+
+    Within a bucket, rows with IDENTICAL simhash collapse to the min-id
+    representative (star pairs, hamming 0, linear in cluster size); the
+    distinct reps pair pairwise via a vectorized popcount, capped at
+    ``max_bucket`` with dropped coverage logged."""
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         hs = np.asarray(batch.column("simhash"), np.uint64)
@@ -239,18 +323,42 @@ def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
         return pa.table(out)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
+                              "id_b": pd.Series([], dtype=g["id"].dtype),
+                              "hamming": pd.Series([], dtype="int64")})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
-                                 "id_b": pd.Series([], dtype=g["id"].dtype),
-                                 "hamming": pd.Series([], dtype="int64")})
+            return empty
         g = g.sort_values("id")
-        ids, hs = list(g["id"]), list(g["simhash"])
         a_, b_, d_ = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if d <= max_hamming and ids[i] != ids[j]:
-                    a_.append(ids[i]); b_.append(ids[j]); d_.append(d)
+        rep_ids: list = []
+        rep_hs: list = []
+        for h, sub in g.groupby("simhash", sort=False):
+            sub_ids = list(sub["id"])
+            rep_ids.append(sub_ids[0])
+            rep_hs.append(np.uint64(h))
+            for other in sub_ids[1:]:
+                a_.append(sub_ids[0]); b_.append(other); d_.append(0)
+        r = len(rep_ids)
+        if r > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket holds %d distinct hashes; pairing capped at %d "
+                "(coverage dropped)", r, max_bucket)
+            rep_ids, rep_hs, r = rep_ids[:max_bucket], rep_hs[:max_bucket], max_bucket
+        if r >= 2:
+            hs = np.asarray(rep_hs, np.uint64)
+            iu, ju = np.triu_indices(r, 1)
+            x = hs[iu] ^ hs[ju]
+            # vectorized 64-bit popcount: unpack each xor into 8 bytes
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            ok = d <= max_hamming
+            ids_arr = np.asarray(rep_ids)
+            a_.extend(ids_arr[iu[ok]].tolist())
+            b_.extend(ids_arr[ju[ok]].tolist())
+            d_.extend(d[ok].astype(np.int64).tolist())
+        if not a_:
+            return empty
         return pd.DataFrame({"id_a": pd.Series(a_, dtype=g["id"].dtype),
                              "id_b": pd.Series(b_, dtype=g["id"].dtype),
                              "hamming": pd.Series(d_, dtype="int64")})
@@ -275,6 +383,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_bits: int = 12,
     seed: int = 42,
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -282,7 +391,13 @@ def embedding_near_duplicates(
     groupby bucket, exact pairwise cosine within buckets (bounded by
     bucket size). Near-identical vectors agree on all hyperplane signs,
     so true near-dups share a bucket with high probability; recall can
-    be raised by unioning multiple seeds."""
+    be raised by unioning multiple seeds.
+
+    Dup-heavy guard: byte-identical unit vectors collapse to the min-id
+    representative (star pairs at cosine 1.0, linear in cluster size);
+    the remaining reps' O(r²) matmul is capped at ``max_bucket`` rows
+    per bucket (dropped coverage logged — raise ``n_bits`` for corpora
+    where buckets routinely overflow)."""
     import numpy as np
 
     from ..ann import HyperplaneLsh, _batch_matrix
@@ -308,21 +423,49 @@ def embedding_near_duplicates(
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
+            return empty
         g = g.sort_values(id_col)
-        ids = list(g[id_col])
-        m = np.stack([np.asarray(u, np.float64) for u in g["unit"]])
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), 1)
-        ok = sims[iu] >= threshold
-        return pd.DataFrame({
-            "id_a": np.asarray(ids)[iu[0][ok]],
-            "id_b": np.asarray(ids)[iu[1][ok]],
-            "cosine": sims[iu][ok],
-        })
+        units = [np.asarray(u, np.float32) for u in g["unit"]]
+        # byte-identical vectors → star pairs to the min-id rep (linear)
+        a_, b_, c_ = [], [], []
+        seen: dict[bytes, int] = {}
+        rep_ids: list = []
+        rep_units: list = []
+        for i, u in zip(g[id_col], units):
+            key = u.tobytes()
+            rep = seen.get(key)
+            if rep is None:
+                seen[key] = i
+                rep_ids.append(i)
+                rep_units.append(u)
+            else:
+                a_.append(rep); b_.append(i); c_.append(1.0)
+        r = len(rep_ids)
+        if r > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding bucket holds %d distinct vectors; pairing capped "
+                "at %d (coverage dropped — raise n_bits)", r, max_bucket)
+            rep_ids, rep_units, r = rep_ids[:max_bucket], rep_units[:max_bucket], max_bucket
+        if r >= 2:
+            m = np.stack(rep_units).astype(np.float64)
+            sims = m @ m.T
+            iu = np.triu_indices(r, 1)
+            ok = sims[iu] >= threshold
+            ids_arr = np.asarray(rep_ids)
+            a_.extend(ids_arr[iu[0][ok]].tolist())
+            b_.extend(ids_arr[iu[1][ok]].tolist())
+            c_.extend(sims[iu][ok].tolist())
+        if not a_:
+            return empty
+        return pd.DataFrame({"id_a": pd.Series(a_, dtype="int64"),
+                             "id_b": pd.Series(b_, dtype="int64"),
+                             "cosine": pd.Series(c_, dtype="float64")})
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
 

@@ -40,6 +40,62 @@ def test_minhash_near_dup():
     assert 2 in kept and 4 in kept  # unrelated docs survive
 
 
+def test_exact_dedup_shuffle_carries_no_text(sf_dir):
+    """Scale guard: the shuffled stage of exact dedup must carry only
+    (content_sha256, keep_id) — never the document text."""
+    ds = _docs(sf_dir).limit(100)
+    winners = dedup.exact_dedup_winners(ds, "text", "doc_id")
+    names = set(winners.schema().names)
+    assert names == {"content_sha256", "keep_id"}, names
+
+
+def test_minhash_dedup_dup_heavy_cluster():
+    """A 3k-identical-doc cluster must be handled linearly (star pairs to
+    the min-id rep), not O(cluster²): all dups dropped, distinct docs
+    survive, and the run completes fast."""
+    import time
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    n_dup = 3000
+    texts = [base] * n_dup + [
+        f"totally distinct document number {i} about topic {i * 7} " * 2
+        for i in range(10)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    t0 = time.time()
+    out = dedup.minhash_dedup(rd.from_arrow(t).repartition(8), "text", "doc_id",
+                              threshold=0.8)
+    kept = sorted(to_arrow(out).to_pandas()["doc_id"])
+    wall = time.time() - t0
+    assert kept[0] == 0 and len([k for k in kept if k < n_dup]) == 1
+    assert set(range(n_dup, n_dup + 10)) <= set(kept)
+    # O(cluster²) would emit ~4.5M pairs per band × 16 bands; linear star
+    # pairs finish well inside this bound even on a noisy box
+    assert wall < 120, wall
+
+
+def test_embedding_dup_heavy_bucket():
+    """2k byte-identical vectors collapse to star pairs (linear), with the
+    expected (rep, member) pair count and cosine 1.0."""
+    from nailray.textops.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(8)
+    n = 2000
+    vecs = [v] * n + [rng.standard_normal(8) for _ in range(5)]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([x.tolist() for x in vecs], pa.list_(pa.float32())),
+    })
+    pairs = to_arrow(embedding_near_duplicates(
+        rd.from_arrow(t).repartition(4), "embedding", "vec_id",
+        threshold=0.99)).to_pandas()
+    dup_pairs = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] < n)]
+    assert len(dup_pairs) == n - 1          # star, not quadratic
+    assert (dup_pairs["cosine"] == 1.0).all()
+
+
 def test_ngram_jaccard():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
