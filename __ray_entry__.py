@@ -215,6 +215,20 @@ def q_shuffle_multiset(sf):
     return sorting.shuffle(_t(sf, "supplier"), seed=7)
 
 
+def q_sort_nulls_first(sf):
+    # null-bearing sort key (derived): v = value where value < 2, else NULL;
+    # sort v NULLS FIRST with event_id tiebreak → total deterministic order
+    ds = _t(sf, "events")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        nv = pc.if_else(pc.less(v, 2.0), v, pa.nulls(len(batch), pa.float64()))
+        return pa.table({"event_id": batch.column("event_id"), "v": nv})
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    return sorting.sort(d, ["v", "event_id"], nulls="first").limit(500)
+
+
 def q_window_hourly(sf):
     from ray.data.aggregate import Count, Sum
 
@@ -488,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train": q_split_train,
         "fill_mean_derived": q_fill_mean_derived,
         "shuffle_multiset": q_shuffle_multiset,
+        "sort_nulls_first": q_sort_nulls_first,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
         "punct_ratio": q_punct_ratio,
@@ -587,6 +602,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) SELECT event_id, "
             "ROUND(COALESCE(v, (SELECT AVG(v) FROM t)), 6) AS filled_value FROM t"),
         "shuffle_multiset": "SELECT * FROM supplier",
+        "sort_nulls_first": (
+            "SELECT event_id, CASE WHEN value < 2 THEN value END AS v "
+            "FROM events ORDER BY v NULLS FIRST, event_id LIMIT 500"),
         "window_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id, "

@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("rename"); sp.add_argument("-c", "--columns", required=True)
     sp = add("create"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("-r", "--row-filter")
     sp = add("id"); sp.add_argument("--prefix", default=""); sp.add_argument("--id-col-name", default="id")
-    sp = add("sort"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--desc", action="store_true"); sp.add_argument("--nulls", default="first", choices=["first", "last", "skip"])
+    sp = add("sort"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--desc", action="store_true"); sp.add_argument("--descending", help="per-column true/false comma list (reference -d)"); sp.add_argument("-s", "--strategy", help="per-column comma list: auto,numeric,alphabetic,date,hour,alphabetic-numeric,numeric-alphabetic"); sp.add_argument("--nulls", default="last", choices=["first", "last", "skip"]); sp.add_argument("--date-format"); sp.add_argument("--hour-format"); sp.add_argument("--case-insensitive", action="store_true")
     add("shuffle")
     sp = add("sample"); sp.add_argument("-n", type=int, default=100); sp.add_argument("--method", default="random", choices=["random", "first", "last", "stratified"]); sp.add_argument("--stratify-by"); sp.add_argument("--id-column")
     sp = add("split"); sp.add_argument("--ratios", default="0.8,0.2"); sp.add_argument("--id-column", required=False); sp.add_argument("--prefix", default="split")
@@ -143,7 +143,11 @@ def main(argv: list[str] | None = None) -> int:
     cmd = args.cmd
     needs_row_id = cmd in ("tail", "id") or (cmd in ("select", "drop") and getattr(args, "rows", None)) \
         or (cmd == "search" and getattr(args, "rows", False)) \
-        or (cmd == "dedup" and getattr(args, "row_wise", False))
+        or (cmd == "dedup" and getattr(args, "row_wise", False)) \
+        or (cmd == "sample" and getattr(args, "method", None) == "last")
+    is_parquet = cmd not in ("verify", "decode") and (
+        os.path.isdir(args.input) or nio.detect_format(args.input) == "parquet")
+    needs_row_id = needs_row_id and is_parquet
     ds = None
     if cmd not in ("verify", "decode"):
         ds = _read(args.input, with_row_id=needs_row_id)
@@ -153,8 +157,14 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "head":
         _output(projection.head(ds, args.n), args, args.n)
     elif cmd == "tail":
-        total = nio.parquet_num_rows(args.input)
-        _output(projection.tail(ds, total, args.n), args, args.n)
+        if is_parquet:  # footer fast path (src/commands/tail.rs:28-78)
+            total = nio.parquet_num_rows(args.input)
+            _output(projection.tail(ds, total, args.n), args, args.n)
+        else:  # CSV/JSON fallback: count() then tail of the bounded result
+            import ray.data as _rd
+
+            pdf = ds.to_pandas().tail(args.n)
+            _output(_rd.from_pandas(pdf.reset_index(drop=True)), args, args.n)
     elif cmd == "count":
         print(ds.count())
     elif cmd == "headers":
@@ -205,16 +215,32 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "id":
         _output(projection.add_id_column(ds, args.prefix, args.id_col_name), args)
     elif cmd == "sort":
-        _output(sorting.sort(ds, args.columns, descending=args.desc, nulls=args.nulls), args)
+        if args.descending:
+            desc = [v.strip().lower() in ("true", "1", "yes")
+                    for v in args.descending.split(",")]
+        else:
+            desc = args.desc
+        strategies = ([s.strip() for s in args.strategy.split(",")]
+                      if args.strategy else None)
+        _output(sorting.sort(ds, args.columns, descending=desc,
+                             strategies=strategies, nulls=args.nulls,
+                             case_insensitive=args.case_insensitive,
+                             date_format=args.date_format,
+                             hour_format=args.hour_format), args)
     elif cmd == "shuffle":
         _output(sorting.shuffle(ds, seed=args.random), args)
     elif cmd == "sample":
         if args.method == "first":
             out = sampling.sample_first(ds, args.n)
         elif args.method == "last":
-            total = ds.count()
-            out = ds.limit(total)  # placeholder; use tail with row ids
-            out = sampling.sample_first(sorting.shuffle(ds, seed=args.random), args.n)
+            # last-N by file order (reference sample.rs:58-62 limit window)
+            if is_parquet:
+                total = nio.parquet_num_rows(args.input)
+                out = projection.tail(ds, total, args.n)
+            else:
+                import ray.data as _rd
+
+                out = _rd.from_pandas(ds.to_pandas().tail(args.n).reset_index(drop=True))
         elif args.method == "stratified":
             out = sampling.sample_stratified(ds, args.stratify_by, args.n,
                                              args.id_column, seed=args.random or 42)

@@ -12,8 +12,32 @@ from ..expr import resolve_column
 _STRATEGIES = {"auto", "numeric", "alphabetic", "date", "hour",
                "alphabetic-numeric", "numeric-alphabetic"}
 
+# user-friendly token → strptime, matching the reference's converters
+# (src/commands/sort.rs:401-414 convert_date_format, 416-427 convert_time_format)
+_DATE_TOKENS = [("yyyy", "%Y"), ("yy", "%y"), ("mm", "%m"), ("MM", "%m"),
+                ("dd", "%d"), ("DD", "%d")]
+_TIME_TOKENS = [("hh", "%H"), ("HH", "%H"), ("mm", "%M"), ("MM", "%M"),
+                ("ss", "%S"), ("SS", "%S")]
 
-def _key_expr(col: pa.ChunkedArray, strategy: str, case_insensitive: bool):
+
+def convert_date_format(fmt: str) -> str:
+    """``mm/dd/yyyy`` → ``%m-%d-%Y`` (reference sort.rs:401-414: tokens
+    substituted, ``/`` normalized to ``-``; values are dash-normalized
+    before parsing so slash-separated data still sorts)."""
+    for a, b in _DATE_TOKENS:
+        fmt = fmt.replace(a, b)
+    return fmt.replace("/", "-")
+
+
+def convert_time_format(fmt: str) -> str:
+    """``hh:mm:ss`` → ``%H:%M:%S`` (reference sort.rs:416-427)."""
+    for a, b in _TIME_TOKENS:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def _key_expr(col: pa.ChunkedArray, strategy: str, case_insensitive: bool,
+              date_format: str | None = None, hour_format: str | None = None):
     """Computed sort-key column per strategy (src/commands/sort.rs:253-376)."""
     t = col.type
     if strategy == "auto":
@@ -21,19 +45,43 @@ def _key_expr(col: pa.ChunkedArray, strategy: str, case_insensitive: bool):
                                  or pa.types.is_temporal(t)) else "alphabetic"
     if strategy == "numeric":
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return pc.cast(col, pa.float64(), safe=False)
+            try:
+                return pc.cast(col, pa.float64(), safe=False)
+            except pa.ArrowInvalid:
+                # unparseable values → null keys (sorted per nulls=...)
+                import pandas as pd
+
+                coerced = pd.to_numeric(col.to_pandas(), errors="coerce")
+                return pa.array(coerced, pa.float64())
         return col
     if strategy == "alphabetic":
         if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
             col = pc.cast(col, pa.string())
         return pc.utf8_lower(col) if case_insensitive else col
+    if strategy == "alphabetic-numeric":
+        # reference semantics (sort.rs:344-358): strings sort as plain
+        # alphabetic (ci applies); non-strings use the base column — the
+        # reference documents the composite as a "simplified approach"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pc.utf8_lower(col) if case_insensitive else col
+        return col
+    if strategy == "numeric-alphabetic":
+        # reference semantics (sort.rs:359-368): base column as-is
+        return col
     if strategy == "date":
         if pa.types.is_temporal(t):
             return col
+        if date_format:
+            fmt = convert_date_format(date_format)
+            col = pc.replace_substring(col, pattern="/", replacement="-")
+            return pc.strptime(col, format=fmt, unit="us", error_is_null=True)
         return pc.strptime(col, format="%Y-%m-%d", unit="us", error_is_null=True)
     if strategy == "hour":
-        ts = col if pa.types.is_temporal(t) else pc.strptime(
-            col, format="%H:%M:%S", unit="us", error_is_null=True)
+        if pa.types.is_temporal(t):
+            ts = col
+        else:
+            fmt = convert_time_format(hour_format) if hour_format else "%H:%M:%S"
+            ts = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
         return pc.hour(ts)
     raise ValueError(f"unknown sort strategy {strategy!r}")
 
@@ -45,11 +93,19 @@ def sort(
     strategies: list[str] | None = None,
     nulls: str = "first",
     case_insensitive: bool = False,
+    date_format: str | None = None,
+    hour_format: str | None = None,
 ) -> rd.Dataset:
     """Distributed range-partition sort with strategy-derived key columns
     added via map_batches, dropped after (src/commands/sort.rs:109-223).
 
-    nulls: first | last | skip (skip = pre-filter null keys)."""
+    nulls: first | last | skip (skip = pre-filter null keys). Null
+    placement is enforced with an explicit leading is-null key per sort
+    key (reference sort.rs:91-107 nulls_first default 'first'); it
+    applies to nulls PRODUCED by the key expression too (failed numeric
+    casts, unparseable dates)."""
+    if nulls not in ("first", "last", "skip"):
+        raise ValueError(f"unknown null handling {nulls!r}")
     names = ds.schema().names
     if isinstance(columns, str):
         columns = [c.strip() for c in columns.split(",") if c.strip()]
@@ -57,26 +113,42 @@ def sort(
     if isinstance(descending, bool):
         descending = [descending] * len(columns)
     strategies = strategies or ["auto"] * len(columns)
+    for s in strategies:
+        if s not in _STRATEGIES:
+            raise ValueError(f"unknown sort strategy {s!r}")
 
     key_names = [f"__sort_key_{i}" for i in range(len(columns))]
+    null_names = [f"__sort_null_{i}" for i in range(len(columns))]
 
     def add_keys(batch: pa.Table) -> pa.Table:
-        for kn, c, s in zip(key_names, columns, strategies):
-            batch = batch.append_column(kn, _key_expr(batch.column(c), s, case_insensitive))
+        for kn, nn, c, s in zip(key_names, null_names, columns, strategies):
+            key = _key_expr(batch.column(c), s, case_insensitive,
+                            date_format, hour_format)
+            batch = batch.append_column(kn, key)
+            batch = batch.append_column(nn, pc.is_null(key))
         return batch
 
     out = ds.map_batches(add_keys, batch_format="pyarrow")
     if nulls == "skip":
         def drop_nulls(batch: pa.Table) -> pa.Table:
             mask = None
-            for kn in key_names:
-                m = pc.is_valid(batch.column(kn))
+            for nn in null_names:
+                m = pc.invert(batch.column(nn))
                 mask = m if mask is None else pc.and_(mask, m)
             return batch.filter(mask)
         out = out.map_batches(drop_nulls, batch_format="pyarrow")
-    # Ray's sort places nulls last; 'first' handled by boost=descending flip
-    out = out.sort(key_names, descending=descending)
-    return out.drop_columns(key_names)
+        sort_cols, sort_desc = list(key_names), list(descending)
+    else:
+        # interleave (is_null, key): is_null=True sorts first under
+        # descending=True → nulls first; ascending → nulls last
+        sort_cols, sort_desc = [], []
+        for nn, kn, d in zip(null_names, key_names, descending):
+            sort_cols.append(nn)
+            sort_desc.append(nulls == "first")
+            sort_cols.append(kn)
+            sort_desc.append(d)
+    out = out.sort(sort_cols, descending=sort_desc)
+    return out.drop_columns(key_names + null_names)
 
 
 def shuffle(ds: rd.Dataset, seed: int | None = None) -> rd.Dataset:

@@ -19,7 +19,15 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
     li = f"{sf_dir}/lineitem.parquet"
     orders = f"{sf_dir}/orders.parquet"
     customer = f"{sf_dir}/customer.parquet"
+    # single-file CSV fixture for the non-parquet tail/sample fallbacks
+    import pandas as pd
+
+    csvf = f"{out}/orders_flat.csv"
+    pd.read_parquet(orders).head(100).to_csv(csvf, index=False)
     cases = [
+        ["tail", csvf, "-n", "3"],
+        ["count", csvf],
+        ["sample", csvf, "-n", "5", "--method", "last"],
         ["count", corpus_dir],
         ["headers", corpus_dir],
         ["headers", corpus_dir, "--filter", "^c"],
@@ -41,9 +49,13 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["create", li, "-c", "rev=l_extendedprice*(1-l_discount)", "-o", f"{out}/crea"],
         ["id", orders, "--prefix", "row_", "--id-col-name", "uid", "-o", f"{out}/ids"],
         ["sort", orders, "-c", "o_totalprice", "--desc"],
+        ["sort", orders, "-c", "o_orderpriority,o_totalprice", "-s",
+         "alphabetic,numeric", "--nulls", "last", "--case-insensitive"],
+        ["sort", orders, "-c", "o_orderpriority", "--descending", "true"],
         ["shuffle", customer, "--random", "3", "-o", f"{out}/shuf"],
         ["sample", li, "-n", "50", "--random", "5"],
         ["sample", li, "-n", "20", "--method", "first"],
+        ["sample", li, "-n", "20", "--method", "last"],
         ["sample", f"{sf_dir}/documents.parquet", "-n", "30", "--method", "stratified",
          "--stratify-by", "lang", "--id-column", "doc_id"],
         ["split", li, "--ratios", "0.8,0.2", "--id-column", "l_orderkey",

@@ -150,6 +150,56 @@ def test_sort_strategies():
     assert list(out["name"])[:2] in (["A", "b"], ["A", "B"])  # ci grouping
 
 
+def test_sort_null_placement():
+    """nulls first|last honored via the leading is-null key — including
+    nulls PRODUCED by the key expression (failed numeric casts)."""
+    t = pa.table({"v": [3.0, None, 1.0, 2.0, None], "tag": list("abcde")})
+    ds = rd.from_arrow(t)
+    first = _pdf(sorting.sort(ds, ["v"], nulls="first"))
+    assert first["v"].isna().tolist() == [True, True, False, False, False]
+    assert first["v"].dropna().tolist() == [1.0, 2.0, 3.0]
+    last = _pdf(sorting.sort(ds, ["v"], nulls="last"))
+    assert last["v"].isna().tolist() == [False, False, False, True, True]
+    # descending + nulls first: nulls still lead
+    df = _pdf(sorting.sort(ds, ["v"], descending=True, nulls="first"))
+    assert df["v"].isna().tolist()[:2] == [True, True]
+    assert df["v"].dropna().tolist() == [3.0, 2.0, 1.0]
+    # cast-produced nulls obey placement: numeric strategy on bad strings
+    t2 = pa.table({"s": ["10", "x", "2", "notnum", "1"]})
+    out = _pdf(sorting.sort(rd.from_arrow(t2), ["s"], strategies=["numeric"],
+                            nulls="last"))
+    assert list(out["s"]) == ["1", "2", "10", "x", "notnum"] or \
+        list(out["s"])[:3] == ["1", "2", "10"]
+
+
+def test_sort_composite_strategies():
+    """Reference semantics (sort.rs:344-368): alphabetic-numeric sorts
+    strings alphabetically (ci applies); numeric-alphabetic uses the
+    base column as-is."""
+    t = pa.table({"s": ["b2", "A10", "a1", "B1"], "n": [4, 3, 2, 1]})
+    ds = rd.from_arrow(t)
+    an = _pdf(sorting.sort(ds, ["s"], strategies=["alphabetic-numeric"],
+                           case_insensitive=True))
+    assert [x.lower()[0] for x in an["s"]] == ["a", "a", "b", "b"]
+    na = _pdf(sorting.sort(ds, ["s"], strategies=["numeric-alphabetic"]))
+    assert list(na["s"]) == sorted(["b2", "A10", "a1", "B1"])
+    import pytest
+    with pytest.raises(ValueError, match="unknown sort strategy"):
+        sorting.sort(ds, ["s"], strategies=["bogus"])
+
+
+def test_sort_custom_date_format():
+    """User-friendly date formats convert per reference sort.rs:401-414
+    (mm/dd/yyyy → %m-%d-%Y, values dash-normalized)."""
+    assert sorting.convert_date_format("mm/dd/yyyy") == "%m-%d-%Y"
+    assert sorting.convert_date_format("dd-mm-yy") == "%d-%m-%y"
+    assert sorting.convert_time_format("hh:mm:ss") == "%H:%M:%S"
+    t = pa.table({"d": ["02/01/2024", "01/15/2024", "12/31/2023", "junk"]})
+    out = _pdf(sorting.sort(rd.from_arrow(t), ["d"], strategies=["date"],
+                            date_format="mm/dd/yyyy", nulls="last"))
+    assert list(out["d"]) == ["12/31/2023", "01/15/2024", "02/01/2024", "junk"]
+
+
 def test_sort_multi(lineitem):
     out = _pdf(sorting.sort(lineitem, ["l_returnflag", "l_quantity"],
                             descending=[False, True]).limit(50))
