@@ -18,7 +18,20 @@ import ray.data as rd
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    return np.stack([np.asarray(v, np.float64) for v in batch.column(col).to_pylist()])
+    """Arrow list<float> column → (n, dim) float64 matrix via ONE
+    flatten+reshape memcpy (no per-row Python). Ragged rows (not a real
+    embedding column) fall back to the per-row path for correctness."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten()  # honors offsets/slices for list and fixed_size_list
+    vals = np.asarray(flat, dtype=np.float64)
+    n = len(arr)
+    if n == 0:
+        return vals.reshape(0, 0)
+    if vals.size % n == 0 and arr.null_count == 0:
+        return vals.reshape(n, vals.size // n)
+    return np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
 
 
 def topk_cosine(ds: rd.Dataset, query: np.ndarray, k: int = 10,

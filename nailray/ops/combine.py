@@ -31,6 +31,12 @@ def merge(
     rk = resolve_column(right.schema().names, right_key or left_key)
 
     if broadcast:
+        if how not in ("inner", "left"):
+            # per-batch pandas would re-emit unmatched right rows once per
+            # block for right/full joins — route those to the shuffle join
+            raise ValueError(
+                f"broadcast merge supports how='inner'|'left', not {how!r}; "
+                "use broadcast=False for right/full joins")
         import ray as _ray
         import pandas as pd
 

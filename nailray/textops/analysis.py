@@ -47,10 +47,13 @@ class TextAnalyzer:
         batch = TextAnalyzer.__call__(self, batch)
         s = batch[self.text_col].fillna("")
         words = s.str.lower().str.findall(self.word_re)
-        en = _LANG_STOPWORDS["en"]
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w in en) / max(1, len(ws))
-        )
+        # vectorized stopword ratio: explode + isin + per-row mean (no
+        # Python loop over documents)
+        lens = words.str.len().clip(lower=1)
+        ex = words.explode()
+        hits = ex.isin(_LANG_STOPWORDS["en"]).groupby(level=0).sum()
+        batch["stopword_ratio"] = (hits.reindex(words.index, fill_value=0)
+                                   / lens).astype("float64")
         mean_wl = (batch["n_chars_calc"] - batch["n_words"] + 1).clip(lower=0) / \
             batch["n_words"].clip(lower=1)
         # composite heuristic: reasonable length, some punctuation, plausible words
@@ -87,18 +90,22 @@ class LangId:
         self.tables = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def ident(t: str) -> str:
-            ws = [w.lower() for w in self.word_re.findall(t or "")][:200]
-            if not ws:
-                return "unknown"
-            best, best_score = "unknown", 0.0
-            for lang, sw in self.tables.items():
-                score = sum(1 for w in ws if w in sw) / len(ws)
-                if score > best_score:
-                    best, best_score = lang, score
-            return best if best_score > 0.02 else "unknown"
-
-        batch["lang_pred"] = batch[self.text_col].fillna("").map(ident)
+        # vectorized: findall → cap 200 words → explode once → one isin
+        # per language → per-row hit counts (pandas C kernels; no Python
+        # loop over documents)
+        words = (batch[self.text_col].fillna("").str.lower()
+                 .str.findall(self.word_re).str.slice(0, 200))
+        lens = words.str.len()
+        ex = words.explode()
+        scores = pd.DataFrame(index=words.index)
+        for lang, sw in self.tables.items():
+            hits = ex.isin(sw).groupby(level=0).sum()
+            scores[lang] = hits.reindex(words.index, fill_value=0)
+        scores = scores.div(lens.clip(lower=1), axis=0)
+        best = scores.idxmax(axis=1)  # first language wins ties (table order)
+        best_score = scores.max(axis=1)
+        pred = best.where((best_score > 0.02) & (lens > 0), "unknown")
+        batch["lang_pred"] = pred.astype(str)
         return batch
 
 

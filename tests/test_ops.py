@@ -292,6 +292,11 @@ def test_merge_inner_left():
     out2 = _pdf(combine.merge(left, right, "id", "user_id", how="inner",
                               broadcast=True)).sort_values("id")
     assert list(out2["id"]) == [4, 5]
+    # right/full under broadcast would duplicate unmatched right rows per
+    # block — rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="broadcast merge"):
+        combine.merge(left, right, "id", "user_id", how="right", broadcast=True)
 
 
 def test_append():
