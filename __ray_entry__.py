@@ -378,39 +378,96 @@ def q_session_windows(sf):
     return _round_cols(out, ["sum_value"])
 
 
-# ---- non-SQL-expressible (rows-only check by the driver) ------------------
+# ---- LLM ops with derived-corpus oracles ----------------------------------
+# Each derived corpus plants EXACT duplicate groups (g = id % K) whose
+# ground truth IS SQL-expressible, so the driver's hash compare verifies
+# the full distributed pipeline (sketch → shuffle → pairing → drop).
+
+_DUP_GROUPS = 50
+
+
+def _grouped_text_ds(sf):
+    """documents with text replaced by one of 50 group-distinct repeated
+    marker strings (g = doc_id % 50): within-group jaccard = 1, cross-
+    group jaccard ≈ 0.3 — near-dups are exactly the exact dups."""
+    templates = [f"g{g} marker " * 12 for g in range(_DUP_GROUPS)]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        gi = np.asarray(batch.column("doc_id")) % _DUP_GROUPS
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text2": pa.array([templates[int(v)] for v in gi]),
+        })
+
+    return _t(sf, "documents").select_columns(["doc_id"]).map_batches(
+        derive, batch_format="pyarrow")
+
 
 def q_embedding_near_dup(sf):
+    # derived corpus: embedding of (vec_id % 100) → 100 groups of
+    # byte-identical vectors; near-dup pairs = star pairs (group-min, member)
+    # at cosine exactly 1.0 (max cross-group cosine measured < 0.48)
     from nailray.textops.dedup import embedding_near_duplicates
 
-    pairs = embedding_near_duplicates(_t(sf, "embeddings"), "embedding", "vec_id",
-                                      threshold=0.9, n_bits=10)
-    import pandas as _pd
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    reps = {int(i): v for i, v in zip(emb.column("vec_id").to_pylist()[:100],
+                                      emb.column("embedding").to_pylist()[:100])}
 
-    df = nio.to_arrow(pairs).to_pandas()
-    return df if len(df) else _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array([reps[int(i) % 100] for i in ids],
+                                  emb.column("embedding").type),
+        })
+
+    d = _t(sf, "embeddings").select_columns(["vec_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    pairs = embedding_near_duplicates(d, "embedding", "vec_id",
+                                      threshold=0.999, n_bits=10)
+    return nio.to_arrow(pairs).to_pandas()[["id_a", "id_b", "cosine"]]
 
 
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
-    out = tdedup.minhash_dedup(_t(sf, "documents"), "text", "doc_id",
+    out = tdedup.minhash_dedup(_grouped_text_ds(sf), "text2", "doc_id",
                                threshold=0.8, num_perm=64, bands=16)
     return out.select_columns(["doc_id"])
 
 
 def q_simhash_docs(sf):
+    # simhash over the grouped corpus: identical text → identical hash,
+    # the 50 distinct group texts → 50 distinct hashes (deterministic)
+    from ray.data.aggregate import Count, Min
     from nailray.textops import dedup as tdedup
 
-    return tdedup.add_simhash(_t(sf, "documents"), "text").select_columns(
-        ["doc_id", "simhash"])
+    hs = tdedup.add_simhash(_grouped_text_ds(sf), "text2")
+
+    def to_i64(batch: pa.Table) -> pa.Table:
+        # bit-cast the uint64 simhash to int64: Ray's aggregate round-trips
+        # group keys through Python ints and overflows C long on uint64
+        h = np.asarray(batch.column("simhash"), np.uint64).view(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "sim64": pa.array(h)})
+
+    agg = (hs.map_batches(to_i64, batch_format="pyarrow")
+           .groupby("sim64")
+           .aggregate(Min("doc_id", alias_name="group_min"),
+                      Count(alias_name="n")))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["group_min", "n"])
+
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 def q_quality_docs(sf):
     from nailray.textops import analysis
 
     ds = analysis.quality_scores(_t(sf, "documents"), "text")
-    return ds.select_columns(["doc_id", "quality_score"])
+    return _round_cols(ds.select_columns(["doc_id", "quality_score"]),
+                       ["quality_score"])
 
 
 def q_langid_docs(sf):
@@ -420,11 +477,88 @@ def q_langid_docs(sf):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+# stopword tables mirrored into SQL for the quality/langid oracles (the
+# oracle recomputes the exact formulas from textops/analysis.py in DuckDB)
+_SW_SQL = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "des", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "de", "que"],
+    "it": ["il", "la", "di", "e", "che", "non", "un", "una", "per", "sono"],
+}
+
+
+def _sw_inlist(ws):
+    return ", ".join(f"'{w}'" for w in ws)
+
+
+def _quality_oracle_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+        "len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
+        "len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+        f"w -> w IN ({_sw_inlist(_SW_SQL['en'])}))) AS n_stop FROM documents), "
+        "s AS (SELECT doc_id, "
+        "CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
+        "CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio, "
+        "CAST(greatest(n_chars - n_words + 1, 0) AS DOUBLE) / greatest(n_words, 1) AS mean_wl, "
+        "n_words FROM t) "
+        "SELECT doc_id, ROUND(CAST("
+        "least(greatest(n_words / 100.0, 0), 1) * 0.4 "
+        "+ least(greatest(punct_ratio * 20, 0), 1) * 0.2 "
+        "+ least(greatest(stop_ratio * 4, 0), 1) * 0.2 "
+        "+ least(greatest(2.0 / (1.0 + abs(mean_wl - 5.0)), 0), 1) * 0.2 "
+        "AS DOUBLE), 6) AS quality_score FROM s")
+
+
+def _langid_oracle_sql() -> str:
+    langs = ["en", "de", "fr", "es", "it"]
+    scores = ", ".join(
+        f"CAST(len(list_filter(words, w -> w IN ({_sw_inlist(_SW_SQL[lg])}))) "
+        f"AS DOUBLE) / greatest(nw, 1) AS s_{lg}" for lg in langs)
+    case = "CASE WHEN nw = 0 OR g <= 0.02 THEN 'unknown' "
+    for lg in langs:  # first equal wins, matching pandas idxmax column order
+        case += f"WHEN s_{lg} = g THEN '{lg}' "
+    case += "END"
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "list_slice(regexp_extract_all(lower(text), '[a-zäöüéèêàçñì]+'), 1, 200) "
+        "AS words FROM documents), "
+        "u AS (SELECT doc_id, words, len(words) AS nw FROM t), "
+        f"s AS (SELECT doc_id, nw, {scores} FROM u), "
+        "g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_it) AS g FROM s) "
+        f"SELECT doc_id, {case} AS lang_pred FROM g")
+
+
 def q_fingerprint_docs(sf):
+    # whitespace/case-normalization invariant, verified distributed:
+    # fingerprint(text) must equal fingerprint(mangled text) per doc
+    from ray.data.aggregate import Max, Min
     from nailray.textops import analysis
 
-    ds = analysis.fingerprint(_t(sf, "documents"), "text")
-    return ds.select_columns(["doc_id", "fingerprint"])
+    base = _t(sf, "documents").select_columns(["doc_id", "text"])
+
+    def mangle(batch: pa.Table) -> pa.Table:
+        s = pc.replace_substring(pc.utf8_upper(batch.column("text")),
+                                 pattern=" ", replacement="   ")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": s})
+
+    both = base.union(base.map_batches(mangle, batch_format="pyarrow"))
+    fp = analysis.fingerprint(both, "text")
+    agg = (fp.groupby("doc_id")
+           .aggregate(Min("fingerprint", alias_name="fp_min"),
+                      Max("fingerprint", alias_name="fp_max")))
+
+    def match(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch.column("fp_min"), batch.column("fp_max"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp_match": pc.cast(eq, pa.int64()),
+        })
+
+    return agg.map_batches(match, batch_format="pyarrow")
 
 
 def q_ann_topk_lsh(sf):
@@ -434,7 +568,34 @@ def q_ann_topk_lsh(sf):
     dim = len(emb.column("embedding")[0].as_py())
     qv = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
     bucketed = ann.add_lsh_bucket(_t(sf, "embeddings"), dim, n_bits=8)
-    return ann.topk_cosine_lsh(bucketed, qv, k=5, dim=dim, n_bits=8)[["vec_id"]]
+    got = ann.topk_cosine_lsh(bucketed, qv, k=5, dim=dim, n_bits=8)
+    got["sim"] = got["sim"].map(lambda v: round(float(v), 5))
+    return got[["vec_id", "sim"]]
+
+
+def _lsh_oracle_sql(n_bits: int = 8, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replica of the hyperplane-LSH candidate filter: the seeded
+    planes are inlined as literals, the query's bucket and its hamming≤1
+    neighborhood computed in SQL (sign parity with numpy verified on all
+    sf levels — min |dot| ≈ 1e-4, far from the flip boundary)."""
+    from nailray.ann import HyperplaneLsh
+
+    planes = HyperplaneLsh(dim, n_bits, 42).planes
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    bexpr = " + ".join(terms)
+    neighbors = ", ".join(str(1 << i) for i in range(n_bits))
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bexpr} AS bkt FROM embeddings), "
+        f"q AS (SELECT embedding AS qe, bkt AS qb FROM b WHERE vec_id = 0) "
+        f"SELECT vec_id, ROUND(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) "
+        f"AS DOUBLE), 5) AS sim FROM b "
+        f"WHERE bkt = (SELECT qb FROM q) OR xor(bkt, (SELECT qb FROM q)) IN ({neighbors}) "
+        f"ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id "
+        f"LIMIT {k}")
 
 
 def q_stratified_sample(sf):
@@ -674,4 +835,20 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 5) AS sim "
             "FROM embeddings ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"),
+        # derived-corpus oracles for the LLM ops (see the query docstrings:
+        # planted exact-dup groups make the ground truth SQL-expressible)
+        "embedding_near_dup": (
+            "SELECT vec_id % 100 AS id_a, vec_id AS id_b, "
+            "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings "
+            "WHERE vec_id % 100 <> vec_id"),
+        "minhash_dedup_docs": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY doc_id % 50"),
+        "simhash_docs": (
+            "SELECT MIN(doc_id) AS group_min, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY doc_id % 50"),
+        "fingerprint_docs": (
+            "SELECT doc_id, CAST(1 AS BIGINT) AS fp_match FROM documents"),
+        "ann_topk_lsh": _lsh_oracle_sql(),
+        "quality_docs": _quality_oracle_sql(),
+        "langid_docs": _langid_oracle_sql(),
     }
