@@ -115,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("append"); sp.add_argument("--others", required=True); sp.add_argument("--ignore-schema", action="store_true")
     sp = add("stats"); sp.add_argument("-c", "--columns"); sp.add_argument("--stats-type", default="basic", choices=["basic", "exhaustive"])
     sp = add("frequency"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--limit", type=int)
-    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"])
+    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"]); sp.add_argument("--p-values", action="store_true", help="per-pair t-test and Fisher-z p-values (pearson only)")
     sp = add("outliers"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="zscore", choices=["zscore", "iqr", "modified-zscore", "isolation"]); sp.add_argument("--factor", type=float, default=3.0); sp.add_argument("--remove", action="store_true")
     sp = add("binning"); sp.add_argument("-c", "--column", required=True); sp.add_argument("--bins", type=int, default=10); sp.add_argument("--method", default="equal-width", choices=["equal-width", "equal-frequency"]); sp.add_argument("--drop-original", action="store_true")
     sp = add("pivot"); sp.add_argument("--index", required=True); sp.add_argument("--pivot", required=True); sp.add_argument("--values", required=True); sp.add_argument("--agg", default="sum", choices=["sum", "mean", "count", "min", "max"])
@@ -282,7 +282,14 @@ def main(argv: list[str] | None = None) -> int:
         print(aggregates.frequency(ds, args.columns.split(","), args.limit).to_string(index=False))
     elif cmd == "correlations":
         cols = args.columns.split(",") if args.columns else None
-        if args.method == "pearson":
+        if args.method == "pearson" and args.p_values:
+            c = cols or aggregates._numeric_cols(aggregates._schema(ds))
+            for i, a in enumerate(c):
+                for b in c[i + 1:]:
+                    r = aggregates.pearson_with_p(ds, a, b)
+                    print(a, b, round(r["r"], 6), "p_t", round(r["p_value"], 6),
+                          "p_fisher", round(r["fisher_p"], 6))
+        elif args.method == "pearson":
             print(aggregates.pearson_matrix(ds, cols).to_string())
         else:
             fn = aggregates.spearman if args.method == "spearman" else aggregates.kendall

@@ -228,6 +228,94 @@ def pearson(ds: rd.Dataset, x: str, y: str) -> float:
     return float(pearson_matrix(ds, [x, y]).loc[x, y])
 
 
+# --- p-values (no scipy in this environment: regularized incomplete beta
+# via the Lentz continued fraction, Abramowitz & Stegun 26.5.8 / 26.2.19) ---
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200,
+            eps: float = 3e-14) -> float:
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    d = tiny if abs(d) < tiny else d
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = tiny if abs(d) < tiny else d
+        c = 1.0 + aa / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = tiny if abs(d) < tiny else d
+        c = 1.0 + aa / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+                + a * math.log(x) + b * math.log1p(-x))
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf_two_tailed(t: float, df: float) -> float:
+    """Two-tailed Student-t p-value: I_{df/(df+t²)}(df/2, 1/2)."""
+    if df <= 0 or math.isnan(t):
+        return float("nan")
+    return _betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+def pearson_with_p(ds: rd.Dataset, x: str, y: str) -> dict:
+    """Pearson r with significance: t-test p (r·√((n−2)/(1−r²)), df=n−2)
+    and the Fisher-z normal approximation (z=atanh(r)·√(n−3)).
+
+    Engine extra beyond the reference's bare CORR() output
+    (src/utils/stats.rs:477-496); formulas are the classical ones."""
+    acc = correlation_partials(ds, [x, y])
+    d = next(iter(acc.values()))
+    n = int(d["n"])
+    if n < 3:
+        return {"r": float("nan"), "n": n, "t": float("nan"),
+                "p_value": float("nan"), "fisher_z": float("nan"),
+                "fisher_p": float("nan")}
+    cov = d["sxy"] - d["sx"] * d["sy"] / n
+    vx = d["sxx"] - d["sx"] ** 2 / n
+    vy = d["syy"] - d["sy"] ** 2 / n
+    r = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    r_c = max(min(r, 1.0), -1.0)
+    if abs(r_c) >= 1.0:
+        t = float("inf")
+        p = 0.0
+    else:
+        t = r_c * math.sqrt((n - 2) / (1.0 - r_c * r_c))
+        p = t_sf_two_tailed(t, n - 2)
+    if n > 3 and abs(r_c) < 1.0:
+        z = math.atanh(r_c) * math.sqrt(n - 3)
+        fisher_p = math.erfc(abs(z) / math.sqrt(2.0))
+    else:
+        z, fisher_p = float("nan"), float("nan")
+    return {"r": float(r), "n": n, "t": float(t), "p_value": float(p),
+            "fisher_z": float(z), "fisher_p": float(fisher_p)}
+
+
 def _cdf_rank_fn(ds: rd.Dataset, col: str, per_batch_sample: int = 4096):
     """Sampled empirical CDF → approximate global rank function.
 
@@ -552,13 +640,45 @@ def parquet_metadata(path: str) -> dict:
             c = r.column(ci)
             comp_total += c.total_compressed_size
             uncomp_total += c.total_uncompressed_size
-            cols.append({
+            entry = {
                 "path": c.path_in_schema,
                 "compression": c.compression,
                 "encodings": list(c.encodings),
                 "compressed_bytes": c.total_compressed_size,
                 "uncompressed_bytes": c.total_uncompressed_size,
-            })
+            }
+            # per-chunk statistics (src/commands/metadata.rs:118-554:
+            # has_min_max, null_count, distinct_count, min/max values)
+            st = c.statistics
+            if st is not None:
+                entry["statistics"] = {
+                    "has_min_max": bool(st.has_min_max),
+                    "null_count": st.null_count if st.has_null_count else None,
+                    "distinct_count": st.distinct_count if st.has_distinct_count else None,
+                    "min": st.min if st.has_min_max else None,
+                    "max": st.max if st.has_min_max else None,
+                    "num_values": st.num_values,
+                }
+            else:
+                entry["statistics"] = None
+            cols.append(entry)
         out["row_groups"].append({"num_rows": r.num_rows, "columns": cols})
     out["compression_ratio"] = uncomp_total / comp_total if comp_total else None
+    # whole-file statistics rollup (metadata.rs:348-420 collect_statistics):
+    total_nulls = 0
+    chunks_with_stats = 0
+    chunks_total = 0
+    for rg in out["row_groups"]:
+        for c in rg["columns"]:
+            chunks_total += 1
+            s = c["statistics"]
+            if s is not None:
+                chunks_with_stats += 1
+                if s["null_count"] is not None:
+                    total_nulls += s["null_count"]
+    out["statistics_summary"] = {
+        "column_chunks": chunks_total,
+        "chunks_with_statistics": chunks_with_stats,
+        "total_null_count": total_nulls,
+    }
     return out

@@ -410,6 +410,62 @@ def test_size_and_metadata(corpus_dir, sf_dir):
     assert md["compression_ratio"] is None or md["compression_ratio"] > 0
 
 
+def test_parquet_metadata_statistics(tmp_path):
+    """Per-chunk min/max/null-count statistics and the whole-file rollup
+    (reference src/commands/metadata.rs:118-554 --statistics fields)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "v": pa.array([1, None, 5, 3, None], pa.int64()),
+        "s": pa.array(["b", "a", None, "z", "m"]),
+    })
+    p = str(tmp_path / "stats.parquet")
+    pq.write_table(t, p, write_statistics=True)
+    md = aggregates.parquet_metadata(p)
+    cols = {c["path"]: c for c in md["row_groups"][0]["columns"]}
+    sv = cols["v"]["statistics"]
+    assert sv["has_min_max"] and sv["min"] == 1 and sv["max"] == 5
+    assert sv["null_count"] == 2
+    ss = cols["s"]["statistics"]
+    assert ss["min"] == "a" and ss["max"] == "z" and ss["null_count"] == 1
+    assert md["statistics_summary"]["total_null_count"] == 3
+    assert md["statistics_summary"]["chunks_with_statistics"] == 2
+
+
+def test_t_pvalue_math():
+    """Two-tailed t p-value vs critical-value tables AND an independent
+    numerical integration of the t density."""
+    import math
+
+    # table: t_{0.025, df} two-tailed critical values → p = 0.05
+    for t, df in [(12.706, 1), (2.228, 10), (2.086, 20), (1.960, 100000)]:
+        assert abs(aggregates.t_sf_two_tailed(t, df) - 0.05) < 2e-3, (t, df)
+    # independent check: trapezoid integral of the density tail
+    for t, df in [(1.3, 7), (2.5, 15), (0.4, 3), (3.2, 40)]:
+        xs = np.linspace(t, t + 400, 400001)
+        c = math.exp(math.lgamma((df + 1) / 2) - math.lgamma(df / 2)) / \
+            math.sqrt(df * math.pi)
+        dens = c * (1 + xs * xs / df) ** (-(df + 1) / 2)
+        tail = np.trapz(dens, xs)
+        assert abs(aggregates.t_sf_two_tailed(t, df) - 2 * tail) < 1e-5, (t, df)
+
+
+def test_pearson_with_p():
+    n = 40
+    x = np.arange(n, dtype=np.float64)
+    t = pa.table({"x": x, "y": 2.0 * x + 1.0})
+    res = aggregates.pearson_with_p(rd.from_arrow(t), "x", "y")
+    assert res["n"] == n and abs(res["r"] - 1.0) < 1e-12
+    assert res["p_value"] == 0.0
+    rng = np.random.default_rng(4)
+    y2 = x + rng.standard_normal(n) * 30
+    res2 = aggregates.pearson_with_p(rd.from_arrow(pa.table({"x": x, "y": y2})),
+                                     "x", "y")
+    assert 0 < res2["p_value"] < 1 and 0 < res2["fisher_p"] < 1
+    # t-test and Fisher-z agree to first order at this n
+    assert abs(res2["p_value"] - res2["fisher_p"]) < 0.05
+
+
 def test_semi_anti_join(sf_dir):
     import duckdb
 
