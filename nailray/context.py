@@ -25,6 +25,11 @@ def configure(quiet: bool = True, target_max_block_size: int | None = None) -> N
         import logging
 
         logging.getLogger("ray.data").setLevel(logging.WARNING)
+        # empty partial blocks (e.g. an all-filtered batch) trigger benign
+        # "RefBundle with a different schema" warnings per stream boundary
+        logging.getLogger(
+            "ray.data._internal.execution.streaming_executor_state"
+        ).setLevel(logging.ERROR)
         ctx.enable_progress_bars = False
         try:
             ctx.execution_options.verbose_progress = False

@@ -105,17 +105,17 @@ def repo_sizes(input_paths, exact_bytes: bool = False) -> tuple[dict[str, int], 
         })
         return _repo_partials(t)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("repo")
-        .aggregate(Sum("rows", alias_name="rows"), Sum("bytes", alias_name="bytes"))
-    )
+    # repo cardinality ≪ rows (one partial row per repo per block), so the
+    # final combine is a DRIVER-side dict merge over streamed partials —
+    # no groupby exchange (a fixed ~2 s of shuffle overhead at any scale)
     rows: dict[str, int] = {}
     bts: dict[str, int] = {}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(), b["bytes"].to_pylist()):
-            rows[r] = int(n)
-            bts[r] = int(by)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(),
+                            b["bytes"].to_pylist()):
+            rows[r] = rows.get(r, 0) + int(n)
+            bts[r] = bts.get(r, 0) + int(by)
     if not exact_bytes:
         # footer metadata: uncompressed content bytes / rows → avg row cost
         tot_bytes = 0
@@ -371,6 +371,143 @@ def _encode_group(group: pa.Table, out_dir: str, chunk_rows: int, chunk_bytes: i
 
 
 # --------------------------------------------------------------------------
+# packed exchange (shuffle optimization)
+# --------------------------------------------------------------------------
+
+_PACK_ZSTD = pa.Codec("zstd", compression_level=1)
+
+_PACKED_SCHEMA = pa.schema([
+    pa.field("part_id", pa.int32()),
+    pa.field("n_rows", pa.int32()),
+    pa.field("raw_len", pa.int64()),
+    pa.field("payload", pa.large_binary()),
+])
+
+
+class PartitionPacker:
+    """Map stage for the exchange: assign part ids, then pack each
+    block's rows into ONE zstd-1 Arrow-IPC row per (block, part_id).
+
+    The groupby shuffle then moves ~3× fewer bytes (source text
+    compresses ~3.3×) and ~10³× fewer rows — the sort-based exchange
+    cost scales with both. The per-partition encoder unpacks before
+    encoding; zstd-1 packs at ~400 MB/s/core and unpacks at ~1 GB/s/core,
+    far below the exchange savings."""
+
+    def __init__(self, plan: PartitionPlan):
+        self.assigner = PartitionAssigner(plan)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.assigner(batch)
+        part = np.asarray(t.column("part_id"))
+        if len(part) == 0:
+            return _PACKED_SCHEMA.empty_table()
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        part = part[order]
+        cuts = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(part)]])
+        pids, nrows, raw_lens, payloads = [], [], [], []
+        for s, e in zip(starts, ends):
+            sub = t.slice(int(s), int(e - s))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            raw = sink.getvalue()
+            pids.append(int(part[s]))
+            nrows.append(int(e - s))
+            raw_lens.append(len(raw))
+            payloads.append(bytes(_PACK_ZSTD.compress(raw)))
+        return pa.table({
+            "part_id": pa.array(pids, pa.int32()),
+            "n_rows": pa.array(nrows, pa.int32()),
+            "raw_len": pa.array(raw_lens, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+
+def _unpack_group(group: pa.Table) -> pa.Table:
+    tables = []
+    payloads = group.column("payload")
+    raw_lens = group.column("raw_len")
+    for i in range(group.num_rows):
+        raw = _PACK_ZSTD.decompress(payloads[i].as_py(), int(raw_lens[i].as_py()))
+        tables.append(pa.ipc.open_stream(raw).read_all())
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _encode_packed_group(group: pa.Table, out_dir: str, chunk_rows: int,
+                         chunk_bytes: int) -> pa.Table:
+    return EncoderGroup(out_dir, chunk_rows, chunk_bytes)(_unpack_group(group))
+
+
+# --------------------------------------------------------------------------
+# direct exchange (default): route rows to partitions without a sort
+# --------------------------------------------------------------------------
+# Why raw Ray tasks here: the Dataset-level exchange is
+# groupby("part_id"), which Ray implements as a full SORT — every block
+# is rewritten twice (SortMap + SortReduce), pure memcpy overhead when
+# only GROUPING is needed. The routing task splits each input fragment's
+# rows by part_id directly into the object store (one zero-copy slice
+# per (fragment, part)), and each per-partition encode task gathers its
+# slices. Partitioning assumption: a partition's rows may come from ANY
+# input fragment, so encode waits for all routing tasks (the same
+# barrier a shuffle has) — but no sort, no second copy. Measured ~1.3×
+# end-to-end vs the sort exchange on the bench corpus.
+
+
+def _route_file_impl(path: str, plan: PartitionPlan, done: frozenset):
+    import ray
+
+    t = pq.read_table(path)
+    t = PartitionAssigner(plan)(t)
+    part = np.asarray(t.column("part_id"))
+    if len(part) == 0:
+        return {}
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))
+    part = part[order]
+    cuts = np.flatnonzero(np.diff(part)) + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [len(part)]])
+    out = {}
+    for s, e in zip(starts, ends):
+        pid = int(part[s])
+        if pid in done:
+            continue
+        out[pid] = ray.put(t.slice(int(s), int(e - s)))
+    return out
+
+
+def _encode_part_impl(out_dir: str, refs: list, chunk_rows: int, chunk_bytes: int):
+    import ray
+
+    tables = ray.get(list(refs))
+    t = pa.concat_tables(tables, promote_options="default")
+    return EncoderGroup(out_dir, chunk_rows, chunk_bytes)(t).to_pylist()[0]
+
+
+def _direct_exchange_encode(paths, plan, out_dir, completed, chunk_rows,
+                            chunk_bytes) -> list[dict]:
+    """Route → gather → encode via raw Ray tasks; returns summary rows."""
+    import ray
+
+    route = ray.remote(num_cpus=1)(_route_file_impl)
+    encode = ray.remote(num_cpus=1)(_encode_part_impl)
+    plan_ref = ray.put(plan)
+    done = frozenset(completed)
+    routes = ray.get([route.remote(p, plan_ref, done) for p in paths])
+    by_pid: dict[int, list] = {}
+    for d in routes:
+        for pid, ref in d.items():
+            by_pid.setdefault(pid, []).append(ref)
+    futures = [encode.remote(out_dir, refs, chunk_rows, chunk_bytes)
+               for refs in by_pid.values()]
+    return ray.get(futures)
+
+
+# --------------------------------------------------------------------------
 # driver orchestration
 # --------------------------------------------------------------------------
 
@@ -383,6 +520,7 @@ def encode_dataset(
     chunk_bytes: int = 8 << 20,
     concurrency: int | tuple[int, int] | None = None,
     resume: bool = True,
+    exchange: str = "direct",
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
 
@@ -437,30 +575,42 @@ def encode_dataset(
         plan = plan_partitions(rows, bts, target_bytes=target_partition_bytes)
         mf.write_plan(out_dir, plan.to_json(), frags)
 
-    ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
-    ds = ds.map_batches(PartitionAssigner, fn_constructor_args=(plan,),
-                        batch_format="pyarrow", concurrency=(1, 8))
-    if completed:
-        done = pa.array(list(completed), pa.int32())
+    if exchange == "direct":
+        rows_out = _direct_exchange_encode(paths, plan, out_dir, completed,
+                                           chunk_rows, chunk_bytes)
+        import pandas as _pd
 
-        def drop_done(batch: pa.Table) -> pa.Table:
-            keep = pc.invert(pc.is_in(batch.column("part_id"), value_set=done))
-            return batch.filter(keep)
+        summary_rows = _pd.DataFrame(rows_out) if rows_out else _pd.DataFrame(
+            {"status": []})
+    elif exchange in ("sort", "packed"):
+        ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
+        stage_cls = PartitionPacker if exchange == "packed" else PartitionAssigner
+        ds = ds.map_batches(stage_cls, fn_constructor_args=(plan,),
+                            batch_format="pyarrow", concurrency=(1, 16))
+        if completed:
+            done = pa.array(list(completed), pa.int32())
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+            def drop_done(batch: pa.Table) -> pa.Table:
+                keep = pc.invert(pc.is_in(batch.column("part_id"), value_set=done))
+                return batch.filter(keep)
 
-    # map_groups wraps fn, so pass a (cheap, picklable) configured instance;
-    # the per-partition state (FSST table, codebooks) is built inside the
-    # group call — one build per partition, reused across its chunks.
-    import functools
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    enc = ds.groupby("part_id").map_groups(
-        functools.partial(_encode_group, out_dir=out_dir, chunk_rows=chunk_rows,
-                          chunk_bytes=chunk_bytes),
-        batch_format="pyarrow",
-        num_cpus=1,
-    )
-    summary_rows = enc.to_pandas()  # one small row per partition
+        # map_groups wraps fn, so pass a (cheap, picklable) configured instance;
+        # the per-partition state (FSST table, codebooks) is built inside the
+        # group call — one build per partition, reused across its chunks.
+        import functools
+
+        group_fn = _encode_packed_group if exchange == "packed" else _encode_group
+        enc = ds.groupby("part_id").map_groups(
+            functools.partial(group_fn, out_dir=out_dir, chunk_rows=chunk_rows,
+                              chunk_bytes=chunk_bytes),
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+        summary_rows = enc.to_pandas()  # one small row per partition
+    else:
+        raise ValueError(f"unknown exchange strategy {exchange!r}")
     summary = mf.summarize(out_dir)
     summary["newly_encoded"] = int((summary_rows["status"] == "encoded").sum()) if len(summary_rows) else 0
     summary["resumed_skipped"] = len(skipped)
