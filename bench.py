@@ -59,8 +59,15 @@ def run_headline() -> dict:
     _warm_cache(src)
     out = tempfile.mkdtemp(prefix="nailray_bench_enc_")
     try:
+        # scaling mode pins the partition target so BOTH parallelism levels
+        # run the identical job (same plan, same part_id mapping, same
+        # per-partition FSST builds) — the adaptive CPU-derived target would
+        # otherwise give the low level fewer/larger partitions, i.e. less work
+        enc_kw = ({"target_partition_bytes": 8 << 20}
+                  if os.environ.get("NAILRAY_SCALING_MODE") else {})
         t0 = time.time()
-        summary = epl.encode_dataset(src, out, chunk_rows=16384, chunk_bytes=8 << 20)
+        summary = epl.encode_dataset(src, out, chunk_rows=16384,
+                                     chunk_bytes=8 << 20, **enc_kw)
         t_encode = time.time() - t0
         if os.environ.get("NAILRAY_SCALING_MODE"):
             t_verify = 0.0
