@@ -215,6 +215,65 @@ def q_shuffle_multiset(sf):
     return sorting.shuffle(_t(sf, "supplier"), seed=7)
 
 
+def q_drop_rows_indices(sf):
+    ds = nio.read_parquet_with_row_id(f"{sf}/orders.parquet")
+    return projection.drop_rows(ds, "2,4,10-20").drop_columns([nio.ROW_ID])
+
+
+def q_filter_no_zeros(sf):
+    return filtering.filter_rows(_t(sf, "lineitem"), "no-zeros")
+
+
+def q_filter_char_only(sf):
+    return filtering.filter_rows(_t(sf, "documents"), "char-only")
+
+
+def q_search_exact(sf):
+    return filtering.search(_t(sf, "customer"), "AUTOMOBILE",
+                            columns=["c_mktsegment"], exact=True)
+
+
+def q_append_ignore_schema(sf):
+    # name-aligned union: nation shares no column names with region, so
+    # its rows align as typed nulls (src/commands/append.rs:23-131)
+    return combine.append(_t(sf, "region"), [_t(sf, "nation")],
+                          ignore_schema=True)
+
+
+def q_fill_backward(sf):
+    ds = _t(sf, "events")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        nv = pc.if_else(pc.greater_equal(v, 5.0), v, pa.nulls(len(batch), pa.float64()))
+        return pa.table({"event_id": batch.column("event_id"), "v": nv})
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    filled = aggregates.fill_directional(d, ["v"], "backward", block_rows=128,
+                                         order_column="event_id")
+
+    # no rounding: the fill only copies original float values verbatim
+    return filled.map_batches(
+        lambda b: pa.table({"event_id": b.column("event_id"),
+                            "filled_value": b.column("v")}),
+        batch_format="pyarrow")
+
+
+def q_spearman_corr(sf):
+    # exhaustive CDF sample (per_batch_sample ≥ any batch) → EXACT mid-ranks
+    rho = aggregates.spearman(_t(sf, "events"), "value", "user_id",
+                              per_batch_sample=1 << 30)
+    return pa.table({"rho": pa.array([round(rho, 6)], pa.float64())})
+
+
+def q_kendall_tau(sf):
+    # bounded deterministic subset (user_id < 20 ≈ 1.3k rows) with
+    # sample_rows above the subset size → exact tau-a on the subset
+    sub = filtering.filter_conditions(_t(sf, "events"), "user_id<20")
+    tau = aggregates.kendall(sub, "value", "event_id", sample_rows=1 << 20)
+    return pa.table({"tau": pa.array([round(tau, 6)], pa.float64())})
+
+
 def q_sort_nulls_first(sf):
     # null-bearing sort key (derived): v = value where value < 2, else NULL;
     # sort v NULLS FIRST with event_id tiebreak → total deterministic order
@@ -664,6 +723,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_mean_derived": q_fill_mean_derived,
         "shuffle_multiset": q_shuffle_multiset,
         "sort_nulls_first": q_sort_nulls_first,
+        "drop_rows_indices": q_drop_rows_indices,
+        "filter_no_zeros": q_filter_no_zeros,
+        "filter_char_only": q_filter_char_only,
+        "search_exact": q_search_exact,
+        "append_ignore_schema": q_append_ignore_schema,
+        "fill_backward": q_fill_backward,
+        "spearman_corr": q_spearman_corr,
+        "kendall_tau": q_kendall_tau,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
         "punct_ratio": q_punct_ratio,
@@ -766,6 +833,45 @@ def oracle_sql() -> dict[str, str]:
         "sort_nulls_first": (
             "SELECT event_id, CASE WHEN value < 2 THEN value END AS v "
             "FROM events ORDER BY v NULLS FIRST, event_id LIMIT 500"),
+        "drop_rows_indices": (
+            "SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER "
+            "(ORDER BY o_orderkey) AS rn FROM orders) "
+            "WHERE NOT (rn IN (2, 4) OR rn BETWEEN 10 AND 20)"),
+        "filter_no_zeros": (
+            "SELECT * FROM lineitem WHERE "
+            + " AND ".join(f"({c} IS NOT NULL AND {c} <> 0)" for c in
+                           ["l_orderkey", "l_partkey", "l_suppkey",
+                            "l_linenumber", "l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])),
+        "filter_char_only": (
+            "SELECT * FROM documents WHERE "
+            + " AND ".join(f"({c} IS NOT NULL AND {c} <> '')" for c in
+                           ["text", "lang", "source"])),
+        "search_exact": "SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE'",
+        "append_ignore_schema": (
+            "SELECT r_regionkey, r_name FROM region UNION ALL "
+            "SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM nation"),
+        "fill_backward": (
+            "WITH t AS (SELECT event_id, CASE WHEN value >= 5 THEN value END AS v "
+            "FROM events) SELECT event_id, FIRST_VALUE(v IGNORE NULLS) OVER "
+            "(ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) "
+            "AS filled_value FROM t"),
+        "spearman_corr": (
+            "WITH r AS (SELECT "
+            "(2 * (RANK() OVER (ORDER BY value) - 1) "
+            "+ COUNT(*) OVER (PARTITION BY value)) / 2.0 AS rx, "
+            "(2 * (RANK() OVER (ORDER BY user_id) - 1) "
+            "+ COUNT(*) OVER (PARTITION BY user_id)) / 2.0 AS ry FROM events) "
+            "SELECT ROUND(CAST(corr(rx, ry) AS DOUBLE), 6) AS rho FROM r"),
+        "kendall_tau": (
+            "WITH s AS (SELECT value, event_id FROM events WHERE user_id < 20), "
+            "i AS (SELECT value AS x, event_id AS y, ROW_NUMBER() OVER () AS rn FROM s), "
+            "p AS (SELECT t1.x AS x1, t1.y AS y1, t2.x AS x2, t2.y AS y2 "
+            "FROM i t1 JOIN i t2 ON t1.rn < t2.rn) "
+            "SELECT ROUND(CAST(SUM(CASE "
+            "WHEN (x1 > x2 AND y1 > y2) OR (x1 < x2 AND y1 < y2) THEN 1 "
+            "WHEN (x1 > x2 AND y1 < y2) OR (x1 < x2 AND y1 > y2) THEN -1 "
+            "ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS tau FROM p"),
         "window_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id, "

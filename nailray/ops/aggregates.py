@@ -345,10 +345,13 @@ def _cdf_rank_fn(ds: rd.Dataset, col: str, per_batch_sample: int = 4096):
     return rank
 
 
-def spearman(ds: rd.Dataset, x: str, y: str) -> float:
-    """Spearman rho = Pearson over (approximate) global ranks."""
-    rx = _cdf_rank_fn(ds, x)
-    ry = _cdf_rank_fn(ds, y)
+def spearman(ds: rd.Dataset, x: str, y: str,
+             per_batch_sample: int = 4096) -> float:
+    """Spearman rho = Pearson over (approximate) global ranks; with
+    ``per_batch_sample`` ≥ the largest batch the CDF sample is exhaustive
+    and the mid-ranks (hence rho) are EXACT."""
+    rx = _cdf_rank_fn(ds, x, per_batch_sample)
+    ry = _cdf_rank_fn(ds, y, per_batch_sample)
 
     def to_ranks(batch: pa.Table) -> pa.Table:
         vx = np.asarray(pc.cast(batch.column(x), pa.float64()))
