@@ -76,21 +76,56 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
 
 
 def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
-            gap_s: float) -> rd.Dataset:
-    """Session windows: per key, sort by ts; a new session starts where
-    the gap to the previous event exceeds ``gap_s``. Output one row per
-    session: key, session_start, n, sum_value."""
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            gap_s: float, bucket_s: float | None = None) -> rd.Dataset:
+    """Session windows: per key, a new session starts where the gap to
+    the previous event exceeds ``gap_s``. Output one row per session:
+    key, session_start, n, sum_value.
+
+    Scalable two-phase shape (a hot key no longer serializes its whole
+    event stream through one task): phase 1 sessionizes each
+    (key, coarse-time-bucket) group independently; phase 2 merges
+    adjacent sessions per key over session SUMMARIES (≪ events) —
+    within a bucket adjacent sessions are > gap_s apart by
+    construction, so only bucket-boundary sessions ever merge, and the
+    result is exactly the single-pass sessionization."""
+    if bucket_s is None:
+        bucket_s = gap_s * 1000  # summaries stay tiny; hot keys split well
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        b = np.asarray(ts_us) // int(bucket_s * 1e6)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
         ts = g[ts_col]
         gap = ts.diff().dt.total_seconds().fillna(float("inf"))
         sid = (gap > gap_s).cumsum()
         agg = g.groupby(sid).agg(
             session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
             n=(ts_col, "count"),
             sum_value=(value_col, "sum"),
         ).reset_index(drop=True)
         agg[key] = g[key].iloc[0]
+        return agg[[key, "session_start", "session_end", "n", "sum_value"]]
+
+    partial = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby([key, "__bucket"])
+               .map_groups(per_bucket, batch_format="pandas"))
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start")
+        gap = (g["session_start"] - g["session_end"].shift()) \
+            .dt.total_seconds().fillna(float("inf"))
+        mid = (gap > gap_s).cumsum()
+        agg = g.groupby(mid).agg(
+            session_start=("session_start", "min"),
+            n=("n", "sum"),
+            sum_value=("sum_value", "sum"),
+        ).reset_index(drop=True)
+        agg[key] = g[key].iloc[0]
         return agg[[key, "session_start", "n", "sum_value"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return partial.groupby(key).map_groups(merge_key, batch_format="pandas")

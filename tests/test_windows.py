@@ -85,6 +85,24 @@ def test_session_windows():
     assert got["sum_value"].sum() == 6.0
 
 
+def test_session_two_phase_bucket_invariance(sf_dir):
+    """The two-phase sessionization (per-(key,bucket) then boundary
+    merge) must equal the single-bucket result for ANY bucket width —
+    including one small enough to force many cross-bucket merges."""
+    ds = read_parquet(f"{sf_dir}/events.parquet")
+    a = to_arrow(window.session(ds, "user_id", "ts", "value", gap_s=600,
+                                bucket_s=1800)).to_pandas()
+    b = to_arrow(window.session(ds, "user_id", "ts", "value", gap_s=600,
+                                bucket_s=10**9)).to_pandas()
+    k = ["user_id", "session_start"]
+    a = a.sort_values(k).reset_index(drop=True)
+    b = b.sort_values(k).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a[k].equals(b[k])
+    assert (a["n"].values == b["n"].values).all()
+    assert np.allclose(a["sum_value"], b["sum_value"])
+
+
 def test_embedding_near_duplicates():
     rng = np.random.default_rng(0)
     base = rng.standard_normal(16)
