@@ -619,21 +619,13 @@ def encode_dataset(
     return summary
 
 
-class _FragmentEncoder:
-    """Actor-pool stage for :func:`encode_fragments`: one task row =
-    one input file, encoded as its own partition (no shuffle)."""
-
-    def __init__(self, out_dir: str, chunk_rows: int, chunk_bytes: int):
-        self.eg = EncoderGroup(out_dir, chunk_rows, chunk_bytes)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for task in batch.to_pylist():
-            t = pq.read_table(task["file"])
-            t = t.append_column("part_id", pa.array(
-                np.full(t.num_rows, task["part_id"], np.int32)))
-            outs.append(self.eg(t))
-        return pa.concat_tables(outs, promote_options="default")
+def _encode_fragment_impl(path: str, part_id: int, out_dir: str,
+                          chunk_rows: int, chunk_bytes: int) -> dict:
+    """One task = one input file encoded as its own partition."""
+    t = pq.read_table(path)
+    t = t.append_column("part_id", pa.array(
+        np.full(t.num_rows, part_id, np.int32)))
+    return EncoderGroup(out_dir, chunk_rows, chunk_bytes)(t).to_pylist()[0]
 
 
 def encode_fragments(
@@ -674,24 +666,11 @@ def encode_fragments(
     if tasks:
         import ray
 
-        if concurrency is None:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            concurrency = max(1, min(len(tasks), cpus))
-        # one block per task row — from_arrow yields a single block, which
-        # would serialize the whole pool behind one map task
-        # materialize the (tiny) task list first: an actor pool reserving
-        # every CPU would otherwise starve the repartition stage upstream
-        # and deadlock the pipeline
-        task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks)).materialize()
-        enc = task_ds.map_batches(
-            _FragmentEncoder,
-            fn_constructor_args=(out_dir, chunk_rows, chunk_bytes),
-            batch_size=1,
-            batch_format="pyarrow",
-            num_cpus=1,
-            concurrency=concurrency,
-        )
-        enc.to_pandas()
+        # raw tasks, one per file: no actor-pool sizing, no repartition
+        # (a pool reserving every CPU used to risk starving its upstream)
+        enc = ray.remote(num_cpus=1)(_encode_fragment_impl)
+        ray.get([enc.remote(t["file"], t["part_id"], out_dir,
+                            chunk_rows, chunk_bytes) for t in tasks])
     summary = mf.summarize(out_dir)
     summary["newly_encoded"] = len(tasks)
     summary["resumed_skipped"] = len(completed)
