@@ -122,6 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("fill"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="value", choices=["value", "mean", "median", "mode", "forward", "backward"]); sp.add_argument("--value")
     sp = add("optimize", help="distributed per-column encode (the engine core; successor of nail optimize)")
     sp.add_argument("--partition-bytes", type=int, default=None)
+    sp = add("optimize-parquet", help="rewrite as standard parquet (reference nail optimize: compression/sort/dictionary)")
+    sp.add_argument("--compression", default="snappy", choices=["snappy", "gzip", "zstd", "brotli"])
+    sp.add_argument("--compression-level", type=int, default=6)
+    sp.add_argument("--sort-by")
+    sp.add_argument("--row-group-size", type=int, default=1000000)
+    sp.add_argument("--dictionary", action="store_true")
+    sp.add_argument("--no-dictionary", action="store_true")
+    sp.add_argument("--validate", action="store_true")
     sp = add("encode", help="alias of optimize")
     sp.add_argument("--partition-bytes", type=int, default=None)
     sp.add_argument("--fragment-mode", action="store_true")
@@ -320,6 +328,26 @@ def main(argv: list[str] | None = None) -> int:
             ds = _read(args.input, with_row_id=True)
             out = aggregates.fill_directional(ds, cols, args.method)
         _output(out, args)
+    elif cmd == "optimize-parquet":
+        out_dir = args.output or (args.input.rstrip("/") + ".optimized")
+        nio.optimize_parquet(
+            ds, out_dir, compression=args.compression,
+            compression_level=args.compression_level, sort_by=args.sort_by,
+            use_dictionary=not args.no_dictionary,
+            row_group_size=args.row_group_size)
+        if args.validate:  # row-count check only (optimize.rs:218-233)
+            n_out = nio.read_parquet(out_dir).count()
+            n_in = _read(args.input).count()
+            print(json.dumps({"out": out_dir, "rows_in": n_in, "rows_out": n_out,
+                              "validated": n_in == n_out}))
+            if n_in != n_out:
+                if owns_ray:
+                    import ray
+
+                    ray.shutdown()
+                return 1
+        else:
+            print(json.dumps({"out": out_dir}))
     elif cmd in ("optimize", "encode"):
         from .encode import pipeline as epl
 

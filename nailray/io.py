@@ -206,6 +206,33 @@ def write_xlsx(ds: rd.Dataset, path: str) -> None:
     wb.save(path)
 
 
+def optimize_parquet(ds: rd.Dataset, out_path: str, compression: str = "snappy",
+                     compression_level: int = 6, sort_by: str | None = None,
+                     use_dictionary: bool = True,
+                     row_group_size: int = 1_000_000) -> None:
+    """Rewrite as standard parquet with chosen compression / optional
+    global sort / dictionary encoding — the reference's ``nail optimize``
+    semantics (src/commands/optimize.rs:18-135, sort ascending
+    nulls-first per optimize.rs:290).
+
+    ``row_group_size`` is accepted for CLI parity only: the reference
+    builds WriterProperties from it and then discards them
+    (optimize.rs:254-262), so neither engine honors the flag."""
+    del row_group_size
+    if compression not in ("snappy", "gzip", "zstd", "brotli"):
+        raise ValueError(f"unsupported compression {compression!r}")
+    if not 1 <= compression_level <= 9:
+        raise ValueError("compression level must be 1-9 (optimize.rs:119-126)")
+    if sort_by:
+        from .ops import sorting
+
+        ds = sorting.sort(ds, sort_by, nulls="first")
+    kw: dict = {"compression": compression, "use_dictionary": use_dictionary}
+    if compression in ("zstd", "gzip", "brotli"):
+        kw["compression_level"] = compression_level
+    ds.write_parquet(out_path, **kw)
+
+
 def detect_format(path: str) -> str:
     """Format by extension only — parity with src/utils/mod.rs:47-57."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")

@@ -139,11 +139,19 @@ def _key_set(ds: rd.Dataset, key: str) -> pa.Array:
 
 
 def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
-              right_key: str | None = None) -> rd.Dataset:
-    """Rows of left whose key appears in right (broadcast, no shuffle).
+              right_key: str | None = None,
+              strategy: str = "broadcast", num_partitions: int = 16) -> rd.Dataset:
+    """Rows of left whose key appears in right.
 
     Not present in the reference (SURVEY §2.4: 'no semi/anti joins') —
-    an engine extra for pipeline filtering against allowlists."""
+    an engine extra for pipeline filtering against allowlists.
+
+    strategy="broadcast" (default): collect the right side's distinct
+    keys once, ``ray.put``, filter in map_batches — no shuffle; right
+    side must fit in driver/worker heap. strategy="shuffle": distributed
+    hash join against the distinct-key table — the scale path when the
+    key set itself is too large to broadcast (e.g. the winner set of an
+    exact dedup over a mostly-unique corpus)."""
     import ray as _ray
     import pyarrow.compute as pc
 
@@ -151,6 +159,23 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
 
     lk = resolve_column(left.schema().names, left_key)
     rk = resolve_column(right.schema().names, right_key or left_key)
+
+    if strategy == "shuffle":
+        keys = right.select_columns([rk]).groupby(rk).count()
+
+        def strip(batch: pa.Table) -> pa.Table:
+            out = pa.table({"__semi_key": batch.column(rk)})
+            return out
+
+        keys = keys.map_batches(strip, batch_format="pyarrow")
+        joined = left.join(keys, join_type="inner", num_partitions=num_partitions,
+                           on=(lk,), right_on=("__semi_key",))
+        if "__semi_key" in joined.schema().names:
+            joined = joined.drop_columns(["__semi_key"])
+        return joined
+    if strategy != "broadcast":
+        raise ValueError(f"unknown semi_join strategy {strategy!r}")
+
     ref = _ray.put(_key_set(right, rk))
 
     def fn(batch: pa.Table) -> pa.Table:

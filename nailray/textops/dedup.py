@@ -53,7 +53,8 @@ def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Datase
             .aggregate(Min(id_col, alias_name="keep_id")))
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str,
+                winner_strategy: str = "broadcast") -> rd.Dataset:
     """Keep the min-id row per distinct text.
 
     Scale shape: a ``groupby(hash).aggregate(Min)`` over the two-column
@@ -61,11 +62,15 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     text (tiny shuffle, pre-combined per block by Ray's aggregate), then
     the winning id set is broadcast once (``ray.put``) and applied as a
     ``map_batches`` filter over the original dataset — the full-text
-    rows never enter an exchange."""
+    rows never enter an exchange.
+
+    ``winner_strategy="shuffle"`` switches the winner filter to a
+    distributed hash semi join for corpora whose distinct-document count
+    (= winner set) is too large to broadcast."""
     from ..ops.combine import semi_join
 
     winners = exact_dedup_winners(ds, text_col, id_col)
-    return semi_join(ds, winners, id_col, "keep_id")
+    return semi_join(ds, winners, id_col, "keep_id", strategy=winner_strategy)
 
 
 # --------------------------------------------------------------------------

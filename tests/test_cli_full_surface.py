@@ -74,6 +74,8 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["pivot", orders, "--index", "o_orderstatus", "--pivot", "o_orderpriority",
          "--values", "o_totalprice", "--agg", "mean"],
         ["fill", f"{sf_dir}/events.parquet", "-c", "value", "--method", "mean"],
+        ["optimize-parquet", orders, "-o", f"{out}/opt", "--compression", "zstd",
+         "--compression-level", "3", "--sort-by", "o_totalprice", "--validate"],
         ["encode", corpus_dir, "-o", f"{out}/enc", "--fragment-mode"],
         ["decode", f"{out}/enc", "-o", f"{out}/dec"],
         ["verify", corpus_dir, "--encoded", f"{out}/enc"],

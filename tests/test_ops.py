@@ -299,6 +299,23 @@ def test_merge_inner_left():
         combine.merge(left, right, "id", "user_id", how="right", broadcast=True)
 
 
+def test_semi_join_shuffle_strategy(sf_dir):
+    """Distributed hash semi join (the no-broadcast scale path) must
+    return exactly the broadcast result."""
+    from nailray.ops import combine as cmb, filtering
+
+    orders = nio.read_parquet(f"{sf_dir}/orders.parquet")
+    seg = filtering.filter_conditions(
+        nio.read_parquet(f"{sf_dir}/customer.parquet"), "c_mktsegment=AUTOMOBILE")
+    a = _pdf(cmb.semi_join(orders, seg, "o_custkey", "c_custkey"))
+    b = _pdf(cmb.semi_join(orders, seg, "o_custkey", "c_custkey",
+                           strategy="shuffle"))
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_append():
     a = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64()), "x": ["a"]}))
     b = rd.from_arrow(pa.table({"id": pa.array([2], pa.int64()), "x": ["b"]}))
