@@ -209,6 +209,49 @@ def run_queries() -> dict[str, float]:
          .aggregate(Count(alias_name="n"), Sum("value", alias_name="s"))
          .count())
 
+    @timed("window_session")
+    def _session():
+        from nailray.ops import window as W
+
+        W.session(nio.read_parquet(f"{SF_DIR}/events.parquet"),
+                  "user_id", "ts", "value", gap_s=600).count()
+
+    @timed("minhash_dedup")
+    def _minhash():
+        tdedup.minhash_dedup(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                             "text", "doc_id", threshold=0.8).count()
+
+    @timed("langid")
+    def _langid():
+        analysis.language_id(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                             "text").count()
+
+    @timed("quality_scores")
+    def _quality():
+        analysis.quality_scores(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                                "text").count()
+
+    @timed("embedding_near_dup")
+    def _embdup():
+        from nailray.textops.dedup import embedding_near_duplicates
+
+        embedding_near_duplicates(
+            nio.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            "embedding", "vec_id", threshold=0.9, n_bits=10).count()
+
+    @timed("ann_topk_lsh")
+    def _ann_lsh():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        dim = len(emb.column("embedding")[0].as_py())
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        bucketed = ann.add_lsh_bucket(
+            nio.read_parquet(f"{SF_DIR}/embeddings.parquet"), dim, n_bits=8)
+        ann.topk_cosine_lsh(bucketed, q, k=5, dim=dim, n_bits=8)
+
     return timings
 
 

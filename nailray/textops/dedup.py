@@ -119,15 +119,58 @@ class MinHasher:
         self.a, self.b = _perm_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        sigs = np.stack([
-            _minhash_sig(_shingle_hashes(t or "", self.k), self.a, self.b)
-            for t in texts
-        ])
+        # Batched shingling: ONE sliding-window pass over the whole
+        # batch's concatenated utf-8 buffer, then per-doc minima via
+        # np.minimum.reduceat — no Python loop over documents. Hash
+        # values are identical to the per-doc path (same windows, same
+        # wrapping polynomial; min over a multiset == min over its set).
+        from ..encode.codecs.base import strings_to_buffer
+
+        col = batch.column(self.text_col).combine_chunks()
+        col = pc.if_else(pc.is_valid(col), col, "")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        data, lengths = strings_to_buffer(col)
+        n_docs = len(lengths)
+        k = self.k
+        counts = np.maximum(lengths - k + 1, 0)
+        if len(data) >= k:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(data, k).astype(np.uint64)
+            weights = np.power(np.uint64(1000003), np.arange(k, dtype=np.uint64),
+                               dtype=np.uint64)
+            h_all = (win * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            # drop windows that cross document boundaries
+            starts = np.zeros(n_docs, np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            valid = np.zeros(len(h_all) + 1, np.int64)
+            np.add.at(valid, starts[counts > 0], 1)
+            np.add.at(valid, (starts + counts)[counts > 0], -1)
+            valid = np.cumsum(valid[:-1]) > 0
+            xs = h_all[valid]
+            doc_of = np.repeat(np.arange(n_docs), counts)
+        else:
+            xs = np.zeros(0, np.uint64)
+            doc_of = np.zeros(0, np.int64)
+        # short/empty docs contribute a single sentinel shingle 0
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            xs = np.concatenate([xs, np.zeros(len(empty), np.uint64)])
+            doc_of = np.concatenate([doc_of, empty])
+            order = np.argsort(doc_of, kind="stable")
+            xs, doc_of = xs[order], doc_of[order]
+        counts_f = np.where(counts == 0, 1, counts)
+        offsets = np.zeros(n_docs, np.int64)
+        np.cumsum(counts_f[:-1], out=offsets[1:])
+        x = xs % np.uint64(_PRIME)
+        sig_mat = np.empty((self.num_perm, n_docs), np.uint64)
+        for p in range(self.num_perm):  # 64 C passes, not n_docs Python ones
+            y = (x * self.a[p] + self.b[p]) % np.uint64(_PRIME)
+            sig_mat[p] = np.minimum.reduceat(y, offsets)
+        sigs = sig_mat.T
         return pa.table({
-            self.id_col: pa.array(ids),
-            "minhash": pa.array(list(sigs.astype(np.uint64))),
+            self.id_col: batch.column(self.id_col),
+            "minhash": pa.array(list(sigs)),
         })
 
 
@@ -143,7 +186,8 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
-                        bands: int = 16, max_bucket: int = 512) -> rd.Dataset:
+                        bands: int = 16, max_bucket: int = 512,
+                        dedupe: bool = True) -> rd.Dataset:
     """Explode signatures to (band_id, band_hash) rows; docs sharing a
     bucket are candidates. Returns (id_a, id_b, est_jaccard) pairs.
 
@@ -181,13 +225,18 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
         a_, b_, j_ = [], [], []
         rep_ids: list = []
         rep_sigs: list = []
-        # identical signatures → star pairs to the min-id rep (linear)
+        # identical signatures → star pairs to the min-id rep (linear).
+        # Identical sigs co-bucket in EVERY band, so emit the stars only
+        # in band 0 — other bands still collapse to the rep but skip the
+        # (16×-duplicated) pair emission.
+        emit_stars = int(g["band"].iloc[0]) == 0
         for _, sub in g.groupby("sig", sort=False):
             sub_ids = list(sub[id_col])
             rep_ids.append(sub_ids[0])
             rep_sigs.append(np.frombuffer(sub["sig"].iloc[0], np.uint64))
-            for other in sub_ids[1:]:
-                a_.append(sub_ids[0]); b_.append(other); j_.append(1.0)
+            if emit_stars:
+                for other in sub_ids[1:]:
+                    a_.append(sub_ids[0]); b_.append(other); j_.append(1.0)
         r = len(rep_ids)
         if r > max_bucket:
             import logging
@@ -211,12 +260,17 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
                              "est_jaccard": pd.Series(j_, dtype="float64")})
 
     cand = exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    if not dedupe:
+        # downstream union-find is idempotent under duplicate edges —
+        # skip the (expensive at 10^5+ pairs) cross-band dedupe shuffle
+        return cand
 
-    # dedupe pairs found in multiple bands: group on the pair
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedupe pairs found in multiple bands: est_jaccard is computed from
+    # the FULL signatures, so it is identical across bands
+    from ray.data.aggregate import Max
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
 
 def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
@@ -232,7 +286,8 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
     pathological corpora: past it, further edges are dropped and logged
     (under-merging — some near-dups survive — never wrong drops)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket=max_bucket)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                                max_bucket=max_bucket, dedupe=False)
 
     parent: dict = {}
 
@@ -371,10 +426,11 @@ def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
     exploded = ds_with_simhash.map_batches(explode, batch_format="pyarrow")
     cand = exploded.groupby(["band", "chunk"]).map_groups(pairs, batch_format="pandas")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # hamming is identical for a pair across bands → Min aggregate dedupe
+    from ray.data.aggregate import Min
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # --------------------------------------------------------------------------
