@@ -96,6 +96,26 @@ def test_embedding_dup_heavy_bucket():
     assert (dup_pairs["cosine"] == 1.0).all()
 
 
+def test_minhash_batched_equals_per_doc():
+    """The batched sliding-window MinHasher must produce bit-identical
+    signatures to the per-document reference path (incl. empty and
+    shorter-than-k docs)."""
+    rng = np.random.default_rng(7)
+    texts = ["", "ab", "abcd", "hello world " * 5, "x" * 3,
+             "the quick brown fox jumps over the lazy dog"]
+    texts += ["".join(chr(97 + int(c)) for c in
+                      rng.integers(0, 26, int(rng.integers(0, 300))))
+              for _ in range(40)]
+    mh = dedup.MinHasher("text", "doc_id", 64, 5, 42)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    got = np.stack([np.asarray(v, np.uint64)
+                    for v in mh(t).column("minhash").to_pylist()])
+    ref = np.stack([dedup._minhash_sig(dedup._shingle_hashes(x or "", 5),
+                                       mh.a, mh.b) for x in texts])
+    assert (got == ref).all()
+
+
 def test_ngram_jaccard():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
