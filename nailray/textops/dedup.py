@@ -354,11 +354,57 @@ def simhash64(text: str) -> int:
     return out
 
 
-def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash") -> rd.Dataset:
-    def fn(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-        return batch.append_column(out_col, pa.array(np.array(vals, np.uint64)))
-    return ds.map_batches(fn, batch_format="pyarrow")
+class SimHasher:
+    """Actor-pool simhash stage: token→hash memo persists across batches
+    (web text repeats tokens heavily), bit-votes summed per document via
+    one ``np.add.reduceat`` — same values as :func:`simhash64`."""
+
+    def __init__(self, text_col: str, out_col: str = "simhash"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.memo: dict[str, int] = {}
+
+    def _hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        memo = self.memo
+        out = np.empty(len(tokens), np.uint64)
+        for i, tok in enumerate(tokens):
+            h = memo.get(tok)
+            if h is None:
+                h = memo[tok] = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            out[i] = h
+        if len(memo) > 4_000_000:  # bound actor heap on adversarial vocab
+            memo.clear()
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = [(t or "").split() for t in batch.column(self.text_col).to_pylist()]
+        counts = np.fromiter((len(d) for d in docs), np.int64, len(docs))
+        flat: list[str] = [tok for d in docs for tok in d]
+        hs = self._hash_tokens(flat)
+        shifts = np.arange(64, dtype=np.uint64)
+        # ±1 bit votes for every token at once, then per-doc segment sums
+        votes = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)
+        offsets = np.zeros(len(docs), np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
+        acc = np.zeros((len(docs), 64), np.int64)
+        if nonempty.any() and len(flat):
+            # reduceat needs strictly valid offsets; empty docs share the
+            # next doc's start and are zeroed after
+            safe = np.minimum(offsets, max(len(flat) - 1, 0))
+            acc_all = np.add.reduceat(votes, safe, axis=0)
+            acc[nonempty] = acc_all[nonempty]
+        bits = (acc > 0).astype(np.uint64)
+        vals = (bits * (np.uint64(1) << shifts[None, :])).sum(axis=1, dtype=np.uint64)
+        return batch.append_column(self.out_col, pa.array(vals))
+
+
+def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash",
+                concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(SimHasher, fn_constructor_args=(text_col, out_col),
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,

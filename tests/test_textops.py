@@ -116,6 +116,21 @@ def test_minhash_batched_equals_per_doc():
     assert (got == ref).all()
 
 
+def test_simhash_batched_equals_per_doc():
+    """SimHasher (memoized, reduceat bit-votes) must bit-match
+    simhash64 per document, incl. empty/whitespace-only docs."""
+    rng = np.random.default_rng(3)
+    texts = ["", "  ", "one", "a b c", "the quick brown fox " * 3]
+    texts += [" ".join("tok%d" % rng.integers(0, 50)
+                       for _ in range(int(rng.integers(0, 40))))
+              for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    got = np.asarray(dedup.SimHasher("text")(t).column("simhash"), np.uint64)
+    ref = np.array([dedup.simhash64(x) for x in texts], np.uint64)
+    assert (got == ref).all()
+
+
 def test_ngram_jaccard():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
