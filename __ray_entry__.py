@@ -107,8 +107,8 @@ def q_tail_orders(sf):
 
 def q_sort_topk(sf):
     ds = _t(sf, "lineitem").select_columns(["l_extendedprice", "l_orderkey", "l_linenumber"])
-    return sorting.sort(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
-                        descending=[True, False, False]).limit(100)
+    return sorting.topk(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                        100, descending=[True, False, False])
 
 
 def q_dedup_keep_first(sf):

@@ -161,8 +161,8 @@ def run_queries() -> dict[str, float]:
     @timed("sort_topk")
     def _topk():
         ds = nio.read_parquet(li, columns=["l_extendedprice", "l_orderkey", "l_linenumber"])
-        sorting.sort(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
-                     descending=[True, False, False]).limit(100).to_pandas()
+        sorting.topk(ds, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                     100, descending=[True, False, False]).to_pandas()
 
     @timed("merge_broadcast")
     def _merge_b():

@@ -151,6 +151,38 @@ def sort(
     return out.drop_columns(key_names + null_names)
 
 
+def topk(
+    ds: rd.Dataset,
+    columns: list[str] | str,
+    k: int,
+    descending: list[bool] | bool = False,
+    nulls: str = "last",
+) -> rd.Dataset:
+    """Top-k rows by sort order WITHOUT a global sort: each block keeps
+    its own top k (vectorized ``pc.sort_indices``), then the surviving
+    ≤ k·num_blocks rows take a final (tiny) range sort + limit.
+
+    At scale this replaces the all-to-all exchange of a full sort with a
+    map-side reduction to k rows per block. Null keys honor ``nulls``
+    (first|last) in both passes."""
+    names = ds.schema().names
+    if isinstance(columns, str):
+        columns = [c.strip() for c in columns.split(",") if c.strip()]
+    columns = [resolve_column(names, c) for c in columns]
+    if isinstance(descending, bool):
+        descending = [descending] * len(columns)
+    keys = [(c, "descending" if d else "ascending")
+            for c, d in zip(columns, descending)]
+    placement = "at_start" if nulls == "first" else "at_end"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=keys, null_placement=placement)
+        return batch.take(idx.slice(0, min(k, len(idx))))
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return sort(part, columns, descending=descending, nulls=nulls).limit(k)
+
+
 def shuffle(ds: rd.Dataset, seed: int | None = None) -> rd.Dataset:
     """Seeded distributed shuffle — replaces the reference's
     full-materialize Fisher-Yates (src/commands/shuffle.rs:33-131)."""

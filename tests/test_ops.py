@@ -200,6 +200,24 @@ def test_sort_custom_date_format():
     assert list(out["d"]) == ["12/31/2023", "01/15/2024", "02/01/2024", "junk"]
 
 
+def test_topk_equals_sort_limit(lineitem):
+    """Per-block partial top-k + tiny final sort must equal the full
+    global sort + limit, including with null keys."""
+    cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    a = _pdf(sorting.sort(lineitem.select_columns(cols), cols,
+                          descending=[True, False, False]).limit(50))
+    b = _pdf(sorting.topk(lineitem.select_columns(cols), cols, 50,
+                          descending=[True, False, False]))
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    t = pa.table({"v": [3.0, None, 1.0, None, 2.0, 5.0], "tag": list("abcdef")})
+    got = _pdf(sorting.topk(rd.from_arrow(t).repartition(3), ["v"], 3,
+                            nulls="first"))
+    assert got["v"].isna().tolist() == [True, True, False]
+    got2 = _pdf(sorting.topk(rd.from_arrow(t).repartition(3), ["v"], 3,
+                             descending=True, nulls="last"))
+    assert got2["v"].tolist() == [5.0, 3.0, 2.0]
+
+
 def test_sort_multi(lineitem):
     out = _pdf(sorting.sort(lineitem, ["l_returnflag", "l_quantity"],
                             descending=[False, True]).limit(50))
