@@ -299,6 +299,15 @@ def main(argv: list[str] | None = None) -> int:
                           "p_fisher", round(r["fisher_p"], 6))
         elif args.method == "pearson":
             print(aggregates.pearson_matrix(ds, cols).to_string())
+        elif args.p_values:
+            fn = (aggregates.spearman_with_p if args.method == "spearman"
+                  else aggregates.kendall_with_p)
+            c = cols or aggregates._numeric_cols(aggregates._schema(ds))
+            for i, a in enumerate(c):
+                for b in c[i + 1:]:
+                    r = fn(ds, a, b)
+                    stat = r.get("rho", r.get("tau"))
+                    print(a, b, round(stat, 6), "p", round(r["p_value"], 6))
         else:
             fn = aggregates.spearman if args.method == "spearman" else aggregates.kendall
             c = cols or aggregates._numeric_cols(aggregates._schema(ds))

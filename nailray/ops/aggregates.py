@@ -316,6 +316,33 @@ def pearson_with_p(ds: rd.Dataset, x: str, y: str) -> dict:
             "fisher_z": float(z), "fisher_p": float(fisher_p)}
 
 
+def spearman_with_p(ds: rd.Dataset, x: str, y: str,
+                    per_batch_sample: int = 4096) -> dict:
+    """Spearman rho with the t-approximation p-value
+    (t = ρ·√((n−2)/(1−ρ²)), df = n−2 — the standard large-n test)."""
+    n = ds.count()
+    rho = spearman(ds, x, y, per_batch_sample)
+    if n < 3 or math.isnan(rho) or abs(rho) >= 1.0:
+        p = 0.0 if (not math.isnan(rho) and abs(rho) >= 1.0 and n >= 3) else float("nan")
+        return {"rho": rho, "n": n, "p_value": p}
+    t = rho * math.sqrt((n - 2) / (1.0 - rho * rho))
+    return {"rho": rho, "n": n, "p_value": t_sf_two_tailed(t, n - 2)}
+
+
+def kendall_with_p(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000,
+                   seed: int = 42) -> dict:
+    """Kendall tau-a with the normal-approximation p-value
+    (z = 3τ·√(n(n−1)) / √(2(2n+5))); n is the sampled row count."""
+    total = ds.count()
+    n = min(total, sample_rows)
+    tau = kendall(ds, x, y, sample_rows=sample_rows, seed=seed)
+    if n < 2 or math.isnan(tau):
+        return {"tau": tau, "n": n, "p_value": float("nan")}
+    z = 3.0 * tau * math.sqrt(n * (n - 1)) / math.sqrt(2.0 * (2 * n + 5))
+    return {"tau": tau, "n": n,
+            "p_value": math.erfc(abs(z) / math.sqrt(2.0))}
+
+
 def _cdf_rank_fn(ds: rd.Dataset, col: str, per_batch_sample: int = 4096):
     """Sampled empirical CDF → approximate global rank function.
 

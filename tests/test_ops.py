@@ -485,6 +485,22 @@ def test_t_pvalue_math():
         assert abs(aggregates.t_sf_two_tailed(t, df) - 2 * tail) < 1e-5, (t, df)
 
 
+def test_rank_correlation_p_values():
+    n = 60
+    x = np.arange(n, dtype=np.float64)
+    rng = np.random.default_rng(9)
+    y = x + rng.standard_normal(n) * 25
+    ds = rd.from_arrow(pa.table({"x": x, "y": y}))
+    s = aggregates.spearman_with_p(ds, "x", "y", per_batch_sample=1 << 30)
+    assert -1 <= s["rho"] <= 1 and 0 <= s["p_value"] <= 1
+    k = aggregates.kendall_with_p(ds, "x", "y", sample_rows=n)
+    assert -1 <= k["tau"] <= 1 and 0 <= k["p_value"] <= 1
+    # monotone data → strong correlation, tiny p on both tests
+    ds2 = rd.from_arrow(pa.table({"x": x, "y": x * 2}))
+    assert aggregates.spearman_with_p(ds2, "x", "y", per_batch_sample=1 << 30)["p_value"] < 1e-6
+    assert aggregates.kendall_with_p(ds2, "x", "y", sample_rows=n)["p_value"] < 1e-6
+
+
 def test_pearson_with_p():
     n = 40
     x = np.arange(n, dtype=np.float64)
