@@ -957,4 +957,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _lsh_oracle_sql(),
         "quality_docs": _quality_oracle_sql(),
         "langid_docs": _langid_oracle_sql(),
+        # replicates sample_stratified exactly: proportional alloc with
+        # truncation, remainder to largest categories (cnt desc, name),
+        # then the seeded multiplicative id-hash threshold per category
+        "stratified_sample": (
+            "WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang), "
+            "a AS (SELECT lang, cnt, CAST(FLOOR(100.0 * cnt / "
+            "(SELECT SUM(cnt) FROM c)) AS BIGINT) AS base FROM c), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, "
+            "CAST(lang AS VARCHAR)) AS rk FROM a), "
+            "f AS (SELECT lang, cnt, base + CASE WHEN rk <= 100 - "
+            "(SELECT SUM(base) FROM a) THEN 1 ELSE 0 END AS alloc FROM r) "
+            f"SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang "
+            f"WHERE CAST((d.doc_id * {HASH_MULT} + 3) % {HASH_MOD} AS DOUBLE) "
+            f"< (CAST(f.alloc AS DOUBLE) / f.cnt) * {HASH_MOD}"),
     }
