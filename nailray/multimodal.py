@@ -95,6 +95,67 @@ def extract_features(ds: rd.Dataset, feature_dim: int = 64,
     )
 
 
+class ImageResizer:
+    """Actor-pool resize stage. The real pixel kernel is gated on PIL
+    (absent in this container); the default deterministic stand-in
+    replaces the payload with resolution-tagged bytes so the Ray-side
+    plumbing — schema, metadata (width/height) updates, batch sizing,
+    arrow in/out — is fully real and testable."""
+
+    def __init__(self, target_w: int, target_h: int,
+                 payload_col: str = "payload", real_decode: bool = False):
+        self.w = int(target_w)
+        self.h = int(target_h)
+        self.payload_col = payload_col
+        self.real_decode = real_decode
+        if real_decode:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real resize requires PIL, not available in this "
+                    "environment; use the deterministic stand-in"
+                ) from e
+
+    def _resize_payload(self, payload: bytes) -> bytes:
+        if self.real_decode:  # pragma: no cover - PIL absent here
+            import io as _io
+
+            from PIL import Image
+
+            img = Image.open(_io.BytesIO(payload)).resize((self.w, self.h))
+            out = _io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue()
+        tag = b"resized:%dx%d:" % (self.w, self.h)
+        return tag + hashlib.blake2b(payload, digest_size=16).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        new = [self._resize_payload(p)
+               for p in batch.column(self.payload_col).to_pylist()]
+        n = batch.num_rows
+        batch = batch.set_column(
+            batch.column_names.index(self.payload_col), self.payload_col,
+            pa.array(new, pa.large_binary()))
+        batch = batch.set_column(batch.column_names.index("width"), "width",
+                                 pa.array(np.full(n, self.w, np.int32)))
+        return batch.set_column(batch.column_names.index("height"), "height",
+                                pa.array(np.full(n, self.h, np.int32)))
+
+
+def resize_images(ds: rd.Dataset, target_w: int, target_h: int,
+                  batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """Resize stage: small batches (large payloads), actor pool."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(target_w, target_h),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
     """Video frame sampling stand-in: keeps every n-th media row
     deterministically (by media_id)."""

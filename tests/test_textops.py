@@ -210,10 +210,19 @@ def test_multimodal_plumbing():
     assert list(f0[0]) == list(f1[0])
     sampled = multimodal.frame_sample(ds, every_n=10)
     assert sampled.count() == 10
+    # resize: metadata updated, payload deterministically transformed
+    rz = to_arrow(multimodal.resize_images(ds, 64, 48, batch_size=32)).to_pandas()
+    assert (rz["width"] == 64).all() and (rz["height"] == 48).all()
+    assert rz["payload"].map(lambda p: p.startswith(b"resized:64x48:")).all()
+    rz2 = to_arrow(multimodal.resize_images(ds, 64, 48, batch_size=16)).to_pandas()
+    assert rz.set_index("media_id")["payload"].to_dict() == \
+        rz2.set_index("media_id")["payload"].to_dict()
     # stub decode raises cleanly without the imaging lib
     import pytest
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"notanimage")
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageResizer(32, 32, real_decode=True)
 
 
 def test_ann_ivf(sf_dir):
