@@ -476,7 +476,7 @@ def _route_file_impl(path: str, plan: PartitionPlan, done: frozenset):
         pid = int(part[s])
         if pid in done:
             continue
-        out[pid] = ray.put(t.slice(int(s), int(e - s)))
+        out[pid] = (ray.put(t.slice(int(s), int(e - s))), int(e - s))
     return out
 
 
@@ -499,11 +499,16 @@ def _direct_exchange_encode(paths, plan, out_dir, completed, chunk_rows,
     done = frozenset(completed)
     routes = ray.get([route.remote(p, plan_ref, done) for p in paths])
     by_pid: dict[int, list] = {}
+    sizes: dict[int, int] = {}
     for d in routes:
-        for pid, ref in d.items():
+        for pid, (ref, n_rows) in d.items():
             by_pid.setdefault(pid, []).append(ref)
-    futures = [encode.remote(out_dir, refs, chunk_rows, chunk_bytes)
-               for refs in by_pid.values()]
+            sizes[pid] = sizes.get(pid, 0) + n_rows
+    # largest partitions first: longest-processing-time-first scheduling
+    # keeps the final wave from being quantized by one big straggler
+    order = sorted(by_pid, key=lambda p: -sizes[p])
+    futures = [encode.remote(out_dir, by_pid[pid], chunk_rows, chunk_bytes)
+               for pid in order]
     return ray.get(futures)
 
 
