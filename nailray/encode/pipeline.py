@@ -81,56 +81,81 @@ def _read_blocks() -> int:
     return int(ray.cluster_resources().get("CPU", 8)) * 2
 
 
+def _file_stats_impl(path: str) -> dict:
+    """One task per input file: repo value counts (column-pruned read),
+    footer row count, footer content-bytes, file size — everything the
+    planner needs in ONE parallel pass (replaces a Ray Data pipeline
+    plus two serial driver footer loops)."""
+    t = pq.read_table(path, columns=["repo"])
+    vc = pc.value_counts(t.column("repo").combine_chunks())
+    repos = {s["values"]: int(s["counts"]) for s in vc.to_pylist()}
+    md = pq.ParquetFile(path).metadata
+    content_bytes = 0
+    for rg in range(md.num_row_groups):
+        r = md.row_group(rg)
+        for ci in range(r.num_columns):
+            c = r.column(ci)
+            if c.path_in_schema == "content":
+                content_bytes += c.total_uncompressed_size
+    return {"file": path, "bytes": os.path.getsize(path),
+            "num_rows": md.num_rows, "repo_rows": repos,
+            "content_bytes": content_bytes}
+
+
+def _gather_file_stats(paths) -> list[dict]:
+    import ray
+
+    task = ray.remote(num_cpus=1)(_file_stats_impl)
+    return ray.get([task.remote(p) for p in paths])
+
+
 def repo_sizes(input_paths, exact_bytes: bool = False) -> tuple[dict[str, int], dict[str, int]]:
     """Per-repo (rows, bytes) for partition planning.
 
-    Default: scan ONLY the ``repo`` column (column-pruned read) for row
-    counts and take the average content bytes/row from the parquet
-    footers — no content scan. ``exact_bytes=True`` scans content
-    lengths too (use when per-repo size skew within rows matters more
-    than the extra pass)."""
+    Default: one raw task per file reads ONLY the ``repo`` column and
+    the footer; per-repo bytes = rows × average content bytes/row from
+    the footers — no content scan, no Dataset-pipeline fixed cost.
+    ``exact_bytes=True`` scans content lengths too (use when per-repo
+    size skew within rows matters more than the extra pass)."""
     paths = _expand_paths(input_paths)
-    cols = ["repo", "content"] if exact_bytes else ["repo"]
-    ds = rd.read_parquet(paths, columns=cols, override_num_blocks=_read_blocks())
+    if exact_bytes:
+        ds = rd.read_parquet(paths, columns=["repo", "content"],
+                             override_num_blocks=_read_blocks())
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if exact_bytes:
+        def partial(batch: pa.Table) -> pa.Table:
             lens = pc.binary_length(batch.column("content")).cast(pa.int64())
-        else:
-            lens = pa.array(np.zeros(len(batch), np.int64))
-        t = pa.table({
-            "repo": batch.column("repo"),
-            "rows": pa.array(np.ones(len(batch), np.int64)),
-            "bytes": lens,
-        })
-        return _repo_partials(t)
+            t = pa.table({
+                "repo": batch.column("repo"),
+                "rows": pa.array(np.ones(len(batch), np.int64)),
+                "bytes": lens,
+            })
+            return _repo_partials(t)
 
-    # repo cardinality ≪ rows (one partial row per repo per block), so the
-    # final combine is a DRIVER-side dict merge over streamed partials —
-    # no groupby exchange (a fixed ~2 s of shuffle overhead at any scale)
+        rows: dict[str, int] = {}
+        bts: dict[str, int] = {}
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(),
+                                b["bytes"].to_pylist()):
+                rows[r] = rows.get(r, 0) + int(n)
+                bts[r] = bts.get(r, 0) + int(by)
+        return rows, bts
+
+    stats = _gather_file_stats(paths)
+    return _merge_repo_stats(stats)
+
+
+def _merge_repo_stats(stats: list[dict]) -> tuple[dict[str, int], dict[str, int]]:
     rows: dict[str, int] = {}
-    bts: dict[str, int] = {}
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for r, n, by in zip(b["repo"].to_pylist(), b["rows"].to_pylist(),
-                            b["bytes"].to_pylist()):
-            rows[r] = rows.get(r, 0) + int(n)
-            bts[r] = bts.get(r, 0) + int(by)
-    if not exact_bytes:
-        # footer metadata: uncompressed content bytes / rows → avg row cost
-        tot_bytes = 0
-        tot_rows = 0
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            tot_rows += md.num_rows
-            for rg in range(md.num_row_groups):
-                r = md.row_group(rg)
-                for ci in range(r.num_columns):
-                    c = r.column(ci)
-                    if c.path_in_schema == "content":
-                        tot_bytes += c.total_uncompressed_size
-        avg = tot_bytes / max(tot_rows, 1)
-        bts = {r: int(n * avg) for r, n in rows.items()}
+    tot_bytes = 0
+    tot_rows = 0
+    for s in stats:
+        for r, n in s["repo_rows"].items():
+            rows[r] = rows.get(r, 0) + n
+        tot_bytes += s["content_bytes"]
+        tot_rows += s["num_rows"]
+    avg = tot_bytes / max(tot_rows, 1)
+    bts = {r: int(n * avg) for r, n in rows.items()}
     return rows, bts
 
 
@@ -536,8 +561,11 @@ def encode_dataset(
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
 
-    frags = [{"file": p, "bytes": os.path.getsize(p),
-              "num_rows": pq.ParquetFile(p).metadata.num_rows} for p in paths]
+    # one parallel per-file pass yields the fragment lineage AND the
+    # planner's per-repo stats (no serial footer loops on the driver)
+    stats = _gather_file_stats(paths)
+    frags = [{"file": s["file"], "bytes": s["bytes"], "num_rows": s["num_rows"]}
+             for s in stats]
     completed = mf.load_completed(out_dir) if resume else {}
     skipped = sorted(completed)
 
@@ -570,7 +598,7 @@ def encode_dataset(
                 "plan governs a resumed run — omit the argument or start fresh")
 
     if plan is None:
-        rows, bts = repo_sizes(paths)
+        rows, bts = _merge_repo_stats(stats)
         if target_partition_bytes is None:
             import ray
 
