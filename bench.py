@@ -303,7 +303,7 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def best(ncpu: int, repeats: int = 2) -> dict:
+    def best(ncpu: int, repeats: int = 3) -> dict:
         """Best-of-N throughput per level: the VM has ±30-50% noisy-neighbor
         variance; max-throughput-over-repeats is the standard way to
         measure capacity rather than interference."""

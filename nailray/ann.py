@@ -29,8 +29,16 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return vals.reshape(0, 0)
-    if vals.size % n == 0 and arr.null_count == 0:
-        return vals.reshape(n, vals.size // n)
+    if arr.null_count == 0:
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(pc.list_value_length(arr))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        # rows must ALL be the same length — a bare divisibility check
+        # would silently mis-reshape ragged rows whose total happens to
+        # divide evenly
+        if lo == hi and hi is not None:
+            return vals.reshape(n, int(hi))
     return np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
 
 

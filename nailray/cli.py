@@ -168,11 +168,10 @@ def main(argv: list[str] | None = None) -> int:
         if is_parquet:  # footer fast path (src/commands/tail.rs:28-78)
             total = nio.parquet_num_rows(args.input)
             _output(projection.tail(ds, total, args.n), args, args.n)
-        else:  # CSV/JSON fallback: count() then tail of the bounded result
+        else:  # CSV/JSON fallback: streaming sliding-window tail (bounded)
             import ray.data as _rd
 
-            pdf = ds.to_pandas().tail(args.n)
-            _output(_rd.from_pandas(pdf.reset_index(drop=True)), args, args.n)
+            _output(_rd.from_arrow(nio.tail_any(ds, args.n)), args, args.n)
     elif cmd == "count":
         print(ds.count())
     elif cmd == "headers":
@@ -248,7 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 import ray.data as _rd
 
-                out = _rd.from_pandas(ds.to_pandas().tail(args.n).reset_index(drop=True))
+                out = _rd.from_arrow(nio.tail_any(ds, args.n))
         elif args.method == "stratified":
             out = sampling.sample_stratified(ds, args.stratify_by, args.n,
                                              args.id_column, seed=args.random or 42)
@@ -291,12 +290,9 @@ def main(argv: list[str] | None = None) -> int:
     elif cmd == "correlations":
         cols = args.columns.split(",") if args.columns else None
         if args.method == "pearson" and args.p_values:
-            c = cols or aggregates._numeric_cols(aggregates._schema(ds))
-            for i, a in enumerate(c):
-                for b in c[i + 1:]:
-                    r = aggregates.pearson_with_p(ds, a, b)
-                    print(a, b, round(r["r"], 6), "p_t", round(r["p_value"], 6),
-                          "p_fisher", round(r["fisher_p"], 6))
+            for (a, b), r in aggregates.pearson_with_p_all(ds, cols).items():
+                print(a, b, round(r["r"], 6), "p_t", round(r["p_value"], 6),
+                      "p_fisher", round(r["fisher_p"], 6))
         elif args.method == "pearson":
             print(aggregates.pearson_matrix(ds, cols).to_string())
         elif args.p_values:
@@ -338,6 +334,8 @@ def main(argv: list[str] | None = None) -> int:
             out = aggregates.fill_directional(ds, cols, args.method)
         _output(out, args)
     elif cmd == "optimize-parquet":
+        if args.dictionary and args.no_dictionary:
+            raise SystemExit("--dictionary and --no-dictionary are mutually exclusive")
         out_dir = args.output or (args.input.rstrip("/") + ".optimized")
         nio.optimize_parquet(
             ds, out_dir, compression=args.compression,

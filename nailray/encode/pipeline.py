@@ -483,26 +483,35 @@ def _encode_packed_group(group: pa.Table, out_dir: str, chunk_rows: int,
 
 
 def _route_file_impl(path: str, plan: PartitionPlan, done: frozenset):
-    import ray
+    """Dynamic-return routing task: FIRST yield is the (pid, n_rows)
+    manifest, then one yield per partition slice, in that order.
 
+    Returning slices as task outputs (num_returns="dynamic") — instead
+    of worker-owned ``ray.put`` objects — makes them driver-owned and
+    LINEAGE-RECONSTRUCTABLE: if a worker holding a slice dies before the
+    encode task consumes it, Ray re-executes this (deterministic) task
+    rather than failing the job."""
     t = pq.read_table(path)
     t = PartitionAssigner(plan)(t)
     part = np.asarray(t.column("part_id"))
-    if len(part) == 0:
-        return {}
-    order = np.argsort(part, kind="stable")
-    t = t.take(pa.array(order))
-    part = part[order]
-    cuts = np.flatnonzero(np.diff(part)) + 1
-    starts = np.concatenate([[0], cuts])
-    ends = np.concatenate([cuts, [len(part)]])
-    out = {}
-    for s, e in zip(starts, ends):
-        pid = int(part[s])
-        if pid in done:
-            continue
-        out[pid] = (ray.put(t.slice(int(s), int(e - s))), int(e - s))
-    return out
+    slices = []
+    metas = []
+    if len(part):
+        order = np.argsort(part, kind="stable")
+        t = t.take(pa.array(order))
+        part = part[order]
+        cuts = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(part)]])
+        for s, e in zip(starts, ends):
+            pid = int(part[s])
+            if pid in done:
+                continue
+            metas.append((pid, int(e - s)))
+            slices.append(t.slice(int(s), int(e - s)))
+    yield metas
+    for sub in slices:
+        yield sub
 
 
 def _encode_part_impl(out_dir: str, refs: list, chunk_rows: int, chunk_bytes: int):
@@ -518,15 +527,17 @@ def _direct_exchange_encode(paths, plan, out_dir, completed, chunk_rows,
     """Route → gather → encode via raw Ray tasks; returns summary rows."""
     import ray
 
-    route = ray.remote(num_cpus=1)(_route_file_impl)
+    route = ray.remote(num_cpus=1, num_returns="dynamic")(_route_file_impl)
     encode = ray.remote(num_cpus=1)(_encode_part_impl)
     plan_ref = ray.put(plan)
     done = frozenset(completed)
-    routes = ray.get([route.remote(p, plan_ref, done) for p in paths])
+    gens = ray.get([route.remote(p, plan_ref, done) for p in paths])
     by_pid: dict[int, list] = {}
     sizes: dict[int, int] = {}
-    for d in routes:
-        for pid, (ref, n_rows) in d.items():
+    for gen in gens:
+        refs = list(gen)
+        metas = ray.get(refs[0])
+        for (pid, n_rows), ref in zip(metas, refs[1:]):
             by_pid.setdefault(pid, []).append(ref)
             sizes[pid] = sizes.get(pid, 0) + n_rows
     # largest partitions first: longest-processing-time-first scheduling
@@ -557,7 +568,11 @@ def encode_dataset(
     ``target_partition_bytes=None`` sizes partitions adaptively:
     ~3 partitions per CPU (good load balance without tiny-file
     overhead), clamped to [4 MiB, 256 MiB] — at cluster scale the
-    256 MiB cap dominates and bounds per-actor memory."""
+    256 MiB cap dominates and bounds per-actor memory.
+
+    ``concurrency`` applies to the sort/packed exchanges' map stage;
+    the default direct exchange schedules one task per fragment /
+    partition (capped by cluster CPUs via num_cpus=1)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
 
@@ -619,7 +634,8 @@ def encode_dataset(
         ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
         stage_cls = PartitionPacker if exchange == "packed" else PartitionAssigner
         ds = ds.map_batches(stage_cls, fn_constructor_args=(plan,),
-                            batch_format="pyarrow", concurrency=(1, 16))
+                            batch_format="pyarrow",
+                            concurrency=concurrency or (1, 16))
         if completed:
             done = pa.array(list(completed), pa.int32())
 

@@ -206,6 +206,27 @@ def write_xlsx(ds: rd.Dataset, path: str) -> None:
     wb.save(path)
 
 
+def tail_any(ds: rd.Dataset, n: int) -> pa.Table:
+    """Last N rows by dataset order for ANY source, with bounded driver
+    memory: stream batches keeping only a sliding window of ≥ N rows
+    (never materializes the dataset, unlike a to_pandas().tail())."""
+    from collections import deque
+
+    kept: deque[pa.Table] = deque()
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        kept.append(b)
+        total += b.num_rows
+        while kept and total - kept[0].num_rows >= n:
+            total -= kept.popleft().num_rows
+    if not kept:
+        return to_arrow(ds.limit(0))
+    t = pa.concat_tables(kept, promote_options="default")
+    return t.slice(max(t.num_rows - n, 0))
+
+
 def optimize_parquet(ds: rd.Dataset, out_path: str, compression: str = "snappy",
                      compression_level: int = 6, sort_by: str | None = None,
                      use_dictionary: bool = True,

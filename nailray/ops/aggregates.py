@@ -290,7 +290,22 @@ def pearson_with_p(ds: rd.Dataset, x: str, y: str) -> dict:
     Engine extra beyond the reference's bare CORR() output
     (src/utils/stats.rs:477-496); formulas are the classical ones."""
     acc = correlation_partials(ds, [x, y])
-    d = next(iter(acc.values()))
+    return _p_from_partial(next(iter(acc.values())))
+
+
+def pearson_with_p_all(ds: rd.Dataset, columns: list[str] | None = None) -> dict[tuple, dict]:
+    """All-pairs Pearson r + p-values from ONE dataset pass (the
+    per-pair API would rescan the dataset per column pair)."""
+    cols = columns or _numeric_cols(_schema(ds))
+    acc = correlation_partials(ds, cols)
+    out = {}
+    for key, d in acc.items():
+        a, b = key.split("|")
+        out[(a, b)] = _p_from_partial(d)
+    return out
+
+
+def _p_from_partial(d: dict) -> dict:
     n = int(d["n"])
     if n < 3:
         return {"r": float("nan"), "n": n, "t": float("nan"),

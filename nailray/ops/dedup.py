@@ -29,18 +29,32 @@ def dedup_rows(
         return ds  # reference: empty column spec → no-op
 
     # Scale shape: shuffle only (keys..., order_column) — a projection —
-    # through the groupby; pick the winning order id per key combo with a
-    # pre-combined Min/Max aggregate, then broadcast the winner id set and
-    # filter the original rows in place (full rows never enter a shuffle).
+    # through the groupby; pick the winning order value per key combo
+    # with a pre-combined Min/Max aggregate, then broadcast the winner
+    # TABLE and filter rows with an exact per-batch merge on the keys
+    # (full rows never enter a shuffle). The merge — not a bare order-
+    # value semi join — keeps correctness when order values repeat
+    # across groups; pandas merge matches null keys like the groupby.
+    import pandas as pd
+    import ray as _ray
     from ray.data.aggregate import Max, Min
-
-    from .combine import semi_join
 
     agg = Min if keep == "first" else Max
     winners = (ds.select_columns(keys + [order_column])
                .groupby(keys)
                .aggregate(agg(order_column, alias_name="__keep_id")))
-    return semi_join(ds, winners, order_column, "__keep_id")
+    wdf = pa.concat_tables(
+        [b for b in winners.iter_batches(batch_format="pyarrow")],
+        promote_options="default").to_pandas()
+    ref = _ray.put(wdf)
+
+    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+        w = _ray.get(ref)
+        m = batch.merge(w, on=keys, how="left")
+        mask = (m["__keep_id"].to_numpy() == batch[order_column].to_numpy())
+        return batch[mask]
+
+    return ds.map_batches(keep_winners, batch_format="pandas")
 
 
 def dedup_columns(ds: rd.Dataset, keep: str = "first") -> rd.Dataset:

@@ -91,7 +91,7 @@ def sort(
     columns: list[str] | str,
     descending: list[bool] | bool = False,
     strategies: list[str] | None = None,
-    nulls: str = "first",
+    nulls: str = "last",
     case_insensitive: bool = False,
     date_format: str | None = None,
     hour_format: str | None = None,
@@ -99,9 +99,10 @@ def sort(
     """Distributed range-partition sort with strategy-derived key columns
     added via map_batches, dropped after (src/commands/sort.rs:109-223).
 
-    nulls: first | last | skip (skip = pre-filter null keys). Null
-    placement is enforced with an explicit leading is-null key per sort
-    key (reference sort.rs:91-107 nulls_first default 'first'); it
+    nulls: first | last | skip (skip = pre-filter null keys); the
+    default 'last' matches the reference CLI default
+    (sort.rs SortArgs --nulls default_value "last"). Placement is
+    enforced with an explicit leading is-null key per sort key; it
     applies to nulls PRODUCED by the key expression too (failed numeric
     casts, unparseable dates)."""
     if nulls not in ("first", "last", "skip"):
@@ -112,7 +113,16 @@ def sort(
     columns = [resolve_column(names, c) for c in columns]
     if isinstance(descending, bool):
         descending = [descending] * len(columns)
-    strategies = strategies or ["auto"] * len(columns)
+    # pad short per-column lists with defaults (reference clap semantics:
+    # missing entries fall back) — zip truncation would silently DROP
+    # trailing sort keys
+    descending = list(descending) + [False] * (len(columns) - len(descending))
+    if len(descending) > len(columns):
+        raise ValueError(f"{len(descending)} descending flags for "
+                         f"{len(columns)} sort columns")
+    strategies = list(strategies or []) + ["auto"] * (len(columns) - len(strategies or []))
+    if len(strategies) > len(columns):
+        raise ValueError(f"{len(strategies)} strategies for {len(columns)} sort columns")
     for s in strategies:
         if s not in _STRATEGIES:
             raise ValueError(f"unknown sort strategy {s!r}")

@@ -391,11 +391,12 @@ class SimHasher:
         nonempty = counts > 0
         acc = np.zeros((len(docs), 64), np.int64)
         if nonempty.any() and len(flat):
-            # reduceat needs strictly valid offsets; empty docs share the
-            # next doc's start and are zeroed after
-            safe = np.minimum(offsets, max(len(flat) - 1, 0))
-            acc_all = np.add.reduceat(votes, safe, axis=0)
-            acc[nonempty] = acc_all[nonempty]
+            # reduceat over NONEMPTY docs' offsets only: consecutive
+            # nonempty offsets bound each segment exactly (empty docs in
+            # between contribute no tokens), and every such offset is a
+            # valid index — no clamping, so a trailing empty doc can no
+            # longer steal the previous doc's last token vote
+            acc[nonempty] = np.add.reduceat(votes, offsets[nonempty], axis=0)
         bits = (acc > 0).astype(np.uint64)
         vals = (bits * (np.uint64(1) << shifts[None, :])).sum(axis=1, dtype=np.uint64)
         return batch.append_column(self.out_col, pa.array(vals))
