@@ -72,3 +72,24 @@ def test_count_and_convert(corpus_dir, tmp_path):
     nio.write_csv(nio.read_parquet(src), out_csv)
     back = nio.read_csv(out_csv)
     assert back.count() == nio.parquet_num_rows(src)
+
+
+def test_tail_any_streaming(tmp_path):
+    """tail_any keeps only a sliding window of batches (bounded driver
+    memory) and returns the last N rows in order for any source."""
+    import csv
+
+    import ray.data as rd
+
+    p = tmp_path / "t.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["i"])
+        for i in range(1000):
+            w.writerow([i])
+    out = nio.tail_any(rd.read_csv(str(p)), 3)
+    assert out.column("i").to_pylist() == [997, 998, 999]
+    # n larger than the dataset returns everything
+    assert nio.tail_any(rd.read_csv(str(p)), 5000).num_rows == 1000
+    # empty dataset
+    assert nio.tail_any(rd.read_csv(str(p)).filter(lambda r: False), 3).num_rows == 0

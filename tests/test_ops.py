@@ -535,3 +535,34 @@ def test_semi_anti_join(sf_dir):
     assert anti.count() == orders.count() - n_semi
     # schema unchanged (unlike merge, no column prefixing)
     assert semi.schema().names == orders.schema().names
+
+
+def test_dedup_rows_order_value_collision():
+    """Order values that repeat ACROSS groups must not rescue non-winner
+    rows: the winner filter matches on the key columns, not the bare
+    order value (a semi join on the order value kept a2 here because
+    group b's winner also has o=2)."""
+    t = pa.table({"k": ["a", "a", "b", "b"], "o": pa.array([1, 2, 2, 3], pa.int64()),
+                  "v": pa.array([10, 11, 12, 13], pa.int64())})
+    ds = rd.from_arrow(t).repartition(2)
+    first = _pdf(dedup.dedup_rows(ds, ["k"], order_column="o", keep="first")).sort_values("k")
+    assert list(first["o"]) == [1, 2] and list(first["v"]) == [10, 12]
+    last = _pdf(dedup.dedup_rows(ds, ["k"], order_column="o", keep="last")).sort_values("k")
+    assert list(last["o"]) == [2, 3] and list(last["v"]) == [11, 13]
+
+
+def test_sort_short_descending_and_strategy_lists():
+    """A descending/strategy list shorter than the column list pads with
+    defaults instead of silently dropping trailing sort keys; a longer
+    list raises."""
+    t = pa.table({"a": pa.array([1, 1, 2, 2], pa.int64()),
+                  "b": pa.array([4, 3, 2, 1], pa.int64())})
+    ds = rd.from_arrow(t)
+    out = _pdf(sorting.sort(ds, ["a", "b"], descending=[True]))
+    assert list(out["a"]) == [2, 2, 1, 1] and list(out["b"]) == [1, 2, 3, 4]
+    out = _pdf(sorting.sort(ds, ["a", "b"], strategies=["numeric"]))
+    assert list(out["b"]) == [3, 4, 1, 2]
+    with pytest.raises(ValueError):
+        sorting.sort(ds, ["a"], descending=[True, False])
+    with pytest.raises(ValueError):
+        sorting.sort(ds, ["a"], strategies=["numeric", "numeric"])

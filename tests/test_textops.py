@@ -4,6 +4,7 @@ analysis, ANN, multimodal plumbing."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from nailray import ann, multimodal
@@ -240,3 +241,26 @@ def test_ann_ivf(sf_dir):
     # recall vs brute force at nprobe=4/16 should be decent
     exact = set(A.topk_cosine(ds, q, k=5)["vec_id"])
     assert len(set(got["vec_id"]) & exact) >= 2
+
+
+def test_simhash_trailing_empty_doc():
+    """Batch composition must not change a doc's simhash: a batch whose
+    LAST rows are empty/whitespace previously stole the preceding doc's
+    final token vote (reduceat offset clamping)."""
+    texts = ["alpha beta gamma", ""]
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": texts})
+    got = np.asarray(dedup.SimHasher("text")(t).column("simhash"), np.uint64)
+    assert got[0] == np.uint64(dedup.simhash64(texts[0]))
+    assert got[1] == np.uint64(dedup.simhash64(""))
+
+
+def test_batch_matrix_ragged_guard():
+    """Ragged list columns must never silently reshape into a wrong
+    matrix — even when the total element count divides the row count."""
+    tb = pa.table({"e": pa.array([[1.0, 2.0], [3.0, 4.0, 5.0, 6.0]],
+                                 pa.list_(pa.float64()))})
+    with pytest.raises(ValueError):
+        ann._batch_matrix(tb, "e")
+    ok = pa.table({"e": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))})
+    m = ann._batch_matrix(ok, "e")
+    assert m.shape == (2, 2) and m[1, 0] == 3.0
