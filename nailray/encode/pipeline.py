@@ -41,7 +41,7 @@ from .codecs import fsst as fsst_mod
 from .partition import PartitionAssigner, PartitionPlan, plan_partitions
 from .select import candidates_for
 from .stats import column_stats, entropy_estimate
-from ..io import _expand_paths
+from ..io import _expand_paths, read_parquet as _read_pq
 
 ENC_VERSION = 1
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -119,8 +119,8 @@ def repo_sizes(input_paths, exact_bytes: bool = False) -> tuple[dict[str, int], 
     size skew within rows matters more than the extra pass)."""
     paths = _expand_paths(input_paths)
     if exact_bytes:
-        ds = rd.read_parquet(paths, columns=["repo", "content"],
-                             override_num_blocks=_read_blocks())
+        ds = _read_pq(paths, columns=["repo", "content"],
+                      override_num_blocks=_read_blocks())
 
         def partial(batch: pa.Table) -> pa.Table:
             lens = pc.binary_length(batch.column("content")).cast(pa.int64())
@@ -631,7 +631,7 @@ def encode_dataset(
         summary_rows = _pd.DataFrame(rows_out) if rows_out else _pd.DataFrame(
             {"status": []})
     elif exchange in ("sort", "packed"):
-        ds = rd.read_parquet(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
+        ds = _read_pq(paths, override_num_blocks=max(_read_blocks(), plan.num_partitions))
         stage_cls = PartitionPacker if exchange == "packed" else PartitionAssigner
         ds = ds.map_batches(stage_cls, fn_constructor_args=(plan,),
                             batch_format="pyarrow",
@@ -862,7 +862,7 @@ def content_digest(ds: rd.Dataset) -> dict:
 def verify_bit_identity(input_paths, enc_dir: str) -> dict:
     """decode(encode(T)).content ≡ T.content as a multiset of per-row
     sha256 — the north_rule invariant, computed streaming on both sides."""
-    din = content_digest(rd.read_parquet(_expand_paths(input_paths), columns=["content"]))
+    din = content_digest(_read_pq(input_paths, columns=["content"]))
     dout = content_digest(decode_dataset(enc_dir))
     ok = din == dout
     return {"match": ok, "input": din, "decoded": dout}

@@ -39,9 +39,30 @@ def _expand_paths(paths: str | Iterable[str], suffix: str = ".parquet") -> list[
     return out
 
 
+def _stripped_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
+    """Footer schema with key-value metadata removed, pruned to
+    ``columns``. pyarrow 16's ``hash(Schema)`` raises on pandas-written
+    files (the ``pandas`` metadata dict), which makes every Ray Data
+    schema-dedup/unify step log ``Failed to hash the schemas`` across
+    shuffles; stripping at the read silences it for the whole plan."""
+    try:
+        sch = pq.read_schema(path)
+    except Exception:
+        return None
+    if sch.metadata is None and all(f.metadata is None for f in sch):
+        return None  # already clean — let Ray infer as usual
+    fields = [sch.field(c) for c in columns] if columns else list(sch)
+    return pa.schema([f.remove_metadata() for f in fields])
+
+
 def read_parquet(paths: str | Iterable[str], columns: list[str] | None = None, **kw) -> rd.Dataset:
     """Plain parquet scan with column pruning (no row ids)."""
-    return rd.read_parquet(_expand_paths(paths), columns=columns, **kw)
+    paths = _expand_paths(paths)
+    if "schema" not in kw and paths:
+        sch = _stripped_schema(paths[0], columns)
+        if sch is not None:
+            kw["schema"] = sch
+    return rd.read_parquet(paths, columns=columns, **kw)
 
 
 def read_csv(paths: str | Iterable[str], **kw) -> rd.Dataset:
@@ -93,6 +114,7 @@ class _RowGroupReader:
             if f is None:
                 f = self._open[task["file"]] = pq.ParquetFile(task["file"])
             t = f.read_row_group(task["rg"], columns=self.columns)
+            t = t.replace_schema_metadata(None)  # see _stripped_schema
             rid = pa.array(range(task["offset"] + 1, task["offset"] + 1 + t.num_rows), pa.int64())
             outs.append(t.append_column(ROW_ID, rid))
         return pa.concat_tables(outs, promote_options="default")
