@@ -65,10 +65,17 @@ def run_headline() -> dict:
         # otherwise give the low level fewer/larger partitions, i.e. less work
         enc_kw = ({"target_partition_bytes": 8 << 20}
                   if os.environ.get("NAILRAY_SCALING_MODE") else {})
-        t0 = time.time()
-        summary = epl.encode_dataset(src, out, chunk_rows=16384,
-                                     chunk_bytes=8 << 20, **enc_kw)
-        t_encode = time.time() - t0
+        # best-of-2: the VM has ±30-50% noisy-neighbor variance, so a
+        # single timing measures interference as often as capacity (the
+        # scaling path already does best-of-N for the same reason)
+        t_encode = float("inf")
+        for _ in range(2):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+            t0 = time.time()
+            summary = epl.encode_dataset(src, out, chunk_rows=16384,
+                                         chunk_bytes=8 << 20, **enc_kw)
+            t_encode = min(t_encode, time.time() - t0)
         if os.environ.get("NAILRAY_SCALING_MODE"):
             t_verify = 0.0
             verify = {"match": True}  # verified in the default bench mode

@@ -14,6 +14,7 @@ shuffle moves signatures, not text.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -185,55 +186,53 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
     )
 
 
-def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
-                        bands: int = 16, max_bucket: int = 512,
-                        dedupe: bool = True) -> rd.Dataset:
-    """Explode signatures to (band_id, band_hash) rows; docs sharing a
-    bucket are candidates. Returns (id_a, id_b, est_jaccard) pairs.
+def _pair_partitions(num_partitions: int | None) -> int:
+    """Coarse-partition count for candidate-pair generation. Grouping by
+    a hash partition (tens–hundreds of groups) instead of by individual
+    bucket (one Ray group per bucket, ~100 µs of per-group machinery
+    each) keeps the Ray overhead O(partitions) while the per-bucket work
+    runs at pandas C speed inside each partition. At cluster scale raise
+    this so one partition's exploded rows fit a worker's heap."""
+    if num_partitions:
+        return num_partitions
+    try:
+        import ray
 
-    Dup-heavy-corpus guard (the norm in web crawls): within a bucket,
-    rows with IDENTICAL full signatures are collapsed to the min-id
-    representative first — each such cluster emits O(cluster) star pairs
-    (rep ↔ member, est_jaccard 1.0), not O(cluster²). The remaining
-    distinct-signature representatives pair pairwise, capped at
-    ``max_bucket`` (overflow is logged as dropped coverage)."""
-    rows_per_band = num_perm // bands
+        return max(32, int(ray.cluster_resources().get("CPU", 16)) * 2)
+    except Exception:
+        return 32
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = [np.asarray(s, np.uint64) for s in batch.column("minhash").to_pylist()]
-        out_id, out_band, out_hash, out_sig = [], [], [], []
-        for i, sig in zip(ids, sigs):
-            for bnd in range(bands):
-                seg = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
-                out_id.append(i)
-                out_band.append(bnd)
-                out_hash.append(hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest())
-                out_sig.append(sig.tobytes())
-        return pa.table({id_col: out_id, "band": out_band, "bucket": out_hash,
-                         "sig": pa.array(out_sig, pa.binary())})
 
-    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+def _lsh_pairs_partition(g: pd.DataFrame, id_col: str, max_bucket: int,
+                         min_est: float = 0.0) -> pd.DataFrame:
+    """All candidate pairs within one hash partition of LSH buckets.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
-                              "id_b": pd.Series([], dtype=g[id_col].dtype),
-                              "est_jaccard": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        g = g.sort_values(id_col)
-        a_, b_, j_ = [], [], []
+    ``min_est`` filters pairwise candidates by estimated jaccard AT THE
+    SOURCE — a thresholding consumer (minhash_dedup) would otherwise
+    ship and re-filter every sub-threshold bucket pair."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                          "id_b": pd.Series([], dtype=g[id_col].dtype),
+                          "est_jaccard": pd.Series([], dtype="float64")})
+    # singleton buckets (the vast majority) drop out vectorized before
+    # any per-bucket Python runs
+    sizes = g.groupby(["band", "bucket"])[id_col].transform("size")
+    g = g[sizes.to_numpy() >= 2]
+    if not len(g):
+        return empty
+    a_, b_, j_ = [], [], []
+    for (bnd, _), sub in g.groupby(["band", "bucket"], sort=False):
+        sub = sub.sort_values(id_col)
         rep_ids: list = []
         rep_sigs: list = []
         # identical signatures → star pairs to the min-id rep (linear).
         # Identical sigs co-bucket in EVERY band, so emit the stars only
         # in band 0 — other bands still collapse to the rep but skip the
-        # (16×-duplicated) pair emission.
-        emit_stars = int(g["band"].iloc[0]) == 0
-        for _, sub in g.groupby("sig", sort=False):
-            sub_ids = list(sub[id_col])
+        # (bands×-duplicated) pair emission.
+        emit_stars = int(bnd) == 0
+        for _, ssub in sub.groupby("sig", sort=False):
+            sub_ids = list(ssub[id_col])
             rep_ids.append(sub_ids[0])
-            rep_sigs.append(np.frombuffer(sub["sig"].iloc[0], np.uint64))
+            rep_sigs.append(np.frombuffer(ssub["sig"].iloc[0], np.uint64))
             if emit_stars:
                 for other in sub_ids[1:]:
                     a_.append(sub_ids[0]); b_.append(other); j_.append(1.0)
@@ -250,16 +249,62 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
             iu, ju = np.triu_indices(r, 1)
             est = (m[iu] == m[ju]).mean(axis=1)
             ids_arr = np.asarray(rep_ids)
-            a_.extend(ids_arr[iu].tolist())
-            b_.extend(ids_arr[ju].tolist())
-            j_.extend(est.tolist())
-        if not a_:
-            return empty
-        return pd.DataFrame({"id_a": pd.Series(a_, dtype=g[id_col].dtype),
-                             "id_b": pd.Series(b_, dtype=g[id_col].dtype),
-                             "est_jaccard": pd.Series(j_, dtype="float64")})
+            ok = est >= min_est
+            a_.extend(ids_arr[iu[ok]].tolist())
+            b_.extend(ids_arr[ju[ok]].tolist())
+            j_.extend(est[ok].tolist())
+    if not a_:
+        return empty
+    return pd.DataFrame({"id_a": pd.Series(a_, dtype=g[id_col].dtype),
+                         "id_b": pd.Series(b_, dtype=g[id_col].dtype),
+                         "est_jaccard": pd.Series(j_, dtype="float64")})
 
-    cand = exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
+                        bands: int = 16, max_bucket: int = 512,
+                        dedupe: bool = True,
+                        num_partitions: int | None = None,
+                        min_est: float = 0.0) -> rd.Dataset:
+    """Explode signatures to (band_id, band_hash) rows; docs sharing a
+    bucket are candidates. Returns (id_a, id_b, est_jaccard) pairs.
+
+    The shuffle groups by ``part = bucket mod P`` (see
+    :func:`_pair_partitions`), not by individual bucket — same exchange
+    volume, ~P Ray groups instead of one per bucket.
+
+    Dup-heavy-corpus guard (the norm in web crawls): within a bucket,
+    rows with IDENTICAL full signatures are collapsed to the min-id
+    representative first — each such cluster emits O(cluster) star pairs
+    (rep ↔ member, est_jaccard 1.0), not O(cluster²). The remaining
+    distinct-signature representatives pair pairwise, capped at
+    ``max_bucket`` (overflow is logged as dropped coverage)."""
+    rows_per_band = num_perm // bands
+    n_parts = _pair_partitions(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = [np.asarray(s, np.uint64) for s in batch.column("minhash").to_pylist()]
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for i, sig in zip(ids, sigs):
+            sb = sig.tobytes()
+            for bnd in range(bands):
+                seg = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
+                out_id.append(i)
+                out_band.append(bnd)
+                out_hash.append(int.from_bytes(
+                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"))
+                out_sig.append(sb)
+        hv = np.array(out_hash, dtype=np.uint64)
+        return pa.table({id_col: out_id, "band": out_band,
+                         "bucket": pa.array(hv),
+                         "part": pa.array((hv % n_parts).astype(np.int32)),
+                         "sig": pa.array(out_sig, pa.binary())})
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+    cand = exploded.groupby("part").map_groups(
+        functools.partial(_lsh_pairs_partition, id_col=id_col,
+                          max_bucket=max_bucket, min_est=min_est),
+        batch_format="pandas")
     if not dedupe:
         # downstream union-find is idempotent under duplicate edges —
         # skip the (expensive at 10^5+ pairs) cross-band dedupe shuffle
@@ -287,7 +332,8 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
     (under-merging — some near-dups survive — never wrong drops)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
     pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
-                                max_bucket=max_bucket, dedupe=False)
+                                max_bucket=max_bucket, dedupe=False,
+                                min_est=threshold)
 
     parent: dict = {}
 
@@ -408,43 +454,32 @@ def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash",
                           batch_format="pyarrow", concurrency=concurrency)
 
 
-def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
-                       max_hamming: int = 3, max_bucket: int = 2048) -> rd.Dataset:
-    """Band the 64-bit simhash into 4×16-bit chunks: any pair within
-    hamming ≤ 3 shares at least one exact chunk (pigeonhole).
-
-    Within a bucket, rows with IDENTICAL simhash collapse to the min-id
-    representative (star pairs, hamming 0, linear in cluster size); the
-    distinct reps pair pairwise via a vectorized popcount, capped at
-    ``max_bucket`` with dropped coverage logged."""
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = np.asarray(batch.column("simhash"), np.uint64)
-        out = {"id": [], "band": [], "chunk": [], "simhash": []}
-        for i, h in zip(ids, hs):
-            for bnd in range(4):
-                out["id"].append(i)
-                out["band"].append(bnd)
-                out["chunk"].append(int((int(h) >> (16 * bnd)) & 0xFFFF))
-                out["simhash"].append(int(h))
-        return pa.table(out)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
-                              "id_b": pd.Series([], dtype=g["id"].dtype),
-                              "hamming": pd.Series([], dtype="int64")})
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("id")
-        a_, b_, d_ = [], [], []
+def _simhash_pairs_partition(g: pd.DataFrame, max_hamming: int,
+                             max_bucket: int) -> pd.DataFrame:
+    """All ≤max_hamming pairs within one hash partition of simhash
+    chunk-buckets (same partitioned-group shape as
+    :func:`_lsh_pairs_partition`)."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
+                          "id_b": pd.Series([], dtype=g["id"].dtype),
+                          "hamming": pd.Series([], dtype="int64")})
+    sizes = g.groupby(["band", "chunk"])["id"].transform("size")
+    g = g[sizes.to_numpy() >= 2]
+    if not len(g):
+        return empty
+    a_, b_, d_ = [], [], []
+    for (bnd, _), sub in g.groupby(["band", "chunk"], sort=False):
+        sub = sub.sort_values("id")
         rep_ids: list = []
         rep_hs: list = []
-        for h, sub in g.groupby("simhash", sort=False):
-            sub_ids = list(sub["id"])
+        # identical simhashes co-bucket in every band: stars in band 0 only
+        emit_stars = int(bnd) == 0
+        for h, ssub in sub.groupby("simhash", sort=False):
+            sub_ids = list(ssub["id"])
             rep_ids.append(sub_ids[0])
             rep_hs.append(np.uint64(h))
-            for other in sub_ids[1:]:
-                a_.append(sub_ids[0]); b_.append(other); d_.append(0)
+            if emit_stars:
+                for other in sub_ids[1:]:
+                    a_.append(sub_ids[0]); b_.append(other); d_.append(0)
         r = len(rep_ids)
         if r > max_bucket:
             import logging
@@ -464,14 +499,45 @@ def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
             a_.extend(ids_arr[iu[ok]].tolist())
             b_.extend(ids_arr[ju[ok]].tolist())
             d_.extend(d[ok].astype(np.int64).tolist())
-        if not a_:
-            return empty
-        return pd.DataFrame({"id_a": pd.Series(a_, dtype=g["id"].dtype),
-                             "id_b": pd.Series(b_, dtype=g["id"].dtype),
-                             "hamming": pd.Series(d_, dtype="int64")})
+    if not a_:
+        return empty
+    return pd.DataFrame({"id_a": pd.Series(a_, dtype=g["id"].dtype),
+                         "id_b": pd.Series(b_, dtype=g["id"].dtype),
+                         "hamming": pd.Series(d_, dtype="int64")})
+
+
+def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
+                       max_hamming: int = 3, max_bucket: int = 2048,
+                       num_partitions: int | None = None) -> rd.Dataset:
+    """Band the 64-bit simhash into 4×16-bit chunks: any pair within
+    hamming ≤ 3 shares at least one exact chunk (pigeonhole).
+
+    Within a bucket, rows with IDENTICAL simhash collapse to the min-id
+    representative (star pairs, hamming 0, linear in cluster size); the
+    distinct reps pair pairwise via a vectorized popcount, capped at
+    ``max_bucket`` with dropped coverage logged. Groups shuffle by
+    ``(band, chunk) mod P`` — see :func:`_pair_partitions`."""
+    n_parts = _pair_partitions(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        hs = np.asarray(batch.column("simhash"), np.uint64)
+        idx = np.repeat(np.arange(n), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk = ((hs[idx] >> (band.astype(np.uint64) * np.uint64(16)))
+                 & np.uint64(0xFFFF)).astype(np.int32)
+        part = ((band.astype(np.int64) << 16) | chunk.astype(np.int64)) % n_parts
+        return pa.table({"id": batch.column(id_col).take(pa.array(idx)),
+                         "band": pa.array(band),
+                         "chunk": pa.array(chunk),
+                         "part": pa.array(part.astype(np.int32)),
+                         "simhash": pa.array(hs[idx])})
 
     exploded = ds_with_simhash.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby(["band", "chunk"]).map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("part").map_groups(
+        functools.partial(_simhash_pairs_partition, max_hamming=max_hamming,
+                          max_bucket=max_bucket),
+        batch_format="pandas")
 
     # hamming is identical for a pair across bands → Min aggregate dedupe
     from ray.data.aggregate import Min
@@ -530,20 +596,38 @@ def embedding_near_duplicates(
 
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        g = g.sort_values(id_col)
-        units = [np.asarray(u, np.float32) for u in g["unit"]]
+    n_parts = _pair_partitions(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = np.asarray(batch.column("bucket"), np.int64)
+        return batch.append_column("part", pa.array((bk % n_parts).astype(np.int32)))
+
+    bucketed = bucketed.map_batches(add_part, batch_format="pyarrow")
+    return bucketed.groupby("part").map_groups(
+        functools.partial(_embedding_pairs_partition, id_col=id_col,
+                          threshold=threshold, max_bucket=max_bucket),
+        batch_format="pandas")
+
+
+def _embedding_pairs_partition(g: pd.DataFrame, id_col: str, threshold: float,
+                               max_bucket: int) -> pd.DataFrame:
+    """Cosine-pair generation within one hash partition of LSH buckets."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    sizes = g.groupby("bucket")[id_col].transform("size")
+    g = g[sizes.to_numpy() >= 2]
+    if not len(g):
+        return empty
+    a_, b_, c_ = [], [], []
+    for _, sub in g.groupby("bucket", sort=False):
+        sub = sub.sort_values(id_col)
+        units = [np.asarray(u, np.float32) for u in sub["unit"]]
         # byte-identical vectors → star pairs to the min-id rep (linear)
-        a_, b_, c_ = [], [], []
         seen: dict[bytes, int] = {}
         rep_ids: list = []
         rep_units: list = []
-        for i, u in zip(g[id_col], units):
+        for i, u in zip(sub[id_col], units):
             key = u.tobytes()
             rep = seen.get(key)
             if rep is None:
@@ -569,13 +653,11 @@ def embedding_near_duplicates(
             a_.extend(ids_arr[iu[0][ok]].tolist())
             b_.extend(ids_arr[iu[1][ok]].tolist())
             c_.extend(sims[iu][ok].tolist())
-        if not a_:
-            return empty
-        return pd.DataFrame({"id_a": pd.Series(a_, dtype="int64"),
-                             "id_b": pd.Series(b_, dtype="int64"),
-                             "cosine": pd.Series(c_, dtype="float64")})
-
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    if not a_:
+        return empty
+    return pd.DataFrame({"id_a": pd.Series(a_, dtype="int64"),
+                         "id_b": pd.Series(b_, dtype="int64"),
+                         "cosine": pd.Series(c_, dtype="float64")})
 
 
 # --------------------------------------------------------------------------
