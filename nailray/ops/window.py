@@ -75,8 +75,53 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
             .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
 
 
+def _sessionize_partition(g: pd.DataFrame, key: str, ts_col: str,
+                          value_col: str, gap_s: float,
+                          n_parts: int) -> pd.DataFrame:
+    """Phase 1: sessionize every (key, bucket) group inside one hash
+    partition in ONE vectorized pass — sort by (key, bucket, ts), flag
+    session starts where the key/bucket changes or the gap exceeds
+    gap_s, cumsum the flags into session ids."""
+    from ..shuffle import hash_partition
+
+    g = g.sort_values([key, "__bucket", ts_col], kind="mergesort")
+    ts = g[ts_col]
+    gap = ts.diff().dt.total_seconds()
+    boundary = g[key].ne(g[key].shift()) | g["__bucket"].ne(g["__bucket"].shift())
+    sid = (boundary | (gap > gap_s)).cumsum()
+    out = g.groupby(sid).agg(
+        __key=(key, "first"),
+        session_start=(ts_col, "min"),
+        session_end=(ts_col, "max"),
+        n=(ts_col, "count"),
+        sum_value=(value_col, "sum"),
+    ).reset_index(drop=True).rename(columns={"__key": key})
+    out["__part2"] = hash_partition(out, [key], n_parts)
+    return out
+
+
+def _merge_sessions_partition(g: pd.DataFrame, key: str,
+                              gap_s: float) -> pd.DataFrame:
+    """Phase 2: merge adjacent bucket-boundary sessions per key, again
+    one vectorized pass over the whole partition's session summaries.
+    Within a key, sorted session starts have nondecreasing ends (bucket
+    time-ranges are disjoint), so the previous ROW's end is the running
+    max and the pairwise gap test equals single-pass sessionization."""
+    g = g.sort_values([key, "session_start"], kind="mergesort")
+    gap = (g["session_start"] - g["session_end"].shift()).dt.total_seconds()
+    mid = (g[key].ne(g[key].shift()) | (gap > gap_s)).cumsum()
+    out = g.groupby(mid).agg(
+        __key=(key, "first"),
+        session_start=("session_start", "min"),
+        n=("n", "sum"),
+        sum_value=("sum_value", "sum"),
+    ).reset_index(drop=True).rename(columns={"__key": key})
+    return out[[key, "session_start", "n", "sum_value"]]
+
+
 def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
-            gap_s: float, bucket_s: float | None = None) -> rd.Dataset:
+            gap_s: float, bucket_s: float | None = None,
+            num_partitions: int | None = None) -> rd.Dataset:
     """Session windows: per key, a new session starts where the gap to
     the previous event exceeds ``gap_s``. Output one row per session:
     key, session_start, n, sum_value.
@@ -87,45 +132,36 @@ def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
     adjacent sessions per key over session SUMMARIES (≪ events) —
     within a bucket adjacent sessions are > gap_s apart by
     construction, so only bucket-boundary sessions ever merge, and the
-    result is exactly the single-pass sessionization."""
+    result is exactly the single-pass sessionization.
+
+    Both phases shuffle by ``hash(group keys) mod P`` and run the
+    per-key logic vectorized inside each partition (see
+    ``nailray.shuffle``) — per-Ray-group overhead is O(P), not
+    O(keys × buckets)."""
+    import functools
+
+    from ..shuffle import hash_partition, partition_count
+
     if bucket_s is None:
         bucket_s = gap_s * 1000  # summaries stay tiny; hot keys split well
+    n_parts = partition_count(num_partitions)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
                         pa.int64())
         b = np.asarray(ts_us) // int(bucket_s * 1e6)
-        return batch.append_column("__bucket", pa.array(b))
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(float("inf"))
-        sid = (gap > gap_s).cumsum()
-        agg = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n=(ts_col, "count"),
-            sum_value=(value_col, "sum"),
-        ).reset_index(drop=True)
-        agg[key] = g[key].iloc[0]
-        return agg[[key, "session_start", "session_end", "n", "sum_value"]]
+        batch = batch.append_column("__bucket", pa.array(b))
+        kb = batch.select([key, "__bucket"]).to_pandas()
+        return batch.append_column(
+            "__part", pa.array(hash_partition(kb, [key, "__bucket"], n_parts)))
 
     partial = (ds.map_batches(bucketize, batch_format="pyarrow")
-               .groupby([key, "__bucket"])
-               .map_groups(per_bucket, batch_format="pandas"))
+               .groupby("__part")
+               .map_groups(functools.partial(
+                   _sessionize_partition, key=key, ts_col=ts_col,
+                   value_col=value_col, gap_s=gap_s, n_parts=n_parts),
+                   batch_format="pandas"))
 
-    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("session_start")
-        gap = (g["session_start"] - g["session_end"].shift()) \
-            .dt.total_seconds().fillna(float("inf"))
-        mid = (gap > gap_s).cumsum()
-        agg = g.groupby(mid).agg(
-            session_start=("session_start", "min"),
-            n=("n", "sum"),
-            sum_value=("sum_value", "sum"),
-        ).reset_index(drop=True)
-        agg[key] = g[key].iloc[0]
-        return agg[[key, "session_start", "n", "sum_value"]]
-
-    return partial.groupby(key).map_groups(merge_key, batch_format="pandas")
+    return partial.groupby("__part2").map_groups(
+        functools.partial(_merge_sessions_partition, key=key, gap_s=gap_s),
+        batch_format="pandas")
