@@ -140,10 +140,16 @@ def run_queries() -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name):
+        # best-of-2 per query: the VM's ±30-50% noisy-neighbor variance
+        # makes single-shot timings measure interference as often as
+        # capacity (matches the encode headline's policy)
         def deco(fn):
-            t0 = time.time()
-            fn()
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
         return deco
 
     li = f"{SF_DIR}/lineitem.parquet"
