@@ -188,7 +188,7 @@ def run_queries() -> dict[str, float]:
     def _merge():
         combine.merge(nio.read_parquet(f"{SF_DIR}/orders.parquet"),
                       nio.read_parquet(f"{SF_DIR}/customer.parquet"),
-                      "o_custkey", "c_custkey", num_partitions=8).count()
+                      "o_custkey", "c_custkey").count()
 
     @timed("exact_dedup_docs")
     def _dedup():

@@ -16,16 +16,21 @@ def merge(
     right_key: str | None = None,
     how: str = "inner",
     right_prefix: str = "r_",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     broadcast: bool = False,
+    strategy: str = "partitioned",
 ) -> rd.Dataset:
     """Equi-join; right columns renamed `r_<name>`, right key dropped
     after the join (src/commands/merge.rs:30-147).
 
-    Two physical strategies:
-    - hash join (`Dataset.join`, shuffle both sides) — the default;
-    - broadcast (`ray.put` the collected right side once, lookup inside
-      map_batches) — for small dimension tables, no shuffle.
+    Three physical strategies:
+    - partitioned (default): both sides shuffle by hash(key) mod P
+      through one union + groupby; each partition joins with a pandas
+      merge (see :func:`_merge_partitioned`);
+    - ``strategy="ray"``: `Dataset.join` (Ray's actor-based hash join);
+    - ``broadcast=True`` (`ray.put` the collected right side once,
+      lookup inside map_batches) — for small dimension tables, no
+      shuffle.
     """
     lk = resolve_column(left.schema().names, left_key)
     rk = resolve_column(right.schema().names, right_key or left_key)
@@ -58,6 +63,10 @@ def merge(
 
         return left.map_batches(join_batch, batch_format="pandas")
 
+    if strategy == "partitioned":
+        return _merge_partitioned(left, right, lk, rk, how, right_prefix,
+                                  num_partitions)
+
     # rename right columns up-front so the output matches the reference
     rnames = right.schema().names
     right2 = right.rename_columns({c: f"{right_prefix}{c}" for c in rnames if c != rk})
@@ -66,7 +75,7 @@ def merge(
     joined = left.join(
         right2,
         join_type=jt,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or 16,
         on=(lk,),
         right_on=(rk,),
         validate_schemas=True,
@@ -74,6 +83,134 @@ def merge(
     if rk != lk and rk in joined.schema().names:
         joined = joined.drop_columns([rk])
     return joined
+
+
+def _norm_key_type(t: pa.DataType) -> pa.DataType:
+    """Join-key exchange type: both sides must hash and compare
+    identically, so integers widen to int64 and floats to float64."""
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t):
+        return pa.float64()
+    return t
+
+
+def _join_partition(g, lk: str, how: str, left_cols: list[str],
+                    right_cols: list[str], out_schema_ser: bytes):
+    """Join one hash partition's rows of both sides with a pandas merge
+    and restore the exact output schema (pandas widens int-with-null to
+    float; the final from_pandas cast undoes that)."""
+    import pandas as pd
+
+    out_schema = pa.ipc.read_schema(pa.py_buffer(out_schema_ser))
+    side = g["__side"].to_numpy()
+    lf = g.loc[side == 0, left_cols]
+    rf = g.loc[side == 1, right_cols]
+    # SQL join semantics for null keys: never match (pandas merge would
+    # happily match NaN == NaN) — split them out, merge non-null frames,
+    # re-append the null-keyed rows for the sides that keep unmatched
+    lnull = lf["__lkey"].isna()
+    rnull = rf["__rkey"].isna()
+    # canonicalize the merge dtype on BOTH sides: the null padding makes
+    # per-group pandas dtypes depend on which sides are present (int64
+    # with nulls widens to float64, an absent side leaves object), and a
+    # pandas merge across mismatched key dtypes errors or mismatches.
+    # Nullable Int64 also keeps ids beyond 2^53 exact.
+    kt = _norm_key_type(out_schema.field(lk).type)
+    canon = ("Int64" if pa.types.is_integer(kt)
+             else "float64" if pa.types.is_floating(kt) else object)
+    lf = lf.assign(__lkey=lf["__lkey"].astype(canon))
+    rf = rf.assign(__rkey=rf["__rkey"].astype(canon))
+    out = lf[~lnull].merge(rf[~rnull], left_on="__lkey", right_on="__rkey",
+                           how={"full": "outer"}.get(how, how))
+    extra = []
+    if how in ("left", "full") and lnull.any():
+        extra.append(lf[lnull])
+    if how in ("right", "full") and rnull.any():
+        extra.append(rf[rnull])
+    if extra:
+        out = pd.concat([out] + extra, ignore_index=True)
+    # rows with no left partner (right/full): the surviving key column
+    # is the left-named one — fill it from the right key
+    if how in ("right", "full"):
+        miss = out[lk].isna() & out["__rkey"].notna()
+        if miss.any():
+            out.loc[miss, lk] = out.loc[miss, "__rkey"]
+    out = out.drop(columns=["__lkey", "__rkey"])
+    # replace_schema_metadata: from_pandas attaches a pandas-metadata
+    # dict that makes hash(schema) raise downstream (see io._stripped_schema)
+    return pa.Table.from_pandas(out, schema=out_schema,
+                                preserve_index=False).replace_schema_metadata(None)
+
+
+def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
+                       how: str, right_prefix: str,
+                       num_partitions: int | None = None) -> rd.Dataset:
+    """Partitioned hash join without `Dataset.join`'s actor
+    infrastructure: both sides shuffle by ``hash(key) mod P`` through
+    ONE union + groupby, and each partition joins with a pandas merge.
+    All rows of a key land in one partition, so inner/left/right/full
+    all emit each unmatched row exactly once.
+
+    The union pads each side with the other side's columns as TYPED
+    Arrow nulls — those ship as validity bitmaps, so the exchange
+    payload stays ≈ the two tables."""
+    import functools
+
+    import numpy as np
+    import pandas as pd
+
+    from ..shuffle import hash_partition, partition_count
+
+    def schema_of(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    n_parts = partition_count(num_partitions)
+    l_schema, r_schema = schema_of(left), schema_of(right)
+    left_names = list(l_schema.names)
+    rmap = {c: f"{right_prefix}{c}" for c in r_schema.names if c != rk}
+    right_out_fields = [pa.field(rmap[f.name], f.type)
+                        for f in r_schema if f.name != rk]
+    clash = set(left_names) & {f.name for f in right_out_fields}
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    key_t = _norm_key_type(l_schema.field(lk).type)
+    left_cols = left_names + ["__lkey"]
+    right_cols = [f.name for f in right_out_fields] + ["__rkey"]
+    out_schema = pa.schema(list(l_schema) + right_out_fields)
+    out_schema_ser = out_schema.serialize().to_pybytes()
+
+    def part_of(keys: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        norm = pc.cast(keys, key_t)
+        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
+        return pa.array(part), norm
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        part, norm = part_of(t.column(lk).combine_chunks())
+        arrays = [t.column(c) for c in left_names] + [norm]
+        arrays += [pa.nulls(n, f.type) for f in right_out_fields] + [pa.nulls(n, key_t)]
+        arrays += [pa.array(np.zeros(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols + ["__side", "__part"])
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        part, norm = part_of(t.column(rk).combine_chunks())
+        arrays = [pa.nulls(n, f.type) for f in l_schema] + [pa.nulls(n, key_t)]
+        arrays += [t.column(f) for f in r_schema.names if f != rk] + [norm]
+        arrays += [pa.array(np.ones(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols + ["__side", "__part"])
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby("__part").map_groups(
+        functools.partial(_join_partition, lk=lk, how=how,
+                          left_cols=left_cols, right_cols=right_cols,
+                          out_schema_ser=out_schema_ser),
+        batch_format="pandas")
 
 
 def append(

@@ -33,6 +33,20 @@ def partition_count(num_partitions: int | None = None) -> int:
 def hash_partition(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarray:
     """Deterministic per-row partition ids from the given key columns
     (stable across processes/runs — pandas' fixed-key sip hash, unlike
-    builtin ``hash`` on strings)."""
-    h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+    builtin ``hash`` on strings).
+
+    Numeric/bool columns are canonicalized to float64 BEFORE hashing:
+    ``hash_pandas_object`` hashes the physical dtype, and arrow→pandas
+    conversion widens int-with-null blocks to float64 while null-free
+    blocks stay int64 — without canonicalization the same key value
+    would land in different partitions depending on which BLOCK it
+    arrived in. (Distinct ints beyond 2^53 may share a float image and
+    thus a partition — harmless co-location, never a missed match.)"""
+    parts = {}
+    for c in cols:
+        s = df[c]
+        if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_bool_dtype(s):
+            s = s.astype("float64")
+        parts[c] = s
+    h = pd.util.hash_pandas_object(pd.DataFrame(parts), index=False).to_numpy()
     return (h.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)

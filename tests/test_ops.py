@@ -566,3 +566,70 @@ def test_sort_short_descending_and_strategy_lists():
         sorting.sort(ds, ["a"], descending=[True, False])
     with pytest.raises(ValueError):
         sorting.sort(ds, ["a"], strategies=["numeric", "numeric"])
+
+
+def test_merge_partitioned_matches_ray_join(sf_dir):
+    """The partitioned hash join must match Dataset.join row-for-row on
+    inner/left/full (Ray's right_outer drops the left key column — the
+    partitioned path keeps it, coalesced from the right key, which is
+    checked separately)."""
+    def norm(ds, cols=None):
+        df = _pdf(ds)
+        cols = cols or sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for how in ["inner", "left", "full"]:
+        a = norm(combine.merge(nio.read_parquet(f"{sf_dir}/orders.parquet"),
+                               nio.read_parquet(f"{sf_dir}/customer.parquet"),
+                               "o_custkey", "c_custkey", how=how,
+                               strategy="partitioned"))
+        b = norm(combine.merge(nio.read_parquet(f"{sf_dir}/orders.parquet"),
+                               nio.read_parquet(f"{sf_dir}/customer.parquet"),
+                               "o_custkey", "c_custkey", how=how,
+                               strategy="ray"))
+        pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    # right join: same rows on the shared columns; left key column is
+    # retained and coalesced (never null when a right partner exists)
+    a = combine.merge(nio.read_parquet(f"{sf_dir}/orders.parquet"),
+                      nio.read_parquet(f"{sf_dir}/customer.parquet"),
+                      "o_custkey", "c_custkey", how="right",
+                      strategy="partitioned")
+    adf = _pdf(a)
+    assert "o_custkey" in adf.columns and not adf["o_custkey"].isna().any()
+
+
+def test_merge_partitioned_null_keys_never_match():
+    """SQL semantics: null join keys match nothing; unmatched null-keyed
+    rows survive exactly once on the preserving side."""
+    t1 = pa.table({"k": pa.array([1, 2, None, 4], pa.int64()), "x": ["a", "b", "c", "d"]})
+    t2 = pa.table({"k": pa.array([2, None, 4, 5], pa.int64()), "y": pa.array([10, 20, 30, 40], pa.int64())})
+    l, r = rd.from_arrow(t1).repartition(2), rd.from_arrow(t2).repartition(2)
+    inner = _pdf(combine.merge(l, r, "k", how="inner", strategy="partitioned"))
+    assert sorted(inner["k"]) == [2, 4]
+    left = _pdf(combine.merge(l, r, "k", how="left", strategy="partitioned"))
+    assert len(left) == 4 and left["r_y"].notna().sum() == 2
+    right = _pdf(combine.merge(l, r, "k", how="right", strategy="partitioned"))
+    assert len(right) == 4 and sorted(right["r_y"]) == [10, 20, 30, 40]
+    full = _pdf(combine.merge(l, r, "k", how="full", strategy="partitioned"))
+    assert len(full) == 6
+    # dtypes preserved (pandas would widen int-with-null to float)
+    assert pa.types.is_integer(nio.to_arrow(
+        combine.merge(l, r, "k", how="left", strategy="partitioned")).schema.field("r_y").type)
+
+
+def test_hash_partition_block_dtype_invariance():
+    """The same key value must land in the same partition whether its
+    block arrived as int64 (null-free) or float64/Int64 (null-widened) —
+    arrow→pandas conversion picks the dtype per BLOCK."""
+    from nailray.shuffle import hash_partition
+
+    as_int = pd.DataFrame({"k": pd.Series([1, 2, 4], dtype="int64")})
+    as_float = pd.DataFrame({"k": pd.Series([1.0, 2.0, 4.0], dtype="float64")})
+    as_nullable = pd.DataFrame({"k": pd.Series([1, 2, 4], dtype="Int64")})
+    p1 = hash_partition(as_int, ["k"], 64)
+    p2 = hash_partition(as_float, ["k"], 64)
+    p3 = hash_partition(as_nullable, ["k"], 64)
+    assert (p1 == p2).all() and (p1 == p3).all()
+    # strings unaffected
+    sdf = pd.DataFrame({"k": ["a", "b"]})
+    assert (hash_partition(sdf, ["k"], 64) == hash_partition(sdf.copy(), ["k"], 64)).all()
