@@ -127,6 +127,12 @@ def q_merge_left(sf):
     return j.select_columns(["o_orderkey", "r_c_mktsegment"])
 
 
+def q_merge_full(sf):
+    j = combine.merge(_t(sf, "orders"), _t(sf, "customer"), "o_custkey", "c_custkey",
+                      how="full")
+    return j.select_columns(["o_custkey", "o_orderkey", "r_c_name"])
+
+
 def q_append_union(sf):
     return combine.append(_t(sf, "region"), [_t(sf, "region")])
 
@@ -740,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rows": q_search_rows,
         "id_prefix": q_id_prefix,
         "merge_right": q_merge_right,
+        "merge_full": q_merge_full,
         "stats_exhaustive": q_stats_exhaustive,
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
@@ -897,6 +904,10 @@ def oracle_sql() -> dict[str, str]:
         "merge_right": (
             "SELECT o.o_orderkey, c.c_name AS r_c_name FROM orders o "
             "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "merge_full": (
+            "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o.o_orderkey, c.c_name AS r_c_name FROM orders o "
+            "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"),
         "stats_exhaustive": (
             "SELECT COUNT(l_quantity) AS n, ROUND(AVG(l_quantity), 6) AS mean, "
             "ROUND(STDDEV_SAMP(l_quantity), 6) AS std, MIN(l_quantity) AS min, "
