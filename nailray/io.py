@@ -179,17 +179,19 @@ def read_xlsx(path: str) -> rd.Dataset:
     """XLSX ingest (reference: src/utils/io.rs:36-165 — first worksheet,
     headers from row 0, per-column type vote over ≤100 sample rows).
 
-    XLSX is inherently driver-sized (one in-memory workbook); gated on
-    ``openpyxl`` which is not present in this container."""
+    XLSX is inherently driver-sized (one in-memory workbook). Uses
+    openpyxl when available; otherwise the bundled pure-stdlib
+    SpreadsheetML subset (:mod:`nailray.xlsx_lite`)."""
     try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX support requires openpyxl (not available in this environment)"
-        ) from e
-    wb = openpyxl.load_workbook(path, read_only=True)
-    ws = wb.worksheets[0]
-    rows = list(ws.iter_rows(values_only=True))
+        import openpyxl
+
+        wb = openpyxl.load_workbook(path, read_only=True)
+        ws = wb.worksheets[0]
+        rows = list(ws.iter_rows(values_only=True))
+    except ImportError:
+        from . import xlsx_lite
+
+        rows = xlsx_lite.read_rows(path)
     if not rows:
         return rd.from_arrow(pa.table({}))
     headers = [str(h) for h in rows[0]]
@@ -212,20 +214,24 @@ def read_xlsx(path: str) -> rd.Dataset:
 
 def write_xlsx(ds: rd.Dataset, path: str) -> None:
     """XLSX sink (reference: src/utils/io.rs:216-322) — driver-side full
-    collect; bounded outputs only. Gated on openpyxl."""
+    collect; bounded outputs only. openpyxl when available, else the
+    bundled :mod:`nailray.xlsx_lite` writer."""
+    t = to_arrow(ds)
     try:
         import openpyxl
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX support requires openpyxl (not available in this environment)"
-        ) from e
-    t = to_arrow(ds)
-    wb = openpyxl.Workbook()
-    ws = wb.active
-    ws.append(t.column_names)
-    for row in t.to_pylist():
-        ws.append([row[c] for c in t.column_names])
-    wb.save(path)
+
+        wb = openpyxl.Workbook()
+        ws = wb.active
+        ws.append(t.column_names)
+        for row in t.to_pylist():
+            ws.append([row[c] for c in t.column_names])
+        wb.save(path)
+    except ImportError:
+        from . import xlsx_lite
+
+        xlsx_lite.write_rows(
+            path, [t.column_names] + [[row[c] for c in t.column_names]
+                                      for row in t.to_pylist()])
 
 
 def tail_any(ds: rd.Dataset, n: int) -> pa.Table:

@@ -92,15 +92,45 @@ def test_format_records():
     assert "a" in g.splitlines()[0] and len(g.splitlines()) == 3
 
 
-def test_xlsx_gated(tmp_path):
+def test_xlsx_roundtrip(tmp_path):
+    """XLSX works with or without openpyxl (the bundled xlsx_lite
+    SpreadsheetML subset is the fallback engine): write → read
+    round-trips values and the per-column type vote."""
+    import ray.data as rd
+
     from nailray import io as nio
 
-    try:
-        import openpyxl  # noqa: F401
+    t = pa.table({
+        "ints": pa.array([1, 2, None], pa.int64()),
+        "floats": pa.array([1.5, -2.25, 3.0], pa.float64()),
+        "strs": ["a", "b <&> c", "multi word"],
+    })
+    p = str(tmp_path / "x.xlsx")
+    nio.write_xlsx(rd.from_arrow(t), p)
+    back = nio.to_arrow(nio.read_xlsx(p))
+    assert back.column("ints").to_pylist() == [1, 2, None]
+    assert back.column("floats").to_pylist() == [1.5, -2.25, 3.0]
+    assert back.column("strs").to_pylist() == ["a", "b <&> c", "multi word"]
 
-        has = True
-    except ImportError:
-        has = False
-    if not has:
-        with pytest.raises(NotImplementedError):
-            nio.read_xlsx(str(tmp_path / "x.xlsx"))
+
+def test_xlsx_lite_shared_strings(tmp_path):
+    """The lite reader resolves sharedStrings-table cells (what other
+    writers emit) — exercised by hand-building such a workbook."""
+    import zipfile
+
+    from nailray import xlsx_lite
+
+    p = str(tmp_path / "s.xlsx")
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row><c r="A2"><v>7</v></c><c r="B2" t="s"><v>0</v></c></row>'
+        "</sheetData></worksheet>")
+    shared = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+        'org/spreadsheetml/2006/main"><si><t>h1</t></si><si><t>h2</t></si></sst>')
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+    assert xlsx_lite.read_rows(p) == [["h1", "h2"], [7, "h1"]]
