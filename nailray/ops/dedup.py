@@ -11,22 +11,58 @@ from ..expr import resolve_column
 from ..io import ROW_ID
 
 
+def _dedup_partition(g, keys: list[str], order_column: str, keep: str):
+    """Keep the first/last row by order within each key combo of one
+    hash partition — one vectorized sort + drop_duplicates (NaN keys
+    compare equal, matching the groupby path)."""
+    g = g.sort_values(order_column, kind="mergesort")
+    return g.drop_duplicates(subset=keys, keep=keep).drop(columns="__part")
+
+
 def dedup_rows(
     ds: rd.Dataset,
     columns: list[str] | None = None,
     keep: str = "first",
     order_column: str = ROW_ID,
+    winner_strategy: str = "broadcast",
 ) -> rd.Dataset:
     """Exact dedup on selected (default all) columns; keep first/last by
     original order (reference: ROW_NUMBER OVER (PARTITION BY keys ORDER
     BY rn), src/commands/dedup.rs:67-136).
 
     Ray shape: hash groupby on the keys → per-group min/max of the order
-    column. Needs ingest row_id (or any explicit order column)."""
+    column. Needs ingest row_id (or any explicit order column).
+
+    ``winner_strategy="shuffle"`` switches to hash-partitioning the FULL
+    rows by key and deduping vectorized inside each partition — one
+    all-to-all of the rows, no driver-collected winner table; use when
+    the distinct-key count is too large to broadcast."""
     names = ds.schema().names
     keys = [resolve_column(names, c) for c in (columns or names) if c != order_column]
     if not keys:
         return ds  # reference: empty column spec → no-op
+
+    if winner_strategy == "shuffle":
+        import functools
+
+        import pandas as pd
+
+        from ..shuffle import hash_partition, partition_count
+
+        n_parts = partition_count(None)
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__part"] = hash_partition(df, keys, n_parts)
+            return df
+
+        return (ds.map_batches(add_part, batch_format="pandas")
+                .groupby("__part")
+                .map_groups(functools.partial(
+                    _dedup_partition, keys=keys, order_column=order_column,
+                    keep=keep), batch_format="pandas"))
+    if winner_strategy != "broadcast":
+        raise ValueError(f"unknown winner_strategy {winner_strategy!r}")
 
     # Scale shape: shuffle only (keys..., order_column) — a projection —
     # through the groupby; pick the winning order value per key combo

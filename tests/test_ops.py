@@ -633,3 +633,23 @@ def test_hash_partition_block_dtype_invariance():
     # strings unaffected
     sdf = pd.DataFrame({"k": ["a", "b"]})
     assert (hash_partition(sdf, ["k"], 64) == hash_partition(sdf.copy(), ["k"], 64)).all()
+
+
+def test_dedup_rows_shuffle_strategy_matches_broadcast():
+    """winner_strategy='shuffle' (full-row hash partition + vectorized
+    per-partition dedup) must produce the same rows as the broadcast
+    winner filter."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 50, n)),
+        "b": pa.array([f"g{v}" for v in rng.integers(0, 20, n)]),
+        "v": pa.array(rng.normal(size=n)),
+        "row_id": pa.array(np.arange(1, n + 1)),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    for keep in ["first", "last"]:
+        a = _pdf(dedup.dedup_rows(ds, ["a", "b"], keep=keep)).sort_values("row_id").reset_index(drop=True)
+        b = _pdf(dedup.dedup_rows(ds, ["a", "b"], keep=keep,
+                                  winner_strategy="shuffle")).sort_values("row_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
