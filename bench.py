@@ -86,9 +86,13 @@ def run_headline() -> dict:
         # fragment mode: shuffle-free encode (partition = input file) —
         # isolates codec+IO compute; the cluster-scaling proxy
         out2 = tempfile.mkdtemp(prefix="nailray_bench_encf_")
-        t0 = time.time()
-        epl.encode_fragments(src, out2, chunk_rows=16384, chunk_bytes=8 << 20)
-        t_frag = time.time() - t0
+        t_frag = float("inf")
+        for _ in range(2):  # best-of-2, same policy as the headline
+            shutil.rmtree(out2, ignore_errors=True)
+            os.makedirs(out2, exist_ok=True)
+            t0 = time.time()
+            epl.encode_fragments(src, out2, chunk_rows=16384, chunk_bytes=8 << 20)
+            t_frag = min(t_frag, time.time() - t0)
         shutil.rmtree(out2, ignore_errors=True)
         # compressed-size criterion at bench scale: ours (files + manifest)
         # vs the same table written as single-file zstd parquet
