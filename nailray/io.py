@@ -51,17 +51,26 @@ def _stripped_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
         return None
     if sch.metadata is None and all(f.metadata is None for f in sch):
         return None  # already clean — let Ray infer as usual
+    if columns and any(sch.get_field_index(c) < 0 for c in columns):
+        return None  # let Ray surface its own missing-column error
     fields = [sch.field(c) for c in columns] if columns else list(sch)
     return pa.schema([f.remove_metadata() for f in fields])
 
 
 def read_parquet(paths: str | Iterable[str], columns: list[str] | None = None, **kw) -> rd.Dataset:
-    """Plain parquet scan with column pruning (no row ids)."""
+    """Plain parquet scan with column pruning (no row ids).
+
+    Multi-file reads pin the FIRST file's (metadata-stripped) footer
+    schema — a directory is one logical table here, as in the reference
+    (io.rs:14-34); pass ``schema=None`` explicitly for schema-evolved
+    inputs that need Ray's unification."""
     paths = _expand_paths(paths)
     if "schema" not in kw and paths:
         sch = _stripped_schema(paths[0], columns)
         if sch is not None:
             kw["schema"] = sch
+    elif kw.get("schema") is None:
+        kw.pop("schema", None)
     return rd.read_parquet(paths, columns=columns, **kw)
 
 

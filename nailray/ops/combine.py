@@ -32,6 +32,8 @@ def merge(
       lookup inside map_batches) — for small dimension tables, no
       shuffle.
     """
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"unknown join type {how!r}: inner|left|right|full")
     lk = resolve_column(left.schema().names, left_key)
     rk = resolve_column(right.schema().names, right_key or left_key)
 
@@ -95,32 +97,28 @@ def _norm_key_type(t: pa.DataType) -> pa.DataType:
     return t
 
 
-def _join_partition(g, lk: str, how: str, left_cols: list[str],
+def _join_partition(g: pa.Table, lk: str, how: str, left_cols: list[str],
                     right_cols: list[str], out_schema_ser: bytes):
     """Join one hash partition's rows of both sides with a pandas merge
-    and restore the exact output schema (pandas widens int-with-null to
-    float; the final from_pandas cast undoes that)."""
+    and restore the exact output schema. The group arrives as ARROW and
+    integer columns convert to nullable pandas ints (see
+    :func:`_int_types_mapper`) so null padding never widens them to
+    float."""
+    import numpy as np
     import pandas as pd
 
     out_schema = pa.ipc.read_schema(pa.py_buffer(out_schema_ser))
-    side = g["__side"].to_numpy()
-    lf = g.loc[side == 0, left_cols]
-    rf = g.loc[side == 1, right_cols]
+    from ..shuffle import int_types_mapper
+
+    df = g.to_pandas(types_mapper=int_types_mapper)
+    side = df["__side"].to_numpy()
+    lf = df.loc[side == 0, left_cols]
+    rf = df.loc[side == 1, right_cols]
     # SQL join semantics for null keys: never match (pandas merge would
     # happily match NaN == NaN) — split them out, merge non-null frames,
     # re-append the null-keyed rows for the sides that keep unmatched
     lnull = lf["__lkey"].isna()
     rnull = rf["__rkey"].isna()
-    # canonicalize the merge dtype on BOTH sides: the null padding makes
-    # per-group pandas dtypes depend on which sides are present (int64
-    # with nulls widens to float64, an absent side leaves object), and a
-    # pandas merge across mismatched key dtypes errors or mismatches.
-    # Nullable Int64 also keeps ids beyond 2^53 exact.
-    kt = _norm_key_type(out_schema.field(lk).type)
-    canon = ("Int64" if pa.types.is_integer(kt)
-             else "float64" if pa.types.is_floating(kt) else object)
-    lf = lf.assign(__lkey=lf["__lkey"].astype(canon))
-    rf = rf.assign(__rkey=rf["__rkey"].astype(canon))
     out = lf[~lnull].merge(rf[~rnull], left_on="__lkey", right_on="__rkey",
                            how={"full": "outer"}.get(how, how))
     extra = []
@@ -175,6 +173,10 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
     clash = set(left_names) & {f.name for f in right_out_fields}
     if clash:
         raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    reserved = {"__lkey", "__rkey", "__side", "__part"}
+    bad = reserved & (set(left_names) | set(r_schema.names))
+    if bad:
+        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
     key_t = _norm_key_type(l_schema.field(lk).type)
     left_cols = left_names + ["__lkey"]
     right_cols = [f.name for f in right_out_fields] + ["__rkey"]
@@ -210,7 +212,7 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
         functools.partial(_join_partition, lk=lk, how=how,
                           left_cols=left_cols, right_cols=right_cols,
                           out_schema_ser=out_schema_ser),
-        batch_format="pandas")
+        batch_format="pyarrow")
 
 
 def append(

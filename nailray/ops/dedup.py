@@ -14,9 +14,16 @@ from ..io import ROW_ID
 def _dedup_partition(g, keys: list[str], order_column: str, keep: str):
     """Keep the first/last row by order within each key combo of one
     hash partition — one vectorized sort + drop_duplicates (NaN keys
-    compare equal, matching the groupby path)."""
-    g = g.sort_values(order_column, kind="mergesort")
-    return g.drop_duplicates(subset=keys, keep=keep).drop(columns="__part")
+    compare equal, matching the groupby path). Arrow group + nullable-int
+    conversion keeps int keys beyond 2^53 exact (float widening would
+    make distinct ids compare equal)."""
+    from ..shuffle import int_types_mapper, to_arrow_clean
+
+    out_schema = pa.schema([f for f in g.schema if f.name != "__part"])
+    df = g.to_pandas(types_mapper=int_types_mapper)
+    df = df.sort_values(order_column, kind="mergesort")
+    df = df.drop_duplicates(subset=keys, keep=keep).drop(columns="__part")
+    return to_arrow_clean(df, out_schema)
 
 
 def dedup_rows(
@@ -60,7 +67,7 @@ def dedup_rows(
                 .groupby("__part")
                 .map_groups(functools.partial(
                     _dedup_partition, keys=keys, order_column=order_column,
-                    keep=keep), batch_format="pandas"))
+                    keep=keep), batch_format="pyarrow"))
     if winner_strategy != "broadcast":
         raise ValueError(f"unknown winner_strategy {winner_strategy!r}")
 
@@ -71,9 +78,10 @@ def dedup_rows(
     # (full rows never enter a shuffle). The merge — not a bare order-
     # value semi join — keeps correctness when order values repeat
     # across groups; pandas merge matches null keys like the groupby.
-    import pandas as pd
     import ray as _ray
     from ray.data.aggregate import Max, Min
+
+    from ..shuffle import int_types_mapper
 
     agg = Min if keep == "first" else Max
     winners = (ds.select_columns(keys + [order_column])
@@ -81,16 +89,22 @@ def dedup_rows(
                .aggregate(agg(order_column, alias_name="__keep_id")))
     wdf = pa.concat_tables(
         [b for b in winners.iter_batches(batch_format="pyarrow")],
-        promote_options="default").to_pandas()
+        promote_options="default").to_pandas(types_mapper=int_types_mapper)
     ref = _ray.put(wdf)
 
-    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        # pandas only for the KEY columns (nullable ints stay exact, NA
+        # keys match like the groupby); full rows filter zero-copy Arrow
         w = _ray.get(ref)
-        m = batch.merge(w, on=keys, how="left")
-        mask = (m["__keep_id"].to_numpy() == batch[order_column].to_numpy())
-        return batch[mask]
+        df = batch.select(keys + [order_column]).to_pandas(
+            types_mapper=int_types_mapper)
+        m = df.merge(w, on=keys, how="left")
+        mask = (m["__keep_id"].reset_index(drop=True)
+                .eq(df[order_column].reset_index(drop=True))
+                .fillna(False).to_numpy(bool))
+        return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep_winners, batch_format="pandas")
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def dedup_columns(ds: rd.Dataset, keep: str = "first") -> rd.Dataset:

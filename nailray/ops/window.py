@@ -75,19 +75,32 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
             .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
 
 
-def _sessionize_partition(g: pd.DataFrame, key: str, ts_col: str,
+def _key_changed(cur: pd.Series, prev: pd.Series) -> pd.Series:
+    """Row-wise 'key differs from previous row' that treats null == null
+    (matching groupby semantics: null keys form ONE group, not one group
+    per row — a bare ne() flags every consecutive null pair as a
+    change)."""
+    same = cur.eq(prev) | (cur.isna() & prev.isna())
+    return ~same.fillna(False).astype(bool)
+
+
+def _sessionize_partition(g: pa.Table, key: str, ts_col: str,
                           value_col: str, gap_s: float,
-                          n_parts: int) -> pd.DataFrame:
+                          n_parts: int) -> pa.Table:
     """Phase 1: sessionize every (key, bucket) group inside one hash
     partition in ONE vectorized pass — sort by (key, bucket, ts), flag
     session starts where the key/bucket changes or the gap exceeds
-    gap_s, cumsum the flags into session ids."""
-    from ..shuffle import hash_partition
+    gap_s, cumsum the flags into session ids. The group arrives as
+    Arrow; integers convert to nullable pandas ints (exact beyond 2^53,
+    no float widening from null keys)."""
+    from ..shuffle import hash_partition, int_types_mapper, to_arrow_clean
 
+    g = g.to_pandas(types_mapper=int_types_mapper)
     g = g.sort_values([key, "__bucket", ts_col], kind="mergesort")
     ts = g[ts_col]
     gap = ts.diff().dt.total_seconds()
-    boundary = g[key].ne(g[key].shift()) | g["__bucket"].ne(g["__bucket"].shift())
+    boundary = (_key_changed(g[key], g[key].shift())
+                | g["__bucket"].ne(g["__bucket"].shift()))
     sid = (boundary | (gap > gap_s)).cumsum()
     out = g.groupby(sid).agg(
         __key=(key, "first"),
@@ -97,26 +110,29 @@ def _sessionize_partition(g: pd.DataFrame, key: str, ts_col: str,
         sum_value=(value_col, "sum"),
     ).reset_index(drop=True).rename(columns={"__key": key})
     out["__part2"] = hash_partition(out, [key], n_parts)
-    return out
+    return to_arrow_clean(out)
 
 
-def _merge_sessions_partition(g: pd.DataFrame, key: str,
-                              gap_s: float) -> pd.DataFrame:
+def _merge_sessions_partition(g: pa.Table, key: str,
+                              gap_s: float) -> pa.Table:
     """Phase 2: merge adjacent bucket-boundary sessions per key, again
     one vectorized pass over the whole partition's session summaries.
     Within a key, sorted session starts have nondecreasing ends (bucket
     time-ranges are disjoint), so the previous ROW's end is the running
     max and the pairwise gap test equals single-pass sessionization."""
+    from ..shuffle import int_types_mapper, to_arrow_clean
+
+    g = g.to_pandas(types_mapper=int_types_mapper)
     g = g.sort_values([key, "session_start"], kind="mergesort")
     gap = (g["session_start"] - g["session_end"].shift()).dt.total_seconds()
-    mid = (g[key].ne(g[key].shift()) | (gap > gap_s)).cumsum()
+    mid = (_key_changed(g[key], g[key].shift()) | (gap > gap_s)).cumsum()
     out = g.groupby(mid).agg(
         __key=(key, "first"),
         session_start=("session_start", "min"),
         n=("n", "sum"),
         sum_value=("sum_value", "sum"),
     ).reset_index(drop=True).rename(columns={"__key": key})
-    return out[[key, "session_start", "n", "sum_value"]]
+    return to_arrow_clean(out[[key, "session_start", "n", "sum_value"]])
 
 
 def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
@@ -160,8 +176,8 @@ def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
                .map_groups(functools.partial(
                    _sessionize_partition, key=key, ts_col=ts_col,
                    value_col=value_col, gap_s=gap_s, n_parts=n_parts),
-                   batch_format="pandas"))
+                   batch_format="pyarrow"))
 
     return partial.groupby("__part2").map_groups(
         functools.partial(_merge_sessions_partition, key=key, gap_s=gap_s),
-        batch_format="pandas")
+        batch_format="pyarrow")

@@ -50,3 +50,38 @@ def hash_partition(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarra
         parts[c] = s
     h = pd.util.hash_pandas_object(pd.DataFrame(parts), index=False).to_numpy()
     return (h.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+
+
+def to_arrow_clean(df: pd.DataFrame, schema=None):
+    """pandas→arrow for partition-kernel returns. Casts to ``schema``
+    when given (restoring the exact input types after a nullable-int
+    round-trip) and strips the pandas metadata blob — leaving it on
+    makes a later ``to_pandas`` reconstruct nullable Int64 dtypes in
+    user-facing outputs and re-triggers Ray's schema-hash warnings."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return t.replace_schema_metadata(None)
+
+
+_PANDAS_NULLABLE = None
+
+
+def int_types_mapper(t):
+    """arrow→pandas ``types_mapper`` keeping integer/bool columns as
+    NULLABLE pandas dtypes: the default conversion widens int-with-null
+    blocks to float64, silently rounding ids beyond 2^53 — a correctness
+    bug for keys and payload columns alike. Use with ``to_pandas`` in any
+    partition-grouped kernel that must round-trip integers exactly."""
+    global _PANDAS_NULLABLE
+    import pyarrow as pa
+
+    if _PANDAS_NULLABLE is None:
+        _PANDAS_NULLABLE = {
+            pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+            pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+            pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+            pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+            pa.bool_(): pd.BooleanDtype(),
+        }
+    return _PANDAS_NULLABLE.get(t)

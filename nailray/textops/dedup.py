@@ -187,20 +187,14 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def _pair_partitions(num_partitions: int | None) -> int:
-    """Coarse-partition count for candidate-pair generation. Grouping by
-    a hash partition (tens–hundreds of groups) instead of by individual
-    bucket (one Ray group per bucket, ~100 µs of per-group machinery
-    each) keeps the Ray overhead O(partitions) while the per-bucket work
-    runs at pandas C speed inside each partition. At cluster scale raise
-    this so one partition's exploded rows fit a worker's heap."""
-    if num_partitions:
-        return num_partitions
-    try:
-        import ray
+    """Coarse-partition count for candidate-pair generation (delegates
+    to the shared :func:`nailray.shuffle.partition_count` policy).
+    Grouping by a hash partition keeps Ray overhead O(partitions) while
+    per-bucket work runs at pandas C speed; at cluster scale raise this
+    so one partition's exploded rows fit a worker's heap."""
+    from ..shuffle import partition_count
 
-        return max(32, int(ray.cluster_resources().get("CPU", 16)) * 2)
-    except Exception:
-        return 32
+    return partition_count(num_partitions)
 
 
 def _lsh_pairs_partition(g: pd.DataFrame, id_col: str, max_bucket: int,
@@ -576,6 +570,7 @@ def embedding_near_duplicates(
 
     from ..ann import HyperplaneLsh, _batch_matrix
 
+    n_parts = _pair_partitions(None)
     first = ds.take(1)
     dim = len(first[0][embedding_col]) if first else 0
 
@@ -588,21 +583,15 @@ def embedding_near_duplicates(
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             unit = m / norms[:, None]
+            bk = np.asarray(self.lsh.bucket(m), np.int64)
             return pa.table({
                 id_col: batch.column(id_col),
-                "bucket": pa.array(self.lsh.bucket(m)),
+                "bucket": pa.array(bk),
+                "part": pa.array((bk % n_parts).astype(np.int32)),
                 "unit": pa.array(list(unit.astype(np.float32))),
             })
 
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
-
-    n_parts = _pair_partitions(None)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        bk = np.asarray(batch.column("bucket"), np.int64)
-        return batch.append_column("part", pa.array((bk % n_parts).astype(np.int32)))
-
-    bucketed = bucketed.map_batches(add_part, batch_format="pyarrow")
     return bucketed.groupby("part").map_groups(
         functools.partial(_embedding_pairs_partition, id_col=id_col,
                           threshold=threshold, max_bucket=max_bucket),

@@ -23,6 +23,7 @@ from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _COL_RE = re.compile(r"([A-Z]+)(\d+)")
+_INT_RE = re.compile(r"^-?\d+$")
 
 
 def _col_index(ref: str) -> int:
@@ -74,9 +75,11 @@ def read_rows(path: str) -> list[list]:
             elif t == "str":
                 val = v_el.text
             else:  # numeric
-                f = float(v_el.text)
-                val = int(f) if f.is_integer() and "e" not in v_el.text.lower() \
-                    and "." not in v_el.text else f
+                txt = v_el.text
+                if _INT_RE.match(txt):
+                    val = int(txt)  # exact — float() would round past 2^53
+                else:
+                    val = float(txt)
             cells.append(val)
         rows.append(cells)
     width = max((len(r) for r in rows), default=0)
@@ -114,10 +117,14 @@ _WB_RELS = (
 
 
 def _cell_xml(value) -> str:
+    import math
+
     if value is None:
         return "<c/>"
     if isinstance(value, bool):
         return f'<c t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, float) and not math.isfinite(value):
+        return "<c/>"  # SpreadsheetML has no NaN/inf numeric — empty cell
     if isinstance(value, (int, float)):
         return f"<c><v>{value!r}</v></c>"
     return f'<c t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
