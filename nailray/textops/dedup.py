@@ -36,22 +36,40 @@ def add_content_hash(ds: rd.Dataset, text_col: str, out_col: str = "content_sha2
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str,
+                        num_partitions: int | None = None) -> rd.Dataset:
     """The shuffled stage of exact dedup: ``(content_sha256, keep_id)``
     winner rows, one per distinct text. The exchange carries ONLY the
     hash/id projection — never the document text (asserted by a schema
-    probe in the tests)."""
-    from ray.data.aggregate import Min
+    probe in the tests).
+
+    Shape: per-block pandas pre-combine (one (sha, min id) per distinct
+    sha in the block) → coarse hash-partition on the sha → vectorized
+    min per partition. A ``groupby(sha).aggregate`` would pay Ray's
+    sort-based exchange on the full hash key space; this moves the same
+    (already-combined) rows through P Ray groups instead."""
+    from ..shuffle import (hash_partition, int_types_mapper,
+                           partition_count, to_arrow_clean)
+
+    n_parts = partition_count(num_partitions)
 
     def hash_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "content_sha256": pa.array(_sha256_col(batch.column(text_col).to_pylist())),
             id_col: batch.column(id_col),
         })
+        df = t.to_pandas(types_mapper=int_types_mapper)
+        df = df.groupby("content_sha256", as_index=False)[id_col].min()
+        df["__part"] = hash_partition(df, ["content_sha256"], n_parts)
+        return to_arrow_clean(df)
+
+    def min_per_sha(g: pa.Table) -> pa.Table:
+        df = g.to_pandas(types_mapper=int_types_mapper)
+        out = df.groupby("content_sha256", as_index=False)[id_col].min()
+        return to_arrow_clean(out.rename(columns={id_col: "keep_id"}))
 
     pairs = ds.map_batches(hash_ids, batch_format="pyarrow")
-    return (pairs.groupby("content_sha256")
-            .aggregate(Min(id_col, alias_name="keep_id")))
+    return pairs.groupby("__part").map_groups(min_per_sha, batch_format="pyarrow")
 
 
 def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str,
