@@ -295,17 +295,10 @@ def q_sort_nulls_first(sf):
 
 
 def q_window_hourly(sf):
-    from ray.data.aggregate import Count, Sum
+    from nailray.ops import window
 
-    ds = _t(sf, "events")
-
-    def win(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "window_start", pc.floor_temporal(batch.column("ts"), unit="hour"))
-
-    agg = (ds.map_batches(win, batch_format="pyarrow")
-           .groupby(["user_id", "window_start"])
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+    agg = window.tumbling(_t(sf, "events"), "user_id", "ts", "value",
+                          width="hour")
     return _round_cols(agg, ["sum_value"])
 
 

@@ -14,20 +14,28 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 
 def tumbling(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
              width: str = "hour") -> rd.Dataset:
-    """Fixed windows = floor the timestamp, then a plain groupby
-    (no per-group logic needed — the cheapest window shape)."""
-    def win(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "window_start", pc.floor_temporal(batch.column(ts_col), unit=width))
+    """Fixed windows = floor the timestamp, then a pre-combined
+    distributed aggregate: the (key × window) space grows with the time
+    range, so per-block partials + a coarse-partition combine
+    (:func:`nailray.shuffle.grouped_agg`) replace a sort-based groupby
+    over the full key space."""
+    from ..shuffle import grouped_agg
 
-    return (ds.map_batches(win, batch_format="pyarrow")
-            .groupby([key, "window_start"])
-            .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
+    def win(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "window_start": pc.floor_temporal(batch.column(ts_col), unit=width),
+            value_col: batch.column(value_col),
+        })
+
+    return grouped_agg(
+        ds.map_batches(win, batch_format="pyarrow"),
+        [key, "window_start"],
+        {"n": (value_col, "size"), "sum_value": (value_col, "sum")})
 
 
 def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
@@ -70,9 +78,12 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
             value_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_v]),
         })
 
-    return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby([key, "window_start_s"])
-            .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value")))
+    from ..shuffle import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        [key, "window_start_s"],
+        {"n": (value_col, "size"), "sum_value": (value_col, "sum")})
 
 
 def _key_changed(cur: pd.Series, prev: pd.Series) -> pd.Series:

@@ -52,6 +52,52 @@ def hash_partition(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarra
     return (h.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
 
 
+# partial op applied per block / combine op applied per partition
+_AGG_OPS = {"sum": ("sum", "sum"), "count": ("count", "sum"),
+            "size": ("size", "sum"), "min": ("min", "min"),
+            "max": ("max", "max")}
+
+
+def grouped_agg(ds, keys: list[str],
+                aggs: dict[str, tuple[str, str]],
+                num_partitions: int | None = None):
+    """Distributed groupby-aggregate for LARGE key spaces.
+
+    ``aggs`` maps output column → (input column, fn) with fn one of
+    sum | count (non-null) | size (rows) | min | max — all combinable,
+    so each block pre-aggregates to one row per (block, group) before
+    anything moves, then a coarse hash partition on the keys combines
+    partials vectorized. The exchange volume is O(groups-per-block) and
+    the Ray group count is P — unlike ``Dataset.groupby(keys).aggregate``,
+    whose sort-based exchange degrades with the distinct-key count
+    (key × hour spaces, content hashes, ...)."""
+    import functools
+
+    import pyarrow as pa
+
+    n_parts = partition_count(num_partitions)
+    bad = {f for _, f in aggs.values()} - set(_AGG_OPS)
+    if bad:
+        raise ValueError(f"unsupported agg fns {sorted(bad)}: {sorted(_AGG_OPS)}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas(types_mapper=int_types_mapper)
+        gb = df.groupby(keys, dropna=False, sort=False, observed=True)
+        out = gb.agg(**{o: (c, _AGG_OPS[f][0]) for o, (c, f) in aggs.items()})
+        out = out.reset_index()
+        out["__part"] = hash_partition(out, keys, n_parts)
+        return to_arrow_clean(out)
+
+    def combine(g: pa.Table) -> pa.Table:
+        df = g.to_pandas(types_mapper=int_types_mapper)
+        gb = df.groupby(keys, dropna=False, sort=False, observed=True)
+        out = gb.agg(**{o: (o, _AGG_OPS[f][1]) for o, (_, f) in aggs.items()})
+        return to_arrow_clean(out.reset_index())
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part").map_groups(combine, batch_format="pyarrow"))
+
+
 def to_arrow_clean(df: pd.DataFrame, schema=None):
     """pandas→arrow for partition-kernel returns. Casts to ``schema``
     when given (restoring the exact input types after a nullable-int
