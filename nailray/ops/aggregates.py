@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from ..expr import resolve_column
 from ..io import ROW_ID
@@ -138,25 +137,31 @@ def _null_count(ds: rd.Dataset, col: str) -> int:
 
 
 def distinct_count(ds: rd.Dataset, col: str) -> int:
-    """Exact distributed distinct: per-batch unique partial → groupby.
-    (The partial shrinks the shuffle to the distinct set per batch.)"""
+    """Exact distributed distinct: per-batch unique partial → coarse-
+    partitioned combine (the partial shrinks the exchange to the
+    distinct set per batch; the combine groups P Ray partitions, not
+    the full distinct key space)."""
+    from ..shuffle import grouped_agg
+
     def partial(batch: pa.Table) -> pa.Table:
         u = pc.unique(batch.column(col).combine_chunks())
         return pa.table({col: u.drop_null()})
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(col)
-        .count()
-        .count()
-    )
+
+    uniq = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(uniq, [col], {"__c": (col, "size")}).count()
 
 
 def frequency(ds: rd.Dataset, columns: list[str], limit: int | None = None) -> pd.DataFrame:
     """GROUP BY cols ORDER BY count DESC + percentage
-    (src/commands/frequency.rs:61-86)."""
+    (src/commands/frequency.rs:61-86). Pre-combined per block
+    (:func:`nailray.shuffle.grouped_agg`): the exchange carries one row
+    per (block, group), not the raw rows."""
+    from ..shuffle import grouped_agg
+
     names = ds.schema().names
     cols = [resolve_column(names, c) for c in columns]
-    counts = ds.groupby(cols).aggregate(Count(alias_name="count"))
+    counts = grouped_agg(ds.select_columns(cols), cols,
+                         {"count": (cols[0], "size")})
     df = counts.to_pandas()
     total = df["count"].sum()
     df["percentage"] = df["count"] / total * 100.0
@@ -516,19 +521,37 @@ def binning(ds: rd.Dataset, column: str, bins: int = 10, method: str = "equal-wi
 # documented as NOT a wide pivot, README.md:800)
 # --------------------------------------------------------------------------
 
-_AGGS = {"sum": Sum, "mean": Mean, "count": Count, "min": Min, "max": Max}
-
-
 def pivot(ds: rd.Dataset, index: list[str], pivot_cols: list[str],
           values: list[str], agg: str = "sum") -> rd.Dataset:
+    """Grouped aggregation via the pre-combined exchange; ``mean`` is
+    assembled from combinable sum+size partials in a final projection."""
+    from ..shuffle import grouped_agg
+
     keys = list(index) + list(pivot_cols)
-    fns = []
+    if agg not in ("sum", "mean", "count", "min", "max"):
+        raise ValueError(f"unknown agg {agg!r}")
+    aggs: dict[str, tuple[str, str]] = {}
     for v in values:
         if agg == "count":
-            fns.append(Count(alias_name=f"{v}_count"))
+            aggs[f"{v}_count"] = (v, "size")
+        elif agg == "mean":
+            aggs[f"__{v}_sum"] = (v, "sum")
+            aggs[f"__{v}_n"] = (v, "count")
         else:
-            fns.append(_AGGS[agg](v, alias_name=f"{v}_{agg}"))
-    return ds.groupby(keys).aggregate(*fns)
+            aggs[f"{v}_{agg}"] = (v, agg)
+    out = grouped_agg(ds.select_columns(keys + list(values)), keys, aggs)
+    if agg != "mean":
+        return out
+
+    def finish(batch: pa.Table) -> pa.Table:
+        for v in values:
+            s = pc.cast(batch.column(f"__{v}_sum"), pa.float64())
+            n = pc.cast(batch.column(f"__{v}_n"), pa.float64())
+            batch = batch.append_column(f"{v}_mean", pc.divide(s, n))
+        return batch.drop_columns(
+            [c for v in values for c in (f"__{v}_sum", f"__{v}_n")])
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -556,9 +579,11 @@ def fill_stat(ds: rd.Dataset, columns: list[str], stat: str = "mean") -> rd.Data
         for c in columns:
             values[c] = approx_quantiles(ds, c, [0.5])[0]
     elif stat == "mode":
+        from ..shuffle import grouped_agg
+
         for c in columns:
             top = (
-                ds.groupby(c).aggregate(Count(alias_name="n"))
+                grouped_agg(ds.select_columns([c]), [c], {"n": (c, "size")})
                 .sort(["n", c], descending=[True, False]).limit(2).take_all()
             )
             top = [r for r in top if r[c] is not None]

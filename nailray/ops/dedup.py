@@ -79,14 +79,12 @@ def dedup_rows(
     # value semi join — keeps correctness when order values repeat
     # across groups; pandas merge matches null keys like the groupby.
     import ray as _ray
-    from ray.data.aggregate import Max, Min
 
-    from ..shuffle import int_types_mapper
+    from ..shuffle import grouped_agg, int_types_mapper
 
-    agg = Min if keep == "first" else Max
-    winners = (ds.select_columns(keys + [order_column])
-               .groupby(keys)
-               .aggregate(agg(order_column, alias_name="__keep_id")))
+    winners = grouped_agg(
+        ds.select_columns(keys + [order_column]), keys,
+        {"__keep_id": (order_column, "min" if keep == "first" else "max")})
     wdf = pa.concat_tables(
         [b for b in winners.iter_batches(batch_format="pyarrow")],
         promote_options="default").to_pandas(types_mapper=int_types_mapper)
