@@ -80,19 +80,44 @@ def grouped_agg(ds, keys: list[str],
     if bad:
         raise ValueError(f"unsupported agg fns {sorted(bad)}: {sorted(_AGG_OPS)}")
 
+    def _agg_out_type(in_type, fn):
+        if fn in ("size", "count"):
+            return pa.int64()
+        if fn in ("min", "max"):
+            return in_type
+        # sum: pandas widens to the platform accumulator
+        if pa.types.is_integer(in_type) or pa.types.is_boolean(in_type):
+            return pa.int64()
+        if pa.types.is_floating(in_type):
+            return pa.float64()
+        return None  # let from_pandas infer (decimal, duration, ...)
+
+    def _typed(df, types: dict) -> pa.Table:
+        """pandas→arrow with per-column target types. A partition whose
+        key (or min/max input) is ALL null degrades to float64 NaN in
+        pandas — inferring would emit an incompatible schema AND hash
+        null keys differently from other blocks."""
+        arrays = [pa.Array.from_pandas(df[c], type=types.get(c))
+                  for c in df.columns]
+        return pa.table(arrays, names=list(df.columns))
+
     def partial(batch: pa.Table) -> pa.Table:
+        types = {k: batch.schema.field(k).type for k in keys}
+        for o, (c, f) in aggs.items():
+            types[o] = _agg_out_type(batch.schema.field(c).type, f)
         df = batch.to_pandas(types_mapper=int_types_mapper)
         gb = df.groupby(keys, dropna=False, sort=False, observed=True)
         out = gb.agg(**{o: (c, _AGG_OPS[f][0]) for o, (c, f) in aggs.items()})
-        out = out.reset_index()
-        out["__part"] = hash_partition(out, keys, n_parts)
-        return to_arrow_clean(out)
+        t = _typed(out.reset_index(), types)
+        part = hash_partition(t.select(keys).to_pandas(), keys, n_parts)
+        return t.append_column("__part", pa.array(part))
 
     def combine(g: pa.Table) -> pa.Table:
+        types = {f.name: f.type for f in g.schema if f.name != "__part"}
         df = g.to_pandas(types_mapper=int_types_mapper)
         gb = df.groupby(keys, dropna=False, sort=False, observed=True)
         out = gb.agg(**{o: (o, _AGG_OPS[f][1]) for o, (_, f) in aggs.items()})
-        return to_arrow_clean(out.reset_index())
+        return _typed(out.reset_index(), types)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__part").map_groups(combine, batch_format="pyarrow"))

@@ -653,3 +653,22 @@ def test_dedup_rows_shuffle_strategy_matches_broadcast():
         b = _pdf(dedup.dedup_rows(ds, ["a", "b"], keep=keep,
                                   winner_strategy="shuffle")).sort_values("row_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_agg_null_key_blocks_and_big_ints():
+    """An input block whose string key is ALL null must not degrade the
+    key to float64 (schema unification error + null keys hashed into a
+    different partition than other blocks' nulls); int payloads beyond
+    2^53 stay exact."""
+    from nailray.shuffle import grouped_agg
+
+    t1 = pa.table({"c": pa.array([None] * 50, pa.string()),
+                   "v": pa.array([2**60 + i for i in range(50)], pa.int64())})
+    t2 = pa.table({"c": pa.array(["y", "z"] * 25),
+                   "v": pa.array(list(range(50)), pa.int64())})
+    out = _pdf(grouped_agg(rd.from_arrow([t1, t2]), ["c"],
+                           {"n": ("c", "size"), "mn": ("v", "min")}))
+    out = out.sort_values("c", na_position="first").reset_index(drop=True)
+    assert list(out["n"]) == [50, 25, 25]
+    assert out["mn"].iloc[0] == 2**60
+    assert out["c"].iloc[0] is None or pd.isna(out["c"].iloc[0])
