@@ -216,15 +216,10 @@ def run_queries() -> dict[str, float]:
 
     @timed("window_hourly")
     def _window():
-        ds = nio.read_parquet(f"{SF_DIR}/events.parquet")
+        from nailray.ops import window as W
 
-        def win(b: pa.Table) -> pa.Table:
-            return b.append_column("w", pc.floor_temporal(b.column("ts"), unit="hour"))
-
-        (ds.map_batches(win, batch_format="pyarrow")
-         .groupby(["user_id", "w"])
-         .aggregate(Count(alias_name="n"), Sum("value", alias_name="s"))
-         .count())
+        W.tumbling(nio.read_parquet(f"{SF_DIR}/events.parquet"),
+                   "user_id", "ts", "value", width="hour").count()
 
     @timed("window_session")
     def _session():
