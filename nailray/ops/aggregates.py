@@ -579,14 +579,22 @@ def fill_stat(ds: rd.Dataset, columns: list[str], stat: str = "mean") -> rd.Data
         for c in columns:
             values[c] = approx_quantiles(ds, c, [0.5])[0]
     elif stat == "mode":
+        import functools
+
         from ..shuffle import grouped_agg
+
+        def drop_null_key(batch: pa.Table, *, col: str) -> pa.Table:
+            # the null-value group is never the mode, and Ray's sort
+            # sampler cannot compare None against strings
+            return batch.filter(pc.is_valid(batch.column(col)))
 
         for c in columns:
             top = (
                 grouped_agg(ds.select_columns([c]), [c], {"n": (c, "size")})
-                .sort(["n", c], descending=[True, False]).limit(2).take_all()
+                .map_batches(functools.partial(drop_null_key, col=c),
+                             batch_format="pyarrow")
+                .sort(["n", c], descending=[True, False]).limit(1).take_all()
             )
-            top = [r for r in top if r[c] is not None]
             values[c] = top[0][c] if top else None
     else:
         raise ValueError(f"unknown fill stat {stat!r}")

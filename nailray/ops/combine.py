@@ -206,13 +206,16 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
         arrays += [pa.array(np.ones(n, np.int8)), part]
         return pa.table(arrays, names=left_cols + right_cols + ["__side", "__part"])
 
+    from ..shuffle import group_map
+
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
-    return tagged.groupby("__part").map_groups(
+    return group_map(
+        tagged, "__part",
         functools.partial(_join_partition, lk=lk, how=how,
                           left_cols=left_cols, right_cols=right_cols,
                           out_schema_ser=out_schema_ser),
-        batch_format="pyarrow")
+        n_parts)
 
 
 def append(

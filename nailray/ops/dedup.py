@@ -63,11 +63,13 @@ def dedup_rows(
             df["__part"] = hash_partition(df, keys, n_parts)
             return df
 
-        return (ds.map_batches(add_part, batch_format="pandas")
-                .groupby("__part")
-                .map_groups(functools.partial(
-                    _dedup_partition, keys=keys, order_column=order_column,
-                    keep=keep), batch_format="pyarrow"))
+        from ..shuffle import group_map
+
+        return group_map(
+            ds.map_batches(add_part, batch_format="pandas"), "__part",
+            functools.partial(_dedup_partition, keys=keys,
+                              order_column=order_column, keep=keep),
+            n_parts)
     if winner_strategy != "broadcast":
         raise ValueError(f"unknown winner_strategy {winner_strategy!r}")
 

@@ -182,13 +182,15 @@ def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
         return batch.append_column(
             "__part", pa.array(hash_partition(kb, [key, "__bucket"], n_parts)))
 
-    partial = (ds.map_batches(bucketize, batch_format="pyarrow")
-               .groupby("__part")
-               .map_groups(functools.partial(
-                   _sessionize_partition, key=key, ts_col=ts_col,
-                   value_col=value_col, gap_s=gap_s, n_parts=n_parts),
-                   batch_format="pyarrow"))
+    from ..shuffle import group_map
 
-    return partial.groupby("__part2").map_groups(
+    partial = group_map(
+        ds.map_batches(bucketize, batch_format="pyarrow"), "__part",
+        functools.partial(_sessionize_partition, key=key, ts_col=ts_col,
+                          value_col=value_col, gap_s=gap_s, n_parts=n_parts),
+        n_parts)
+
+    return group_map(
+        partial, "__part2",
         functools.partial(_merge_sessions_partition, key=key, gap_s=gap_s),
-        batch_format="pyarrow")
+        n_parts)

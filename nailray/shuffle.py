@@ -52,6 +52,102 @@ def hash_partition(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarra
     return (h.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
 
 
+def _route_block_impl(block, part_col: str, n_parts: int):
+    """Split one block into per-partition slices (one stable sort +
+    searchsorted — no per-partition filter passes). Returns n_parts
+    slices (None when empty) plus the per-partition row counts."""
+    import pyarrow as pa
+
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    pv = np.asarray(block.column(part_col).combine_chunks())
+    order = np.argsort(pv, kind="stable")
+    st = block.take(pa.array(order))
+    spv = pv[order]
+    bounds = np.searchsorted(spv, np.arange(n_parts + 1))
+    out = [st.slice(b, e - b) if e > b else None
+           for b, e in zip(bounds[:-1], bounds[1:])]
+    out.append((bounds[1:] - bounds[:-1]).astype(np.int64))
+    return out
+
+
+def _apply_group_impl(ctx, *slices):
+    import pyarrow as pa
+
+    fn, batch_format = ctx
+    ts = [s for s in slices if s is not None and s.num_rows]
+    t = pa.concat_tables(ts, promote_options="default")
+    if batch_format == "pandas":
+        out = fn(t.to_pandas())
+    else:
+        out = fn(t)
+    if isinstance(out, pd.DataFrame):
+        return to_arrow_clean(out)
+    return out.replace_schema_metadata(None)
+
+
+def group_map(ds, part_col: str, fn, n_parts: int,
+              batch_format: str = "pyarrow", exchange: str | None = None):
+    """Apply ``fn`` once to ALL rows of each coarse partition.
+
+    Two physical exchanges:
+
+    - ``"direct"`` — raw-task routing (the encode pipeline's measured
+      2.7× win over Dataset groupby, encode/pipeline.py:525): one route
+      task per upstream block emits per-partition slices; one apply
+      task per partition concatenates its slices and runs ``fn``. No
+      sort barrier, no block rewrite — but the driver holds O(blocks ×
+      P) object refs and the result materializes, so it is the
+      SINGLE-NODE / moderate-block-count path.
+    - ``"sort"`` — ``Dataset.groupby(part_col).map_groups``: Ray's
+      streaming sort shuffle (driver metadata O(P), spills under
+      pressure) — the multi-node / 100 TB path.
+
+    Default policy (``exchange=None``): direct on a single-node
+    cluster, sort otherwise."""
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    if exchange is None:
+        try:
+            exchange = "direct" if len(ray.nodes()) <= 1 else "sort"
+        except Exception:
+            exchange = "sort"
+
+    if exchange == "sort":
+        return ds.groupby(part_col).map_groups(
+            lambda g: _apply_group_impl((fn, batch_format), g),
+            batch_format="pyarrow")
+    if exchange != "direct":
+        raise ValueError(f"unknown exchange {exchange!r}: direct|sort")
+
+    route = ray.remote(num_cpus=1)(_route_block_impl)
+    apply_r = ray.remote(num_cpus=1)(_apply_group_impl)
+    refs: list[list] = [[] for _ in range(n_parts)]
+    count_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            *slices, counts = route.options(
+                num_returns=n_parts + 1).remote(bref, part_col, n_parts)
+            for p, r in enumerate(slices):
+                refs[p].append(r)
+            count_refs.append(counts)
+    totals = (np.sum(ray.get(count_refs), axis=0)
+              if count_refs else np.zeros(n_parts, np.int64))
+    ctx_ref = ray.put((fn, batch_format))
+    out_refs = [apply_r.remote(ctx_ref, *refs[p])
+                for p in range(n_parts) if totals[p] > 0]
+    if not out_refs:
+        # empty input: run fn on an empty sorted-schema table via the
+        # sort path so the caller still gets a typed empty Dataset
+        return ds.groupby(part_col).map_groups(
+            lambda g: _apply_group_impl((fn, batch_format), g),
+            batch_format="pyarrow")
+    return rd.from_arrow_refs(out_refs)
+
+
 # partial op applied per block / combine op applied per partition
 _AGG_OPS = {"sum": ("sum", "sum"), "count": ("count", "sum"),
             "size": ("size", "sum"), "min": ("min", "min"),
@@ -60,7 +156,8 @@ _AGG_OPS = {"sum": ("sum", "sum"), "count": ("count", "sum"),
 
 def grouped_agg(ds, keys: list[str],
                 aggs: dict[str, tuple[str, str]],
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                exchange: str | None = None):
     """Distributed groupby-aggregate for LARGE key spaces.
 
     ``aggs`` maps output column → (input column, fn) with fn one of
@@ -119,8 +216,8 @@ def grouped_agg(ds, keys: list[str],
         out = gb.agg(**{o: (o, _AGG_OPS[f][1]) for o, (_, f) in aggs.items()})
         return _typed(out.reset_index(), types)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("__part").map_groups(combine, batch_format="pyarrow"))
+    return group_map(ds.map_batches(partial, batch_format="pyarrow"),
+                     "__part", combine, n_parts, exchange=exchange)
 
 
 def to_arrow_clean(df: pd.DataFrame, schema=None):

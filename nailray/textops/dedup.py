@@ -68,8 +68,10 @@ def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str,
         out = df.groupby("content_sha256", as_index=False)[id_col].min()
         return to_arrow_clean(out.rename(columns={id_col: "keep_id"}))
 
+    from ..shuffle import group_map
+
     pairs = ds.map_batches(hash_ids, batch_format="pyarrow")
-    return pairs.groupby("__part").map_groups(min_per_sha, batch_format="pyarrow")
+    return group_map(pairs, "__part", min_per_sha, n_parts)
 
 
 def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str,
@@ -225,46 +227,45 @@ def _lsh_pairs_partition(g: pd.DataFrame, id_col: str, max_bucket: int,
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
                           "id_b": pd.Series([], dtype=g[id_col].dtype),
                           "est_jaccard": pd.Series([], dtype="float64")})
-    # singleton buckets (the vast majority) drop out vectorized before
-    # any per-bucket Python runs
-    sizes = g.groupby(["band", "bucket"])[id_col].transform("size")
-    g = g[sizes.to_numpy() >= 2]
-    if not len(g):
-        return empty
+    g = g.sort_values(id_col, kind="mergesort")
     a_, b_, j_ = [], [], []
-    for (bnd, _), sub in g.groupby(["band", "bucket"], sort=False):
-        sub = sub.sort_values(id_col)
-        rep_ids: list = []
-        rep_sigs: list = []
-        # identical signatures → star pairs to the min-id rep (linear).
-        # Identical sigs co-bucket in EVERY band, so emit the stars only
-        # in band 0 — other bands still collapse to the rep but skip the
-        # (bands×-duplicated) pair emission.
-        emit_stars = int(bnd) == 0
-        for _, ssub in sub.groupby("sig", sort=False):
-            sub_ids = list(ssub[id_col])
-            rep_ids.append(sub_ids[0])
-            rep_sigs.append(np.frombuffer(ssub["sig"].iloc[0], np.uint64))
-            if emit_stars:
-                for other in sub_ids[1:]:
-                    a_.append(sub_ids[0]); b_.append(other); j_.append(1.0)
-        r = len(rep_ids)
+
+    # identical signatures → star pairs to the min-id rep (linear, fully
+    # vectorized: rep = first id per (bucket, sig) after the id sort).
+    # Identical sigs co-bucket in EVERY band, so emit stars only in
+    # band 0 — other bands still collapse to the rep below but skip the
+    # (bands×-duplicated) pair emission.
+    b0 = g[g["band"].to_numpy() == 0]
+    if len(b0):
+        rep = b0.groupby(["bucket", "sig"], sort=False)[id_col].transform("first")
+        star = rep.to_numpy() != b0[id_col].to_numpy()
+        a_.extend(rep.to_numpy()[star].tolist())
+        b_.extend(b0[id_col].to_numpy()[star].tolist())
+        j_.extend([1.0] * int(star.sum()))
+
+    # distinct-signature representatives pair pairwise; the Python loop
+    # runs ONLY over buckets holding ≥2 distinct sigs (rare — dup-heavy
+    # buckets collapse to one rep above), each iteration pure numpy.
+    reps = g.drop_duplicates(subset=["band", "bucket", "sig"], keep="first")
+    sizes = reps.groupby(["band", "bucket"], sort=False)["sig"].transform("size")
+    multi = reps[sizes.to_numpy() >= 2]
+    for _, sub in multi.groupby(["band", "bucket"], sort=False):
+        r = len(sub)
         if r > max_bucket:
             import logging
 
             logging.getLogger(__name__).warning(
                 "lsh bucket holds %d distinct signatures; pairing capped at "
                 "%d (coverage dropped — raise bands or max_bucket)", r, max_bucket)
-            rep_ids, rep_sigs, r = rep_ids[:max_bucket], rep_sigs[:max_bucket], max_bucket
-        if r >= 2:
-            m = np.stack(rep_sigs)  # r × num_perm
-            iu, ju = np.triu_indices(r, 1)
-            est = (m[iu] == m[ju]).mean(axis=1)
-            ids_arr = np.asarray(rep_ids)
-            ok = est >= min_est
-            a_.extend(ids_arr[iu[ok]].tolist())
-            b_.extend(ids_arr[ju[ok]].tolist())
-            j_.extend(est[ok].tolist())
+            sub, r = sub.iloc[:max_bucket], max_bucket
+        m = np.frombuffer(b"".join(sub["sig"].tolist()), np.uint64).reshape(r, -1)
+        iu, ju = np.triu_indices(r, 1)
+        est = (m[iu] == m[ju]).mean(axis=1)
+        ids_arr = sub[id_col].to_numpy()
+        ok = est >= min_est
+        a_.extend(ids_arr[iu[ok]].tolist())
+        b_.extend(ids_arr[ju[ok]].tolist())
+        j_.extend(est[ok].tolist())
     if not a_:
         return empty
     return pd.DataFrame({"id_a": pd.Series(a_, dtype=g[id_col].dtype),
@@ -294,29 +295,44 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
     n_parts = _pair_partitions(num_partitions)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = [np.asarray(s, np.uint64) for s in batch.column("minhash").to_pylist()]
-        out_id, out_band, out_hash, out_sig = [], [], [], []
-        for i, sig in zip(ids, sigs):
-            sb = sig.tobytes()
-            for bnd in range(bands):
-                seg = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
-                out_id.append(i)
-                out_band.append(bnd)
-                out_hash.append(int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"))
-                out_sig.append(sb)
-        hv = np.array(out_hash, dtype=np.uint64)
-        return pa.table({id_col: out_id, "band": out_band,
-                         "bucket": pa.array(hv),
-                         "part": pa.array((hv % n_parts).astype(np.int32)),
-                         "sig": pa.array(out_sig, pa.binary())})
+        # Fully vectorized: one flatten/reshape for the signature matrix,
+        # a numpy splitmix-style chain per band for the bucket hash (any
+        # 64-bit mix works — equal segments co-bucket either way), and an
+        # Arrow take for the per-band signature replication.
+        col = batch.column("minhash").combine_chunks()
+        n = len(col)
+        m = np.asarray(col.flatten()).astype(np.uint64, copy=False)
+        m = m.reshape(n, num_perm) if n else m.reshape(0, num_perm)
+        C, S = np.uint64(0x9E3779B97F4A7C15), np.uint64(29)
+        buckets = np.empty((bands, n), np.uint64)
+        for bnd in range(bands):
+            seg = m[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
+            h = np.full(n, np.uint64(bnd), np.uint64)
+            for j in range(seg.shape[1]):
+                h = (h ^ seg[:, j]) * C
+                h ^= h >> S
+            buckets[bnd] = h
+        hv = buckets.reshape(-1)
+        doc_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        sig_fsb = pa.Array.from_buffers(
+            pa.binary(num_perm * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+        return pa.table({
+            id_col: batch.column(id_col).take(doc_idx),
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
+            "bucket": pa.array(hv),
+            "part": pa.array((hv % n_parts).astype(np.int32)),
+            "sig": sig_fsb.take(doc_idx),
+        })
+
+    from ..shuffle import group_map
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby("part").map_groups(
+    cand = group_map(
+        exploded, "part",
         functools.partial(_lsh_pairs_partition, id_col=id_col,
                           max_bucket=max_bucket, min_est=min_est),
-        batch_format="pandas")
+        n_parts, batch_format="pandas")
     if not dedupe:
         # downstream union-find is idempotent under duplicate edges —
         # skip the (expensive at 10^5+ pairs) cross-band dedupe shuffle
@@ -545,11 +561,14 @@ def simhash_candidates(ds_with_simhash: rd.Dataset, id_col: str,
                          "part": pa.array(part.astype(np.int32)),
                          "simhash": pa.array(hs[idx])})
 
+    from ..shuffle import group_map
+
     exploded = ds_with_simhash.map_batches(explode, batch_format="pyarrow")
-    cand = exploded.groupby("part").map_groups(
+    cand = group_map(
+        exploded, "part",
         functools.partial(_simhash_pairs_partition, max_hamming=max_hamming,
                           max_bucket=max_bucket),
-        batch_format="pandas")
+        n_parts, batch_format="pandas")
 
     # hamming is identical for a pair across bands → Min aggregate dedupe
     from ray.data.aggregate import Min
@@ -609,11 +628,14 @@ def embedding_near_duplicates(
                 "unit": pa.array(list(unit.astype(np.float32))),
             })
 
+    from ..shuffle import group_map
+
     bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
-    return bucketed.groupby("part").map_groups(
+    return group_map(
+        bucketed, "part",
         functools.partial(_embedding_pairs_partition, id_col=id_col,
                           threshold=threshold, max_bucket=max_bucket),
-        batch_format="pandas")
+        n_parts, batch_format="pandas")
 
 
 def _embedding_pairs_partition(g: pd.DataFrame, id_col: str, threshold: float,
