@@ -19,6 +19,21 @@ import numpy as np
 import pandas as pd
 
 
+def actor_pool_size(concurrency=None) -> tuple[int, int]:
+    """Default actor-pool bounds for stateful map_batches stages:
+    (1, cluster CPUs) — a fixed small cap leaves most of a wide node
+    idle; Ray only spawns actors while there are pending blocks, so the
+    upper bound costs nothing on small inputs."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        import ray
+
+        return (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return (1, 8)
+
+
 def partition_count(num_partitions: int | None = None) -> int:
     if num_partitions:
         return num_partitions

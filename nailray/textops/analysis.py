@@ -66,7 +66,10 @@ class TextAnalyzer:
         return batch
 
 
-def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 8)) -> rd.Dataset:
+def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
+    from ..shuffle import actor_pool_size
+
+    concurrency = actor_pool_size(concurrency)
     return ds.map_batches(TextAnalyzer, fn_constructor_args=(text_col,),
                           batch_format="pandas", concurrency=concurrency)
 
@@ -76,7 +79,10 @@ class QualityAnalyzer(TextAnalyzer):
         return self.quality(batch)
 
 
-def quality_scores(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 8)) -> rd.Dataset:
+def quality_scores(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
+    from ..shuffle import actor_pool_size
+
+    concurrency = actor_pool_size(concurrency)
     return ds.map_batches(QualityAnalyzer, fn_constructor_args=(text_col,),
                           batch_format="pandas", concurrency=concurrency)
 
@@ -109,7 +115,10 @@ class LangId:
         return batch
 
 
-def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 8)) -> rd.Dataset:
+def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
+    from ..shuffle import actor_pool_size
+
+    concurrency = actor_pool_size(concurrency)
     return ds.map_batches(LangId, fn_constructor_args=(text_col,),
                           batch_format="pandas", concurrency=concurrency)
 

@@ -155,12 +155,15 @@ class MinHasher:
         k = self.k
         counts = np.maximum(lengths - k + 1, 0)
         if len(data) >= k:
-            from numpy.lib.stride_tricks import sliding_window_view
-
-            win = sliding_window_view(data, k).astype(np.uint64)
+            # k shifted accumulation passes instead of materializing the
+            # n×k uint64 window matrix (k× less peak memory + traffic);
+            # same wrapping polynomial, identical hash values.
+            n_win = len(data) - k + 1
             weights = np.power(np.uint64(1000003), np.arange(k, dtype=np.uint64),
                                dtype=np.uint64)
-            h_all = (win * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            h_all = np.zeros(n_win, np.uint64)
+            for j in range(k):
+                h_all += data[j:j + n_win].astype(np.uint64) * weights[j]
             # drop windows that cross document boundaries
             starts = np.zeros(n_docs, np.int64)
             np.cumsum(lengths[:-1], out=starts[1:])
@@ -197,7 +200,10 @@ class MinHasher:
 
 def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 5, seed: int = 42,
-                       concurrency=(1, 8)) -> rd.Dataset:
+                       concurrency=None) -> rd.Dataset:
+    from ..shuffle import actor_pool_size
+
+    concurrency = actor_pool_size(concurrency)
     return ds.map_batches(
         MinHasher,
         fn_constructor_args=(text_col, id_col, num_perm, shingle_k, seed),
@@ -477,9 +483,12 @@ class SimHasher:
 
 
 def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash",
-                concurrency=(1, 8)) -> rd.Dataset:
+                concurrency=None) -> rd.Dataset:
+    from ..shuffle import actor_pool_size
+
     return ds.map_batches(SimHasher, fn_constructor_args=(text_col, out_col),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=actor_pool_size(concurrency))
 
 
 def _simhash_pairs_partition(g: pd.DataFrame, max_hamming: int,
@@ -630,7 +639,10 @@ def embedding_near_duplicates(
 
     from ..shuffle import group_map
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 8))
+    from ..shuffle import actor_pool_size
+
+    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow",
+                              concurrency=actor_pool_size(None))
     return group_map(
         bucketed, "part",
         functools.partial(_embedding_pairs_partition, id_col=id_col,
