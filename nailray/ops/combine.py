@@ -104,7 +104,6 @@ def _join_partition(g: pa.Table, lk: str, how: str, left_cols: list[str],
     integer columns convert to nullable pandas ints (see
     :func:`_int_types_mapper`) so null padding never widens them to
     float."""
-    import numpy as np
     import pandas as pd
 
     out_schema = pa.ipc.read_schema(pa.py_buffer(out_schema_ser))

@@ -52,21 +52,22 @@ def dedup_rows(
     if winner_strategy == "shuffle":
         import functools
 
-        import pandas as pd
-
-        from ..shuffle import hash_partition, partition_count
+        from ..shuffle import (group_map, hash_partition, int_types_mapper,
+                               partition_count)
 
         n_parts = partition_count(None)
 
-        def add_part(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__part"] = hash_partition(df, keys, n_parts)
-            return df
-
-        from ..shuffle import group_map
+        def add_part(batch: pa.Table) -> pa.Table:
+            # hash only the KEY columns through pandas (nullable ints stay
+            # exact); full rows stay Arrow — a pandas block would widen
+            # int-with-null columns to float64, breaking both the block
+            # schema and >2^53 key exactness
+            kdf = batch.select(keys).to_pandas(types_mapper=int_types_mapper)
+            return batch.append_column(
+                "__part", pa.array(hash_partition(kdf, keys, n_parts)))
 
         return group_map(
-            ds.map_batches(add_part, batch_format="pandas"), "__part",
+            ds.map_batches(add_part, batch_format="pyarrow"), "__part",
             functools.partial(_dedup_partition, keys=keys,
                               order_column=order_column, keep=keep),
             n_parts)

@@ -86,6 +86,17 @@ def sliding(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
         {"n": (value_col, "size"), "sum_value": (value_col, "sum")})
 
 
+def _pin_key_type(t: pa.Table, key: str, key_t: pa.DataType) -> pa.Table:
+    """Restore the key column's input Arrow type: a partition whose keys
+    are ALL null degrades to a null-typed (or float64) column in pandas,
+    emitting blocks with divergent schemas."""
+    if t.schema.field(key).type != key_t:
+        i = t.column_names.index(key)
+        col = t.column(key).combine_chunks().to_pandas()
+        t = t.set_column(i, key, pa.Array.from_pandas(col, type=key_t))
+    return t
+
+
 def _key_changed(cur: pd.Series, prev: pd.Series) -> pd.Series:
     """Row-wise 'key differs from previous row' that treats null == null
     (matching groupby semantics: null keys form ONE group, not one group
@@ -106,6 +117,7 @@ def _sessionize_partition(g: pa.Table, key: str, ts_col: str,
     no float widening from null keys)."""
     from ..shuffle import hash_partition, int_types_mapper, to_arrow_clean
 
+    key_t = g.schema.field(key).type
     g = g.to_pandas(types_mapper=int_types_mapper)
     g = g.sort_values([key, "__bucket", ts_col], kind="mergesort")
     ts = g[ts_col]
@@ -121,7 +133,8 @@ def _sessionize_partition(g: pa.Table, key: str, ts_col: str,
         sum_value=(value_col, "sum"),
     ).reset_index(drop=True).rename(columns={"__key": key})
     out["__part2"] = hash_partition(out, [key], n_parts)
-    return to_arrow_clean(out)
+    t = to_arrow_clean(out)
+    return _pin_key_type(t, key, key_t)
 
 
 def _merge_sessions_partition(g: pa.Table, key: str,
@@ -133,6 +146,7 @@ def _merge_sessions_partition(g: pa.Table, key: str,
     max and the pairwise gap test equals single-pass sessionization."""
     from ..shuffle import int_types_mapper, to_arrow_clean
 
+    key_t = g.schema.field(key).type
     g = g.to_pandas(types_mapper=int_types_mapper)
     g = g.sort_values([key, "session_start"], kind="mergesort")
     gap = (g["session_start"] - g["session_end"].shift()).dt.total_seconds()
@@ -143,7 +157,8 @@ def _merge_sessions_partition(g: pa.Table, key: str,
         n=("n", "sum"),
         sum_value=("sum_value", "sum"),
     ).reset_index(drop=True).rename(columns={"__key": key})
-    return to_arrow_clean(out[[key, "session_start", "n", "sum_value"]])
+    t = to_arrow_clean(out[[key, "session_start", "n", "sum_value"]])
+    return _pin_key_type(t, key, key_t)
 
 
 def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,

@@ -29,7 +29,10 @@ def actor_pool_size(concurrency=None) -> tuple[int, int]:
     try:
         import ray
 
-        return (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+        # leave headroom below total CPUs: a pool that can reserve every
+        # CPU starves an unfinished upstream stage (observed Ray 2.49
+        # deadlock mode with full-width pools)
+        return (1, max(8, int(ray.cluster_resources().get("CPU", 8)) - 4))
     except Exception:
         return (1, 8)
 
@@ -75,6 +78,10 @@ def _route_block_impl(block, part_col: str, n_parts: int):
 
     if not isinstance(block, pa.Table):
         block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0:
+        # Ray skips map_batches UDFs on empty blocks, so an empty block
+        # may not even carry the part column — nothing to route either way
+        return [None] * n_parts + [np.zeros(n_parts, np.int64)]
     pv = np.asarray(block.column(part_col).combine_chunks())
     order = np.argsort(pv, kind="stable")
     st = block.take(pa.array(order))
@@ -120,8 +127,6 @@ def group_map(ds, part_col: str, fn, n_parts: int,
 
     Default policy (``exchange=None``): direct on a single-node
     cluster, sort otherwise."""
-    import functools
-
     import ray
     import ray.data as rd
 
@@ -155,11 +160,10 @@ def group_map(ds, part_col: str, fn, n_parts: int,
     out_refs = [apply_r.remote(ctx_ref, *refs[p])
                 for p in range(n_parts) if totals[p] > 0]
     if not out_refs:
-        # empty input: run fn on an empty sorted-schema table via the
-        # sort path so the caller still gets a typed empty Dataset
-        return ds.groupby(part_col).map_groups(
-            lambda g: _apply_group_impl((fn, batch_format), g),
-            batch_format="pyarrow")
+        # every upstream block was empty: an empty result with the
+        # upstream schema (matches what groupby().map_groups returns
+        # when no group ever materializes — fn never runs)
+        return ds.limit(0)
     return rd.from_arrow_refs(out_refs)
 
 
@@ -183,8 +187,6 @@ def grouped_agg(ds, keys: list[str],
     the Ray group count is P — unlike ``Dataset.groupby(keys).aggregate``,
     whose sort-based exchange degrades with the distinct-key count
     (key × hour spaces, content hashes, ...)."""
-    import functools
-
     import pyarrow as pa
 
     n_parts = partition_count(num_partitions)

@@ -48,7 +48,7 @@ def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str,
     min per partition. A ``groupby(sha).aggregate`` would pay Ray's
     sort-based exchange on the full hash key space; this moves the same
     (already-combined) rows through P Ray groups instead."""
-    from ..shuffle import (hash_partition, int_types_mapper,
+    from ..shuffle import (group_map, hash_partition, int_types_mapper,
                            partition_count, to_arrow_clean)
 
     n_parts = partition_count(num_partitions)
@@ -67,8 +67,6 @@ def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str,
         df = g.to_pandas(types_mapper=int_types_mapper)
         out = df.groupby("content_sha256", as_index=False)[id_col].min()
         return to_arrow_clean(out.rename(columns={id_col: "keep_id"}))
-
-    from ..shuffle import group_map
 
     pairs = ds.map_batches(hash_ids, batch_format="pyarrow")
     return group_map(pairs, "__part", min_per_sha, n_parts)

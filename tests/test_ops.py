@@ -672,3 +672,60 @@ def test_grouped_agg_null_key_blocks_and_big_ints():
     assert list(out["n"]) == [50, 25, 25]
     assert out["mn"].iloc[0] == 2**60
     assert out["c"].iloc[0] is None or pd.isna(out["c"].iloc[0])
+
+
+def test_group_map_empty_blocks():
+    """Empty input blocks never carry the part column (Ray skips the
+    map_batches UDF on them) — the direct exchange must route around
+    them, and an all-empty input must return an empty dataset."""
+    from nailray.shuffle import grouped_agg
+
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    empty = pa.table({"k": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+    full = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    out = _pdf(grouped_agg(rd.from_arrow([empty, full]), ["k"],
+                           {"s": ("v", "sum")}))
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["s"]) == [3, 3]
+    all_empty = grouped_agg(rd.from_arrow([empty]), ["k"], {"s": ("v", "sum")})
+    assert all_empty.count() == 0
+    assert schema is not None
+
+
+def test_dedup_shuffle_mixed_null_blocks_and_big_keys():
+    """winner_strategy='shuffle' with int64 keys where one block holds a
+    null and another does not: block schemas must stay int64 (no float
+    widening) and keys beyond 2^53 must not collide."""
+    a, b = 2**53 + 2, 2**53 + 3  # distinct ints sharing a float64 image
+    t1 = pa.table({"k": pa.array([a, None], pa.int64()),
+                   "row_id": pa.array([1, 2], pa.int64())})
+    t2 = pa.table({"k": pa.array([b, a], pa.int64()),
+                   "row_id": pa.array([3, 4], pa.int64())})
+    ds_out = dedup.dedup_rows(rd.from_arrow([t1, t2]), ["k"],
+                              winner_strategy="shuffle")
+    t = pa.concat_tables(list(ds_out.iter_batches(batch_format="pyarrow")),
+                         promote_options="default").sort_by("row_id")
+    # winners: a (row 1), null (row 2), b (row 3); row 4 is a dup of a
+    assert t.column("k").type == pa.int64()  # no float widening in blocks
+    assert t.column("row_id").to_pylist() == [1, 2, 3]
+    assert set(x for x in t.column("k").to_pylist() if x is not None) == {a, b}
+
+
+def test_session_null_string_key_schema():
+    """A partition whose string keys are all null must still emit a
+    string-typed key column (not null-typed) so blocks unify."""
+    from nailray.ops import window
+
+    ts = pa.array(pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+         "2024-01-01 02:00:00", "2024-01-01 02:00:30"]), pa.timestamp("us"))
+    t = pa.table({"u": pa.array([None, None, "x", "x"], pa.string()),
+                  "ts": ts, "v": pa.array([1.0, 2.0, 3.0, 4.0])})
+    out = window.session(rd.from_arrow(t).repartition(2), "u", "ts", "v",
+                         gap_s=600)
+    sch = out.schema()
+    base = sch.base_schema if hasattr(sch, "base_schema") else sch
+    assert base.field("u").type == pa.string()
+    df = _pdf(out)
+    assert len(df) == 2  # one null-key session, one x session
