@@ -25,44 +25,33 @@ _LANG_STOPWORDS = {
 
 
 class TextAnalyzer:
-    """Actor-pool stage: compiled regexes + stopword tables built once."""
+    """Actor-pool stage: compiled regexes + stopword tables built once.
+
+    The count metrics run as Arrow RE2 kernels over the zero-copy text
+    column — the document payload never converts to Python objects (the
+    pandas str path paid an object-array materialization of the whole
+    corpus per batch)."""
+
+    WORD_PAT = r"\S+"
+    TOKEN_PAT = r"\w+|[^\w\s]"  # BPE-ish: words + punct marks
+    PUNCT_PAT = r"[.,;:!?]"
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"\S+")
-        self.token_re = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punct marks
-        self.punct_re = re.compile(r"[.,;:!?]")
+        self.word_re = re.compile(self.WORD_PAT)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col].fillna("")
-        batch["n_chars_calc"] = s.str.len().astype("int64")
-        batch["n_words"] = s.str.count(self.word_re).astype("int64")
-        batch["n_tokens"] = s.str.count(self.token_re).astype("int64")
-        batch["punct_ratio"] = (
-            s.str.count(self.punct_re) / batch["n_chars_calc"].clip(lower=1)
-        ).astype("float64")
-        return batch
-
-    def quality(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = TextAnalyzer.__call__(self, batch)
-        s = batch[self.text_col].fillna("")
-        words = s.str.lower().str.findall(self.word_re)
-        # vectorized stopword ratio: explode + isin + per-row mean (no
-        # Python loop over documents)
-        lens = words.str.len().clip(lower=1)
-        ex = words.explode()
-        hits = ex.isin(_LANG_STOPWORDS["en"]).groupby(level=0).sum()
-        batch["stopword_ratio"] = (hits.reindex(words.index, fill_value=0)
-                                   / lens).astype("float64")
-        mean_wl = (batch["n_chars_calc"] - batch["n_words"] + 1).clip(lower=0) / \
-            batch["n_words"].clip(lower=1)
-        # composite heuristic: reasonable length, some punctuation, plausible words
-        batch["quality_score"] = (
-            np.clip(batch["n_words"] / 100.0, 0, 1) * 0.4
-            + np.clip(batch["punct_ratio"] * 20, 0, 1) * 0.2
-            + np.clip(batch["stopword_ratio"] * 4, 0, 1) * 0.2
-            + np.clip(2.0 / (1.0 + np.abs(mean_wl - 5.0)), 0, 1) * 0.2
-        )
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(self.text_col), "")
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(txt, self.WORD_PAT), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(txt, self.TOKEN_PAT), pa.int64())
+        punct = pc.count_substring_regex(txt, self.PUNCT_PAT)
+        denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        ratio = pc.divide(pc.cast(punct, pa.float64()),
+                          pc.cast(denom, pa.float64()))
+        for name, col in [("n_chars_calc", n_chars), ("n_words", n_words),
+                          ("n_tokens", n_tokens), ("punct_ratio", ratio)]:
+            batch = batch.append_column(name, col)
         return batch
 
 
@@ -71,12 +60,35 @@ def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd
 
     concurrency = actor_pool_size(concurrency)
     return ds.map_batches(TextAnalyzer, fn_constructor_args=(text_col,),
-                          batch_format="pandas", concurrency=concurrency)
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 class QualityAnalyzer(TextAnalyzer):
-    def __call__(self, batch):
-        return self.quality(batch)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = TextAnalyzer.__call__(self, batch)
+        # stopword ratio needs token sets — only the text column crosses
+        # into pandas; the numeric base metrics stay Arrow
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        words = s.str.lower().str.findall(self.word_re)
+        lens = words.str.len().clip(lower=1)
+        ex = words.explode()
+        hits = ex.isin(_LANG_STOPWORDS["en"]).groupby(level=0).sum()
+        stop_ratio = (hits.reindex(words.index, fill_value=0) / lens) \
+            .astype("float64").to_numpy()
+        n_chars = np.asarray(batch.column("n_chars_calc"))
+        n_words = np.asarray(batch.column("n_words"))
+        punct_ratio = np.asarray(batch.column("punct_ratio"))
+        mean_wl = np.clip(n_chars - n_words + 1, 0, None) / np.clip(n_words, 1, None)
+        # composite heuristic: reasonable length, some punctuation, plausible words
+        score = (
+            np.clip(n_words / 100.0, 0, 1) * 0.4
+            + np.clip(punct_ratio * 20, 0, 1) * 0.2
+            + np.clip(stop_ratio * 4, 0, 1) * 0.2
+            + np.clip(2.0 / (1.0 + np.abs(mean_wl - 5.0)), 0, 1) * 0.2
+        )
+        batch = batch.append_column("stopword_ratio", pa.array(stop_ratio))
+        batch = batch.append_column("quality_score", pa.array(score))
+        return batch
 
 
 def quality_scores(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
@@ -84,7 +96,7 @@ def quality_scores(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> 
 
     concurrency = actor_pool_size(concurrency)
     return ds.map_batches(QualityAnalyzer, fn_constructor_args=(text_col,),
-                          batch_format="pandas", concurrency=concurrency)
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 class LangId:
