@@ -164,3 +164,63 @@ def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
         return b.filter(pa.array(ids % every_n == 0))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decode_audio(payload: bytes):
+    """Real decode — requires an audio library (not in this container)."""
+    try:
+        import soundfile  # noqa: F401
+        import io as _io
+
+        return soundfile.read(_io.BytesIO(payload))[0]
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa, not available in "
+            "this environment; use FakeAudioFeaturizer for plumbing tests"
+        ) from e
+
+
+class FakeAudioFeaturizer:
+    """Deterministic audio-feature stand-in: payload bytes → (n_frames ×
+    n_mels) fake mel-spectrogram summarized to a fixed-size vector.
+    Plumbing is the real shape a decode stage needs: state (filterbank)
+    built once per actor, small batches (payloads are large), Arrow
+    in/out, features as list<float>."""
+
+    def __init__(self, n_mels: int = 32, payload_col: str = "payload"):
+        self.n_mels = n_mels
+        self.payload_col = payload_col
+        # "filterbank": deterministic per-actor constant state
+        self.bank = np.random.default_rng(7).standard_normal((256, n_mels)) \
+            .astype(np.float32)
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        # frame the raw bytes, histogram each frame over byte values,
+        # project through the bank, mean-pool frames → n_mels vector
+        b = np.frombuffer(payload, np.uint8)
+        n_frames = max(1, len(b) // 256)
+        frames = b[: n_frames * 256].reshape(n_frames, -1) if len(b) >= 256 \
+            else b.reshape(1, -1)
+        hist = np.stack([np.bincount(f, minlength=256)[:256] for f in frames])
+        return (hist.astype(np.float32) @ self.bank).mean(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p or b"\0")
+                 for p in batch.column(self.payload_col).to_pylist()]
+        return batch.append_column(
+            "audio_features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())))
+
+
+def extract_audio_features(ds: rd.Dataset, n_mels: int = 32,
+                           batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """Audio feature stage: small batches (large payloads), actor pool,
+    zero-copy Arrow in/out."""
+    return ds.map_batches(
+        FakeAudioFeaturizer,
+        fn_constructor_args=(n_mels,),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -118,11 +118,18 @@ def dedup_columns(ds: rd.Dataset, keep: str = "first") -> rd.Dataset:
     names = ds.schema().names
 
     def col_hashes(batch: pa.Table) -> pa.Table:
+        # canonical bytes per column via Arrow IPC of the offset-0
+        # combined chunk — no Python materialization of the values.
+        # (A spurious buffer-layout difference can only SPLIT equal
+        # columns — never merges unequal ones — so drops stay safe.)
         out = {}
         for c in names:
-            h = hashlib.sha256()
-            for chunk in batch.column(c).chunks if hasattr(batch.column(c), "chunks") else [batch.column(c)]:
-                h.update(str(chunk.to_pylist()).encode())
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, pa.schema([("c", col.type)])) as w:
+                w.write_table(pa.table({"c": col}))
+            h = hashlib.sha256(sink.getvalue())
             out[c] = [h.hexdigest()]
         return pa.table(out)
 

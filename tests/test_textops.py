@@ -218,12 +218,20 @@ def test_multimodal_plumbing():
     rz2 = to_arrow(multimodal.resize_images(ds, 64, 48, batch_size=16)).to_pandas()
     assert rz.set_index("media_id")["payload"].to_dict() == \
         rz2.set_index("media_id")["payload"].to_dict()
+    # audio: fixed-size feature vector, deterministic across batch sizes
+    au = to_arrow(multimodal.extract_audio_features(ds, n_mels=8, batch_size=16)).to_pandas()
+    assert au["audio_features"].map(len).eq(8).all()
+    au2 = to_arrow(multimodal.extract_audio_features(ds, n_mels=8, batch_size=32)).to_pandas()
+    assert list(au.set_index("media_id")["audio_features"][0]) == \
+        list(au2.set_index("media_id")["audio_features"][0])
     # stub decode raises cleanly without the imaging lib
     import pytest
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"notanimage")
     with pytest.raises(NotImplementedError):
         multimodal.ImageResizer(32, 32, real_decode=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"notaudio")
 
 
 def test_ann_ivf(sf_dir):
