@@ -729,3 +729,41 @@ def test_session_null_string_key_schema():
     assert base.field("u").type == pa.string()
     df = _pdf(out)
     assert len(df) == 2  # one null-key session, one x session
+
+
+def test_group_map_sort_exchange_matches_direct():
+    """The multi-node 'sort' exchange and the single-node 'direct'
+    routing must be observably identical — same rows, same schema —
+    for both an arrow kernel (grouped_agg) and a pandas kernel."""
+    from nailray.shuffle import group_map, grouped_agg, hash_partition
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "k": pa.array([f"k{v}" for v in rng.integers(0, 97, 5000)]),
+        "v": pa.array(rng.integers(0, 1000, 5000)),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+
+    def agg(exchange):
+        out = _pdf(grouped_agg(ds, ["k"], {"n": ("k", "size"), "s": ("v", "sum")},
+                               exchange=exchange))
+        return out.sort_values("k").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(agg("direct"), agg("sort"))
+
+    # pandas kernel through group_map itself
+    def add_part(df):
+        df = df.copy()
+        df["__part"] = hash_partition(df, ["k"], 16)
+        return df
+
+    def kern(df):
+        return (df.groupby("k", as_index=False)["v"].max()
+                .rename(columns={"v": "mx"}))
+
+    tagged = ds.map_batches(add_part, batch_format="pandas")
+    a = _pdf(group_map(tagged, "__part", kern, 16, batch_format="pandas",
+                       exchange="direct")).sort_values("k").reset_index(drop=True)
+    b = _pdf(group_map(tagged, "__part", kern, 16, batch_format="pandas",
+                       exchange="sort")).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
