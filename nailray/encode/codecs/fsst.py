@@ -270,13 +270,12 @@ def decompress(stream: bytes, table: FsstTable, n_out: int) -> np.ndarray:
         np.cumsum(L[:-1], out=starts[1:])
     total = int(starts[-1] + L[-1]) if len(seq) else 0
     assert total == n_out, f"fsst decode length mismatch: {total} != {n_out}"
-    out = np.empty(total, np.uint8)
-    for bpos in range(mat.shape[1]):
-        m = L > bpos
-        if not m.any():
-            break
-        out[starts[m] + bpos] = mat[seq[m], bpos]
-    return out
+    # repeat-gather: one pass building (symbol, offset) per OUTPUT byte
+    # beats per-byte-position masked scatters (those re-scan the whole
+    # symbol stream once per expansion position)
+    sym_idx = np.repeat(np.arange(len(seq), dtype=np.int64), L)
+    within = np.arange(total, dtype=np.int64) - starts[sym_idx]
+    return mat[seq[sym_idx], within]
 
 
 class FsstCodec(Codec):
