@@ -137,6 +137,20 @@ def q_append_union(sf):
     return combine.append(_t(sf, "region"), [_t(sf, "region")])
 
 
+def q_asof_join_hourly(sf):
+    # events as-of joined to their user's latest hourly rollup — the
+    # snapshot/feature-join shape (window output feeds the asof join)
+    from nailray.ops import window
+
+    ev = _t(sf, "events")
+    snap = window.tumbling(ev, "user_id", "ts", "value", width="hour")
+    out = combine.merge_asof(ev.select_columns(["event_id", "user_id", "ts"]),
+                             snap, key="user_id", ts="ts",
+                             right_ts="window_start", how="inner")
+    return _round_cols(out.select_columns(["event_id", "r_sum_value"]),
+                       ["r_sum_value"])
+
+
 def q_frequency_returnflag(sf):
     df = aggregates.frequency(_t(sf, "lineitem"), ["l_returnflag"])
     df["percentage"] = df["percentage"].map(lambda v: round(float(v), 6))
@@ -740,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_prefix": q_id_prefix,
         "merge_right": q_merge_right,
         "merge_full": q_merge_full,
+        "asof_join_hourly": q_asof_join_hourly,
         "stats_exhaustive": q_stats_exhaustive,
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
@@ -901,6 +916,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
             "o.o_orderkey, c.c_name AS r_c_name FROM orders o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "asof_join_hourly": (
+            "WITH snap AS (SELECT user_id, date_trunc('hour', ts) AS ws, "
+            "SUM(value) AS sum_value FROM events GROUP BY 1, 2) "
+            "SELECT a.event_id, ROUND(CAST(b.sum_value AS DOUBLE), 6) AS r_sum_value "
+            "FROM events a ASOF JOIN snap b "
+            "ON a.user_id = b.user_id AND a.ts >= b.ws"),
         "stats_exhaustive": (
             "SELECT COUNT(l_quantity) AS n, ROUND(AVG(l_quantity), 6) AS mean, "
             "ROUND(STDDEV_SAMP(l_quantity), 6) AS std, MIN(l_quantity) AS min, "

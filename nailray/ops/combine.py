@@ -217,6 +217,150 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
         n_parts)
 
 
+def _asof_partition(g: pa.Table, how: str, direction: str,
+                    left_cols: list[str], right_cols: list[str],
+                    out_schema_ser: bytes) -> pa.Table:
+    """As-of-join one hash partition: split sides, sorted pandas
+    merge_asof on the normalized (key, ts) scratch columns, restore the
+    exact output schema."""
+    import pandas as pd
+
+    from ..shuffle import int_types_mapper
+
+    out_schema = pa.ipc.read_schema(pa.py_buffer(out_schema_ser))
+    df = g.to_pandas(types_mapper=int_types_mapper)
+    side = df["__side"].to_numpy()
+    lf = df.loc[side == 0, left_cols + ["__lkey", "__lts"]].copy()
+    rf = df.loc[side == 1, right_cols + ["__rkey", "__rts"]].copy()
+    # SQL semantics: null keys / null timestamps never match
+    lnull = lf["__lkey"].isna() | lf["__lts"].isna()
+    rf = rf[rf["__rkey"].notna() & rf["__rts"].notna()].copy()
+    lfm = lf[~lnull].copy()
+    # merge_asof wants plain by/on dtypes: keys → object (exact ints),
+    # nullable-int timestamps → int64 (null rows already split/filtered)
+    for f_, kc, tc in ((lfm, "__lkey", "__lts"), (rf, "__rkey", "__rts")):
+        f_[kc] = f_[kc].astype(object)
+        if str(f_[tc].dtype).startswith(("Int", "UInt")):
+            f_[tc] = f_[tc].astype("int64")
+    matched = pd.merge_asof(
+        lfm.sort_values("__lts", kind="mergesort"),
+        rf.sort_values("__rts", kind="mergesort"),
+        left_on="__lts", right_on="__rts",
+        left_by="__lkey", right_by="__rkey", direction=direction)
+    if lnull.any():
+        matched = pd.concat([matched, lf[lnull]], ignore_index=True)
+    if how == "inner":
+        matched = matched[matched["__rts"].notna()]
+    elif how != "left":
+        raise ValueError(f"unknown asof how {how!r}: left|inner")
+    out = matched[left_cols + right_cols]
+    return pa.Table.from_pandas(out, schema=out_schema,
+                                preserve_index=False).replace_schema_metadata(None)
+
+
+def merge_asof(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts: str,
+    right_key: str | None = None,
+    right_ts: str | None = None,
+    right_prefix: str = "r_",
+    how: str = "left",
+    direction: str = "backward",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed as-of join (beyond the reference surface — the
+    training-data staple of joining events to the latest snapshot /
+    feature row): for each left row, the single right row with the
+    latest ``right_ts <= ts`` in the same key (``direction='backward'``;
+    ``'forward'`` = earliest ``>=``).
+
+    Partitioned shape: both sides hash-partition on the key through one
+    union (typed-null padding, like :func:`merge`); each partition runs
+    a sorted pandas ``merge_asof`` — all rows of a key co-locate, so the
+    result equals the global as-of join. Right columns come back
+    ``r_``-prefixed; the right key is dropped."""
+    import functools
+
+    import numpy as np
+    import pandas as pd
+
+    from ..shuffle import group_map, hash_partition, partition_count
+
+    rk = right_key or key
+    rts = right_ts or ts
+
+    def schema_of(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    n_parts = partition_count(num_partitions)
+    l_schema, r_schema = schema_of(left), schema_of(right)
+    left_names = list(l_schema.names)
+    right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
+                        for f in r_schema if f.name != rk]
+    clash = set(left_names) & {f.name for f in right_out_fields}
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
+    bad = reserved & (set(left_names) | set(r_schema.names))
+    if bad:
+        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
+    key_t = _norm_key_type(l_schema.field(key).type)
+    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
+    if pa.types.is_timestamp(lt) or pa.types.is_timestamp(rt_):
+        ts_t = pa.timestamp("us")
+    else:
+        ts_t = _norm_key_type(lt)
+    left_cols = left_names
+    right_cols = [f.name for f in right_out_fields]
+    out_schema = pa.schema(list(l_schema) + right_out_fields)
+    out_schema_ser = out_schema.serialize().to_pybytes()
+
+    def part_of(keys: pa.Array):
+        import pyarrow.compute as pc
+
+        norm = pc.cast(keys, key_t)
+        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
+        return pa.array(part), norm
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(key).combine_chunks())
+        arrays = [t.column(c) for c in left_names]
+        arrays += [pa.nulls(n, f.type) for f in right_out_fields]
+        arrays += [norm, pa.nulls(n, key_t),
+                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
+                   pa.array(np.zeros(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols +
+                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(rk).combine_chunks())
+        arrays = [pa.nulls(n, f.type) for f in l_schema]
+        arrays += [t.column(f) for f in r_schema.names if f != rk]
+        arrays += [pa.nulls(n, key_t), norm,
+                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
+                   pa.array(np.ones(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols +
+                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return group_map(
+        tagged, "__part",
+        functools.partial(_asof_partition, how=how, direction=direction,
+                          left_cols=left_cols, right_cols=right_cols,
+                          out_schema_ser=out_schema_ser),
+        n_parts)
+
+
 def append(
     base: rd.Dataset, others: list[rd.Dataset], ignore_schema: bool = False
 ) -> rd.Dataset:

@@ -767,3 +767,23 @@ def test_group_map_sort_exchange_matches_direct():
     b = _pdf(group_map(tagged, "__part", kern, 16, batch_format="pandas",
                        exchange="sort")).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_merge_asof_directions_and_left_nulls():
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2, 3, None], pa.int64()),
+                                "t": pa.array([5, 9, 3, 1, 7], pa.int64()),
+                                "x": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                                "t": pa.array([4, 8, 9], pa.int64()),
+                                "p": pa.array([100, 200, 300], pa.int64())}))
+    back = pa.concat_tables(
+        list(combine.merge_asof(l, r, "k", "t").iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(back["r_p"].fillna(-1)) == [100, 200, -1, -1, -1]
+    fwd = pa.concat_tables(
+        list(combine.merge_asof(l, r, "k", "t", direction="forward",
+                                how="inner").iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas().sort_values("x").reset_index(drop=True)
+    # forward: t=5 -> r(8), t=9 -> none, k=2 t=3 -> r(9); null key drops
+    assert list(fwd["x"]) == [1, 3]
+    assert list(fwd["r_p"]) == [200, 300]
