@@ -151,6 +151,15 @@ def q_asof_join_hourly(sf):
                        ["r_sum_value"])
 
 
+def q_lookback_features(sf):
+    from nailray.ops import window
+
+    out = window.lookback_agg(_t(sf, "events"), "user_id", "ts", "value",
+                              lookback_s=600.0)
+    return _round_cols(out.select_columns(["event_id", "lb_n", "lb_sum"]),
+                       ["lb_sum"])
+
+
 def q_frequency_returnflag(sf):
     df = aggregates.frequency(_t(sf, "lineitem"), ["l_returnflag"])
     df["percentage"] = df["percentage"].map(lambda v: round(float(v), 6))
@@ -755,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_right": q_merge_right,
         "merge_full": q_merge_full,
         "asof_join_hourly": q_asof_join_hourly,
+        "lookback_features": q_lookback_features,
         "stats_exhaustive": q_stats_exhaustive,
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
@@ -916,6 +926,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
             "o.o_orderkey, c.c_name AS r_c_name FROM orders o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "lookback_features": (
+            "SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS lb_n, "
+            "ROUND(CAST(SUM(value) OVER w AS DOUBLE), 6) AS lb_sum "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)"),
         "asof_join_hourly": (
             "WITH snap AS (SELECT user_id, date_trunc('hour', ts) AS ws, "
             "SUM(value) AS sum_value FROM events GROUP BY 1, 2) "

@@ -209,3 +209,67 @@ def session(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
         partial, "__part2",
         functools.partial(_merge_sessions_partition, key=key, gap_s=gap_s),
         n_parts)
+
+
+def _lookback_partition(g: pa.Table, key: str, ts_col: str, value_col: str,
+                        lookback_s: float) -> pa.Table:
+    """Per-event lookback aggregates over one hash partition: sort by
+    (key, ts); per key segment, one vectorized searchsorted gives each
+    row its window start and prefix sums give sum/count in O(n log n).
+    SQL RANGE-frame semantics: the window is [ts - lookback_s, ts] and
+    includes ALL peers sharing the row's timestamp."""
+    from ..shuffle import int_types_mapper, to_arrow_clean
+
+    key_t = g.schema.field(key).type
+    df = g.to_pandas(types_mapper=int_types_mapper)
+    df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+    ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+    vals = df[value_col].astype("float64").to_numpy()
+    codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+    n = len(df)
+    lb_n = np.zeros(n, np.int64)
+    lb_sum = np.zeros(n, np.float64)
+    seg_bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+    for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+        seg = ts[s:e]
+        lo = np.searchsorted(seg, seg - lookback_s, side="left")
+        hi = np.searchsorted(seg, seg, side="right")
+        csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
+        lb_n[s:e] = hi - lo
+        lb_sum[s:e] = csum[hi] - csum[lo]
+    out = df.drop(columns="__part")
+    out["lb_n"] = lb_n
+    out["lb_sum"] = lb_sum
+    t = to_arrow_clean(out)
+    return _pin_key_type(t, key, key_t)
+
+
+def lookback_agg(ds: rd.Dataset, key: str, ts_col: str, value_col: str,
+                 lookback_s: float,
+                 num_partitions: int | None = None) -> rd.Dataset:
+    """Per-event rolling features (beyond the reference surface): for
+    every event, the count and sum of the SAME key's events in the
+    trailing ``[ts - lookback_s, ts]`` window — SQL's
+    ``RANGE BETWEEN lookback PRECEDING AND CURRENT ROW`` frame, the
+    standard feature-engineering primitive for training data.
+
+    Shape: hash-partition full rows by key (a key's whole history must
+    co-locate — document the hot-key caveat; a two-phase bucket split
+    like :func:`session` does not apply because windows cross bucket
+    boundaries), then one vectorized pass per partition."""
+    import functools
+
+    from ..shuffle import group_map, hash_partition, int_types_mapper, partition_count
+
+    n_parts = partition_count(num_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kdf = batch.select([key]).to_pandas(types_mapper=int_types_mapper)
+        return batch.append_column(
+            "__part", pa.array(hash_partition(kdf, [key], n_parts)))
+
+    return group_map(
+        ds.map_batches(add_part, batch_format="pyarrow"), "__part",
+        functools.partial(_lookback_partition, key=key, ts_col=ts_col,
+                          value_col=value_col, lookback_s=lookback_s),
+        n_parts)

@@ -115,3 +115,25 @@ def test_embedding_near_duplicates():
     pairs = to_arrow(embedding_near_duplicates(rd.from_arrow(t), "embedding",
                                                "vec_id", threshold=0.95)).to_pandas()
     assert {(a, b) for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", []))} == {(0, 1)}
+
+
+def test_lookback_agg_matches_pandas_rolling():
+    """Trailing-window count/sum per key, RANGE-frame semantics
+    (equal-timestamp peers included)."""
+    import pandas as pd
+    from nailray.ops import window
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:05:00", "2024-01-01 00:05:00",
+        "2024-01-01 00:20:00", "2024-01-01 00:00:00"])
+    t = pa.table({"u": pa.array(["a", "a", "a", "a", "b"]),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 9.0])})
+    out = pa.concat_tables(list(
+        window.lookback_agg(rd.from_arrow(t).repartition(2), "u", "ts", "v",
+                            lookback_s=600.0).iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas()
+    out = out.sort_values(["u", "ts", "v"]).reset_index(drop=True)
+    # rows at 00:05 are peers: both see [00:00, both 00:05] -> n=3 sum=6
+    assert list(out["lb_n"]) == [1, 3, 3, 1, 1]
+    assert list(out["lb_sum"]) == [1.0, 6.0, 6.0, 4.0, 9.0]
