@@ -160,6 +160,14 @@ def q_lookback_features(sf):
                        ["lb_sum"])
 
 
+def q_heavy_hitters(sf):
+    # Count-Min sketch pass -> candidate broadcast -> exact verify; the
+    # returned counts are exact, so a plain SQL top-k oracle applies
+    from nailray import sketch
+
+    return sketch.heavy_hitters(_t(sf, "events"), "event_type", k=3)
+
+
 def q_frequency_returnflag(sf):
     df = aggregates.frequency(_t(sf, "lineitem"), ["l_returnflag"])
     df["percentage"] = df["percentage"].map(lambda v: round(float(v), 6))
@@ -765,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_full": q_merge_full,
         "asof_join_hourly": q_asof_join_hourly,
         "lookback_features": q_lookback_features,
+        "heavy_hitters": q_heavy_hitters,
         "stats_exhaustive": q_stats_exhaustive,
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
@@ -926,6 +935,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
             "o.o_orderkey, c.c_name AS r_c_name FROM orders o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "heavy_hitters": (
+            "SELECT event_type, COUNT(*) AS count FROM events "
+            "GROUP BY 1 ORDER BY count DESC, event_type LIMIT 3"),
         "lookback_features": (
             "SELECT event_id, CAST(COUNT(*) OVER w AS BIGINT) AS lb_n, "
             "ROUND(CAST(SUM(value) OVER w AS DOUBLE), 6) AS lb_sum "

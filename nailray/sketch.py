@@ -1,0 +1,178 @@
+"""Mergeable sketches for web-scale profiling: HyperLogLog distinct
+counts and Count-Min + exact-verify heavy hitters.
+
+Both follow the same distributed shape: every block folds into a tiny
+fixed-size summary inside ``map_batches`` (numpy-vectorized), summaries
+merge associatively on the driver (KBs, not data), and anything that
+must be exact gets a second broadcast-filtered exact pass. Nothing
+shuffles the raw column.
+
+References: Flajolet et al., "HyperLogLog" (AofA 2007); Cormode &
+Muthukrishnan, "An Improved Data Stream Summary: The Count-Min Sketch"
+(J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _hash64(values: pd.Series) -> np.ndarray:
+    """Stable 64-bit hashes of a column (pandas siphash — process- and
+    block-dtype-stable via the same canonicalization as the shuffle)."""
+    if pd.api.types.is_numeric_dtype(values) or pd.api.types.is_bool_dtype(values):
+        values = values.astype("float64")
+    return pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into 2^p max-leading-run registers."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad to end runs
+    # rank = leading zeros of `rest` + 1, vectorized via float exponent
+    nz = rest != 0
+    ranks = np.empty(len(h), np.int8)
+    # log2 via frexp on the high 53 bits (exact for leading-zero count)
+    f = (rest >> np.uint64(11)).astype(np.float64)
+    ranks[:] = 64 - 11 - np.where(f > 0, np.floor(np.log2(np.maximum(f, 1))), -1) - 1 + 1
+    ranks[~nz] = 64 - p + 1
+    regs = np.zeros(m, np.int8)
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, column: str, p: int = 14) -> int:
+    """Approximate distinct count (~1.04/sqrt(2^p) standard error, i.e.
+    ~0.8% at the default p=14 / 16 KiB of state). Per-block registers
+    merge by element-wise max — one tiny row per block crosses the wire."""
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).drop_null().to_pandas()
+        if len(s) == 0:
+            return pa.table({"regs": pa.array([], pa.large_binary())})
+        regs = _hll_registers(_hash64(s), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    merged = np.zeros(1 << p, np.int8)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for payload in b.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(payload, np.int8))
+    return int(round(_hll_estimate(merged)))
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters with exact verify
+# --------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5], np.uint64)
+
+
+def _cms_fold(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    cms = np.zeros((depth, width), np.int64)
+    for d in range(depth):
+        mixed = (h ^ _CMS_SEEDS[d]) * np.uint64(0xFF51AFD7ED558CCD)
+        mixed ^= mixed >> np.uint64(33)
+        cols = (mixed % np.uint64(width)).astype(np.int64)
+        np.add.at(cms[d], cols, 1)
+    return cms
+
+
+def heavy_hitters(ds: rd.Dataset, column: str, k: int,
+                  width: int = 8192, depth: int = 4,
+                  candidates_per_block: int | None = None) -> pd.DataFrame:
+    """Top-k most frequent values with EXACT counts, two passes:
+
+    1. sketch pass: each block folds into a Count-Min sketch plus its
+       local top candidates (sketches sum associatively on the driver —
+       ``depth × width × 8`` bytes per block, never the raw column);
+    2. verify pass: the candidate union is broadcast and exact counts
+       come from a pre-combined :func:`nailray.shuffle.grouped_agg` over
+       ONLY candidate rows.
+
+    Exactness caveat: the result is exact for every returned value; the
+    top-k SET is guaranteed only when a global heavy hitter is locally
+    heavy in at least one block (use a generous ``candidates_per_block``
+    for near-uniform distributions)."""
+    import ray as _ray
+
+    from .shuffle import grouped_agg
+
+    cpb = candidates_per_block or max(4 * k, 32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(column).drop_null().to_pandas()
+        if len(s) == 0:
+            return pa.table({"cms": pa.array([], pa.large_binary()),
+                             "cand": pa.array([], pa.large_list(pa.string()))})
+        cms = _cms_fold(_hash64(s), width, depth)
+        top = s.value_counts().head(cpb)
+        cand_arr = pa.Array.from_pandas(top.index.to_series().reset_index(drop=True))
+        return pa.table({
+            "cms": pa.array([cms.tobytes()], pa.large_binary()),
+            "cand": pa.array([cand_arr.to_pylist()],
+                             pa.large_list(cand_arr.type)),
+        })
+
+    cms = np.zeros((depth, width), np.int64)
+    cand: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for payload in b.column("cms").to_pylist():
+            cms += np.frombuffer(payload, np.int64).reshape(depth, width)
+        for lst in b.column("cand").to_pylist():
+            cand.update(lst)
+
+    if not cand:
+        return pd.DataFrame({column: [], "count": []})
+    cand_ref = _ray.put(sorted(cand))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(column)
+        vs = pa.array(_ray.get(cand_ref)).cast(
+            col.type if not isinstance(col, pa.ChunkedArray) else col.type)
+        return batch.select([column]).filter(pc.is_in(col, value_set=vs))
+
+    exact = grouped_agg(
+        ds.map_batches(keep_candidates, batch_format="pyarrow"),
+        [column], {"count": (column, "size")})
+    df = pa.concat_tables(
+        list(exact.iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas()
+    df = df.sort_values(["count", column], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True)
+    return df
+
+
+def cms_estimate(cms: np.ndarray, values: pd.Series,
+                 width: int, depth: int) -> np.ndarray:
+    """Point-query upper-bound estimates from a folded sketch (min over
+    rows) — exposed for tests and composition."""
+    h = _hash64(values)
+    est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        mixed = (h ^ _CMS_SEEDS[d]) * np.uint64(0xFF51AFD7ED558CCD)
+        mixed ^= mixed >> np.uint64(33)
+        cols = (mixed % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cms[d][cols])
+    return est

@@ -1,0 +1,51 @@
+"""Mergeable sketches: HLL distinct error bound, Count-Min heavy
+hitters exactness (verify pass), sketch mergeability."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+import nailray.io as nio
+from nailray import sketch
+
+
+def test_hll_error_bound(sf_dir):
+    ds = nio.read_parquet(f"{sf_dir}/lineitem.parquet")
+    est = sketch.approx_distinct(ds, "l_orderkey")
+    exact = duckdb.sql(
+        f"select count(distinct l_orderkey) from read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05  # ~0.8% expected at p=14
+
+
+def test_hll_string_and_small_range():
+    ds = rd.from_arrow(pa.table({"s": [f"v{i%7}" for i in range(1000)]}))
+    assert sketch.approx_distinct(ds, "s") == 7  # linear-counting regime
+
+
+def test_heavy_hitters_exact(sf_dir):
+    ds = nio.read_parquet(f"{sf_dir}/events.parquet")
+    hh = sketch.heavy_hitters(ds, "event_type", k=3)
+    exact = duckdb.sql(
+        f"select event_type, count(*) as count from read_parquet('{sf_dir}/events.parquet') "
+        "group by 1 order by count desc, event_type limit 3").fetchdf()
+    pd.testing.assert_frame_equal(
+        hh.reset_index(drop=True), exact.reset_index(drop=True))
+
+
+def test_heavy_hitters_int_column():
+    vals = [1] * 500 + [2] * 300 + list(range(100, 300))
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())})).repartition(4)
+    hh = sketch.heavy_hitters(ds, "k", k=2)
+    assert list(hh["k"]) == [1, 2]
+    assert list(hh["count"]) == [500, 300]
+
+
+def test_cms_upper_bound_property():
+    rng = np.random.default_rng(3)
+    s = pd.Series(rng.integers(0, 200, 20000))
+    cms = sketch._cms_fold(sketch._hash64(s), 1024, 4)
+    truth = s.value_counts()
+    est = sketch.cms_estimate(cms, pd.Series(truth.index), 1024, 4)
+    assert (est >= truth.to_numpy()).all()  # CMS never underestimates
