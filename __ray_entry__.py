@@ -160,6 +160,15 @@ def q_lookback_features(sf):
                        ["lb_sum"])
 
 
+def q_range_join_minute(sf):
+    # every (event, prior event of same user within 60s) pair — the
+    # event-context range-join shape
+    ev = _t(sf, "events").select_columns(["event_id", "user_id", "ts"])
+    out = combine.merge_range(ev, ev, key="user_id", ts="ts",
+                              lower=-60.0, upper=0.0)
+    return out.select_columns(["event_id", "r_event_id"])
+
+
 def q_heavy_hitters(sf):
     # Count-Min sketch pass -> candidate broadcast -> exact verify; the
     # returned counts are exact, so a plain SQL top-k oracle applies
@@ -774,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_hourly": q_asof_join_hourly,
         "lookback_features": q_lookback_features,
         "heavy_hitters": q_heavy_hitters,
+        "range_join_minute": q_range_join_minute,
         "stats_exhaustive": q_stats_exhaustive,
         "frequency_multi": q_frequency_multi,
         "mode_priority": q_mode_priority,
@@ -935,6 +945,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
             "o.o_orderkey, c.c_name AS r_c_name FROM orders o "
             "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "range_join_minute": (
+            "SELECT a.event_id, b.event_id AS r_event_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts BETWEEN a.ts - INTERVAL 60 SECONDS AND a.ts"),
         "heavy_hitters": (
             "SELECT event_type, COUNT(*) AS count FROM events "
             "GROUP BY 1 ORDER BY count DESC, event_type LIMIT 3"),

@@ -361,6 +361,133 @@ def merge_asof(
         n_parts)
 
 
+def _range_partition(g: pa.Table, lower: float, upper: float,
+                     left_cols: list[str], right_cols: list[str],
+                     out_schema_ser: bytes) -> pa.Table:
+    """Range-join one hash partition: equi-merge on the normalized key,
+    then filter pairs to ``__rts ∈ [__lts + lower, __lts + upper]``."""
+    import pandas as pd
+
+    from ..shuffle import int_types_mapper
+
+    out_schema = pa.ipc.read_schema(pa.py_buffer(out_schema_ser))
+    df = g.to_pandas(types_mapper=int_types_mapper)
+    side = df["__side"].to_numpy()
+    lf = df.loc[side == 0, left_cols + ["__lkey", "__lts"]]
+    rf = df.loc[side == 1, right_cols + ["__rkey", "__rts"]]
+    lf = lf[lf["__lkey"].notna() & lf["__lts"].notna()]
+    rf = rf[rf["__rkey"].notna() & rf["__rts"].notna()]
+    out = lf.merge(rf, left_on="__lkey", right_on="__rkey")
+    delta = (out["__rts"] - out["__lts"])
+    if hasattr(delta, "dt"):
+        delta = delta.dt.total_seconds()
+    out = out[(delta >= lower) & (delta <= upper)]
+    out = out[left_cols + right_cols]
+    return pa.Table.from_pandas(out, schema=out_schema,
+                                preserve_index=False).replace_schema_metadata(None)
+
+
+def merge_range(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts: str,
+    lower: float,
+    upper: float,
+    right_key: str | None = None,
+    right_ts: str | None = None,
+    right_prefix: str = "r_",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed range join (beyond the reference surface): emit every
+    (left, right) pair with equal keys whose right timestamp falls in
+    ``[left.ts + lower, left.ts + upper]`` seconds — SQL
+    ``JOIN ... ON a.k = b.k AND b.t BETWEEN a.t + lower AND a.t + upper``.
+    Inner semantics; null keys/timestamps never match.
+
+    Partitioned shape identical to :func:`merge_asof` (typed-null padded
+    union, one key-hash exchange); each partition equi-merges then
+    filters the window predicate. Output size is the true pair count —
+    a wide window on a hot key is inherently quadratic; bound the window
+    or pre-aggregate when that bites."""
+    import functools
+
+    import numpy as np
+    import pandas as pd
+
+    from ..shuffle import group_map, hash_partition, partition_count
+
+    rk = right_key or key
+    rts = right_ts or ts
+
+    def schema_of(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    n_parts = partition_count(num_partitions)
+    l_schema, r_schema = schema_of(left), schema_of(right)
+    left_names = list(l_schema.names)
+    right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
+                        for f in r_schema if f.name != rk]
+    clash = set(left_names) & {f.name for f in right_out_fields}
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
+    bad = reserved & (set(left_names) | set(r_schema.names))
+    if bad:
+        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
+    key_t = _norm_key_type(l_schema.field(key).type)
+    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
+    ts_t = pa.timestamp("us") if (pa.types.is_timestamp(lt)
+                                  or pa.types.is_timestamp(rt_)) else _norm_key_type(lt)
+    left_cols = left_names
+    right_cols = [f.name for f in right_out_fields]
+    out_schema = pa.schema(list(l_schema) + right_out_fields)
+    out_schema_ser = out_schema.serialize().to_pybytes()
+
+    def part_of(keys: pa.Array):
+        import pyarrow.compute as pc
+
+        norm = pc.cast(keys, key_t)
+        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
+        return pa.array(part), norm
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(key).combine_chunks())
+        arrays = [t.column(c) for c in left_names]
+        arrays += [pa.nulls(n, f.type) for f in right_out_fields]
+        arrays += [norm, pa.nulls(n, key_t),
+                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
+                   pa.array(np.zeros(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols +
+                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(rk).combine_chunks())
+        arrays = [pa.nulls(n, f.type) for f in l_schema]
+        arrays += [t.column(f) for f in r_schema.names if f != rk]
+        arrays += [pa.nulls(n, key_t), norm,
+                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
+                   pa.array(np.ones(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols +
+                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return group_map(
+        tagged, "__part",
+        functools.partial(_range_partition, lower=lower, upper=upper,
+                          left_cols=left_cols, right_cols=right_cols,
+                          out_schema_ser=out_schema_ser),
+        n_parts)
+
+
 def append(
     base: rd.Dataset, others: list[rd.Dataset], ignore_schema: bool = False
 ) -> rd.Dataset:

@@ -787,3 +787,18 @@ def test_merge_asof_directions_and_left_nulls():
     # forward: t=5 -> r(8), t=9 -> none, k=2 t=3 -> r(9); null key drops
     assert list(fwd["x"]) == [1, 3]
     assert list(fwd["r_p"]) == [200, 300]
+
+
+def test_merge_range_pairs():
+    l = rd.from_arrow(pa.table({"k": [1, 1, 2], "t": [10.0, 20.0, 5.0],
+                                "x": [1, 2, 3]}))
+    r = rd.from_arrow(pa.table({"k": [1, 1, 1, 2], "t": [8.0, 15.0, 19.0, 9.0],
+                                "p": [100, 200, 300, 400]}))
+    out = pa.concat_tables(list(
+        combine.merge_range(l, r, "k", "t", lower=-5.0, upper=0.0)
+        .iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas().sort_values(["x", "r_p"]).reset_index(drop=True)
+    # x=1 (k1,t10): r at 8 (-2) qualifies; 15/19 are future -> no
+    # x=2 (k1,t20): r at 15 (-5) and 19 (-1) qualify
+    # x=3 (k2,t5): r at 9 is future -> no
+    assert list(zip(out["x"], out["r_p"])) == [(1, 100), (2, 200), (2, 300)]
