@@ -217,6 +217,80 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
         n_parts)
 
 
+
+def _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
+                         num_partitions):
+    """Shared exchange for the temporal joins (asof/range): both sides
+    tagged with normalized (key, ts) scratch columns and typed-null
+    padding, unioned, key-hash partitioned. Returns
+    (tagged_ds, left_cols, right_cols, out_schema_ser, n_parts)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..shuffle import hash_partition, partition_count
+
+    def schema_of(ds):
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    n_parts = partition_count(num_partitions)
+    l_schema, r_schema = schema_of(left), schema_of(right)
+    left_names = list(l_schema.names)
+    right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
+                        for f in r_schema if f.name != rk]
+    clash = set(left_names) & {f.name for f in right_out_fields}
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+    reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
+    bad = reserved & (set(left_names) | set(r_schema.names))
+    if bad:
+        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
+    key_t = _norm_key_type(l_schema.field(key).type)
+    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
+    ts_t = pa.timestamp("us") if (pa.types.is_timestamp(lt)
+                                  or pa.types.is_timestamp(rt_)) else _norm_key_type(lt)
+    left_cols = left_names
+    right_cols = [f.name for f in right_out_fields]
+    out_schema = pa.schema(list(l_schema) + right_out_fields)
+    out_schema_ser = out_schema.serialize().to_pybytes()
+    scratch = ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"]
+
+    def part_of(keys: pa.Array):
+        import pyarrow.compute as pc
+
+        norm = pc.cast(keys, key_t)
+        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
+        return pa.array(part), norm
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(key).combine_chunks())
+        arrays = [t.column(c) for c in left_names]
+        arrays += [pa.nulls(n, f.type) for f in right_out_fields]
+        arrays += [norm, pa.nulls(n, key_t),
+                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
+                   pa.array(np.zeros(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols + scratch)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        part, norm = part_of(t.column(rk).combine_chunks())
+        arrays = [pa.nulls(n, f.type) for f in l_schema]
+        arrays += [t.column(f) for f in r_schema.names if f != rk]
+        arrays += [pa.nulls(n, key_t), norm,
+                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
+                   pa.array(np.ones(n, np.int8)), part]
+        return pa.table(arrays, names=left_cols + right_cols + scratch)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged, left_cols, right_cols, out_schema_ser, n_parts
+
+
 def _asof_partition(g: pa.Table, how: str, direction: str,
                     left_cols: list[str], right_cols: list[str],
                     out_schema_ser: bytes) -> pa.Table:
@@ -283,76 +357,15 @@ def merge_asof(
     ``r_``-prefixed; the right key is dropped."""
     import functools
 
-    import numpy as np
-    import pandas as pd
-
-    from ..shuffle import group_map, hash_partition, partition_count
+    from ..shuffle import group_map
 
     rk = right_key or key
     rts = right_ts or ts
-
-    def schema_of(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
-
-    n_parts = partition_count(num_partitions)
-    l_schema, r_schema = schema_of(left), schema_of(right)
-    left_names = list(l_schema.names)
-    right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
-                        for f in r_schema if f.name != rk]
-    clash = set(left_names) & {f.name for f in right_out_fields}
-    if clash:
-        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
-    reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
-    bad = reserved & (set(left_names) | set(r_schema.names))
-    if bad:
-        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
-    key_t = _norm_key_type(l_schema.field(key).type)
-    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
-    if pa.types.is_timestamp(lt) or pa.types.is_timestamp(rt_):
-        ts_t = pa.timestamp("us")
-    else:
-        ts_t = _norm_key_type(lt)
-    left_cols = left_names
-    right_cols = [f.name for f in right_out_fields]
-    out_schema = pa.schema(list(l_schema) + right_out_fields)
-    out_schema_ser = out_schema.serialize().to_pybytes()
-
-    def part_of(keys: pa.Array):
-        import pyarrow.compute as pc
-
-        norm = pc.cast(keys, key_t)
-        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
-        return pa.array(part), norm
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = t.num_rows
-        part, norm = part_of(t.column(key).combine_chunks())
-        arrays = [t.column(c) for c in left_names]
-        arrays += [pa.nulls(n, f.type) for f in right_out_fields]
-        arrays += [norm, pa.nulls(n, key_t),
-                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
-                   pa.array(np.zeros(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols +
-                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = t.num_rows
-        part, norm = part_of(t.column(rk).combine_chunks())
-        arrays = [pa.nulls(n, f.type) for f in l_schema]
-        arrays += [t.column(f) for f in r_schema.names if f != rk]
-        arrays += [pa.nulls(n, key_t), norm,
-                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
-                   pa.array(np.ones(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols +
-                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
-
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow"))
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown asof how {how!r}: left|inner")
+    tagged, left_cols, right_cols, out_schema_ser, n_parts = \
+        _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
+                             num_partitions)
     return group_map(
         tagged, "__part",
         functools.partial(_asof_partition, how=how, direction=direction,
@@ -412,74 +425,13 @@ def merge_range(
     or pre-aggregate when that bites."""
     import functools
 
-    import numpy as np
-    import pandas as pd
-
-    from ..shuffle import group_map, hash_partition, partition_count
+    from ..shuffle import group_map
 
     rk = right_key or key
     rts = right_ts or ts
-
-    def schema_of(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
-
-    n_parts = partition_count(num_partitions)
-    l_schema, r_schema = schema_of(left), schema_of(right)
-    left_names = list(l_schema.names)
-    right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
-                        for f in r_schema if f.name != rk]
-    clash = set(left_names) & {f.name for f in right_out_fields}
-    if clash:
-        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
-    reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
-    bad = reserved & (set(left_names) | set(r_schema.names))
-    if bad:
-        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
-    key_t = _norm_key_type(l_schema.field(key).type)
-    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
-    ts_t = pa.timestamp("us") if (pa.types.is_timestamp(lt)
-                                  or pa.types.is_timestamp(rt_)) else _norm_key_type(lt)
-    left_cols = left_names
-    right_cols = [f.name for f in right_out_fields]
-    out_schema = pa.schema(list(l_schema) + right_out_fields)
-    out_schema_ser = out_schema.serialize().to_pybytes()
-
-    def part_of(keys: pa.Array):
-        import pyarrow.compute as pc
-
-        norm = pc.cast(keys, key_t)
-        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
-        return pa.array(part), norm
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = t.num_rows
-        part, norm = part_of(t.column(key).combine_chunks())
-        arrays = [t.column(c) for c in left_names]
-        arrays += [pa.nulls(n, f.type) for f in right_out_fields]
-        arrays += [norm, pa.nulls(n, key_t),
-                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
-                   pa.array(np.zeros(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols +
-                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = t.num_rows
-        part, norm = part_of(t.column(rk).combine_chunks())
-        arrays = [pa.nulls(n, f.type) for f in l_schema]
-        arrays += [t.column(f) for f in r_schema.names if f != rk]
-        arrays += [pa.nulls(n, key_t), norm,
-                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
-                   pa.array(np.ones(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols +
-                        ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"])
-
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow"))
+    tagged, left_cols, right_cols, out_schema_ser, n_parts = \
+        _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
+                             num_partitions)
     return group_map(
         tagged, "__part",
         functools.partial(_range_partition, lower=lower, upper=upper,
