@@ -264,6 +264,29 @@ def run_queries() -> dict[str, float]:
             nio.read_parquet(f"{SF_DIR}/embeddings.parquet"), dim, n_bits=8)
         ann.topk_cosine_lsh(bucketed, q, k=5, dim=dim, n_bits=8)
 
+    @timed("asof_join")
+    def _asof():
+        from nailray.ops import window as W
+
+        ev = nio.read_parquet(f"{SF_DIR}/events.parquet")
+        snap = W.tumbling(ev, "user_id", "ts", "value", width="hour")
+        combine.merge_asof(ev, snap, key="user_id", ts="ts",
+                           right_ts="window_start", how="inner").count()
+
+    @timed("lookback_features")
+    def _lookback():
+        from nailray.ops import window as W
+
+        W.lookback_agg(nio.read_parquet(f"{SF_DIR}/events.parquet"),
+                       "user_id", "ts", "value", lookback_s=600.0).count()
+
+    @timed("heavy_hitters")
+    def _hh():
+        from nailray import sketch
+
+        sketch.heavy_hitters(nio.read_parquet(f"{SF_DIR}/events.parquet"),
+                             "event_type", k=3)
+
     return timings
 
 
