@@ -223,23 +223,34 @@ def _lookback_partition(g: pa.Table, key: str, ts_col: str, value_col: str,
     key_t = g.schema.field(key).type
     df = g.to_pandas(types_mapper=int_types_mapper)
     df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
-    ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
-    vals = df[value_col].astype("float64").to_numpy()
-    codes = pd.factorize(df[key], use_na_sentinel=False)[0]
     n = len(df)
-    lb_n = np.zeros(n, np.int64)
+    ts_valid = df[ts_col].notna().to_numpy()
+    ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+    # null values sum as 0 (SQL SUM skips nulls; COUNT(*) still counts
+    # the row); null TIMESTAMPS get null outputs and never enter a
+    # window — NaT.astype(int64) is INT64_MIN and would break the
+    # sorted precondition of searchsorted for the whole key
+    vals = df[value_col].astype("float64").fillna(0.0).to_numpy()
+    codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+    lb_n = np.zeros(n, np.float64)
     lb_sum = np.zeros(n, np.float64)
-    seg_bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+    vi = np.flatnonzero(ts_valid)
+    tsv, valsv, codesv = ts[vi], vals[vi], codes[vi]
+    seg_bounds = np.flatnonzero(np.r_[True, codesv[1:] != codesv[:-1], True])
     for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
-        seg = ts[s:e]
+        seg = tsv[s:e]
         lo = np.searchsorted(seg, seg - lookback_s, side="left")
         hi = np.searchsorted(seg, seg, side="right")
-        csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
-        lb_n[s:e] = hi - lo
-        lb_sum[s:e] = csum[hi] - csum[lo]
+        csum = np.concatenate([[0.0], np.cumsum(valsv[s:e])])
+        lb_n[vi[s:e]] = hi - lo
+        lb_sum[vi[s:e]] = csum[hi] - csum[lo]
+    lb_n[~ts_valid] = np.nan
+    lb_sum[~ts_valid] = np.nan
     out = df.drop(columns="__part")
-    out["lb_n"] = lb_n
+    out["lb_n"] = pd.array(lb_n, dtype="Int64")
     out["lb_sum"] = lb_sum
+    if (~ts_valid).any():
+        out.loc[~ts_valid, "lb_sum"] = None
     t = to_arrow_clean(out)
     return _pin_key_type(t, key, key_t)
 

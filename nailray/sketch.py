@@ -21,10 +21,13 @@ import ray.data as rd
 
 
 def _hash64(values: pd.Series) -> np.ndarray:
-    """Stable 64-bit hashes of a column (pandas siphash — process- and
-    block-dtype-stable via the same canonicalization as the shuffle)."""
-    if pd.api.types.is_numeric_dtype(values) or pd.api.types.is_bool_dtype(values):
-        values = values.astype("float64")
+    """Stable 64-bit hashes of a column (pandas siphash). NO float64
+    canonicalization here, unlike ``shuffle.hash_partition``: a sketch
+    collision MERGES distinct values (a >2^53 id column would collapse
+    by orders of magnitude), whereas a partition collision only
+    co-locates. Dtype stability across blocks holds because callers
+    hash ``drop_null()``-ed columns of one schema — int columns never
+    null-widen to float."""
     return pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
 
 
@@ -37,13 +40,16 @@ def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad to end runs
-    # rank = leading zeros of `rest` + 1, vectorized via float exponent
-    nz = rest != 0
-    ranks = np.empty(len(h), np.int8)
-    # log2 via frexp on the high 53 bits (exact for leading-zero count)
+    # rank = leading zeros of `rest` + 1. floor(log2) must be exact:
+    # float64(rest) rounds 64-bit ints, so take the top 53 bits (shift
+    # 11, exact in float64) when nonzero, the raw value otherwise
+    # (rest ≥ 2^p - 1 > 0 always — the padding guarantees it).
     f = (rest >> np.uint64(11)).astype(np.float64)
-    ranks[:] = 64 - 11 - np.where(f > 0, np.floor(np.log2(np.maximum(f, 1))), -1) - 1 + 1
-    ranks[~nz] = 64 - p + 1
+    big = f > 0
+    log2 = np.empty(len(h), np.int64)
+    log2[big] = np.floor(np.log2(f[big])).astype(np.int64) + 11
+    log2[~big] = np.floor(np.log2(rest[~big].astype(np.float64))).astype(np.int64)
+    ranks = (63 - log2 + 1).astype(np.int8)
     regs = np.zeros(m, np.int8)
     np.maximum.at(regs, idx, ranks)
     return regs
@@ -119,17 +125,19 @@ def heavy_hitters(ds: rd.Dataset, column: str, k: int,
     cpb = candidates_per_block or max(4 * k, 32)
 
     def partial(batch: pa.Table) -> pa.Table:
+        col_t = batch.column(column).type
         s = batch.column(column).drop_null().to_pandas()
         if len(s) == 0:
             return pa.table({"cms": pa.array([], pa.large_binary()),
-                             "cand": pa.array([], pa.large_list(pa.string()))})
+                             "cand": pa.array([], pa.large_list(col_t))})
         cms = _cms_fold(_hash64(s), width, depth)
         top = s.value_counts().head(cpb)
-        cand_arr = pa.Array.from_pandas(top.index.to_series().reset_index(drop=True))
+        cand_arr = pa.Array.from_pandas(
+            top.index.to_series().reset_index(drop=True), type=col_t)
         return pa.table({
             "cms": pa.array([cms.tobytes()], pa.large_binary()),
             "cand": pa.array([cand_arr.to_pylist()],
-                             pa.large_list(cand_arr.type)),
+                             pa.large_list(col_t)),
         })
 
     cms = np.zeros((depth, width), np.int64)
@@ -143,15 +151,15 @@ def heavy_hitters(ds: rd.Dataset, column: str, k: int,
 
     if not cand:
         return pd.DataFrame({column: [], "count": []})
-    cand_ref = _ray.put(sorted(cand))
+    s = ds.schema()
+    base = s.base_schema if hasattr(s, "base_schema") else s
+    vs_ref = _ray.put(pa.array(sorted(cand), base.field(column).type))
 
     def keep_candidates(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        col = batch.column(column)
-        vs = pa.array(_ray.get(cand_ref)).cast(
-            col.type if not isinstance(col, pa.ChunkedArray) else col.type)
-        return batch.select([column]).filter(pc.is_in(col, value_set=vs))
+        return batch.select([column]).filter(
+            pc.is_in(batch.column(column), value_set=_ray.get(vs_ref)))
 
     exact = grouped_agg(
         ds.map_batches(keep_candidates, batch_format="pyarrow"),

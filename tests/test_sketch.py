@@ -49,3 +49,23 @@ def test_cms_upper_bound_property():
     truth = s.value_counts()
     est = sketch.cms_estimate(cms, pd.Series(truth.index), 1024, 4)
     assert (est >= truth.to_numpy()).all()  # CMS never underestimates
+
+
+def test_hll_large_int64_ids():
+    """>2^53 ids must not collapse: float64 canonicalization in the hash
+    would merge distinct values (reproduced 255x undercount)."""
+    base = 1 << 60
+    ds = rd.from_arrow(pa.table({"id": pa.array(
+        [base + i for i in range(20000)], pa.int64())})).repartition(4)
+    est = sketch.approx_distinct(ds, "id")
+    assert abs(est - 20000) / 20000 < 0.05
+
+
+def test_heavy_hitters_all_null_block():
+    """An all-null block must emit candidates with the column's type,
+    not a hardcoded string list (schema divergence across blocks)."""
+    t1 = pa.table({"k": pa.array([7] * 50 + [8] * 20, pa.int64())})
+    t2 = pa.table({"k": pa.array([None] * 10, pa.int64())})
+    ds = rd.from_arrow([t1, t2])
+    hh = sketch.heavy_hitters(ds, "k", k=1)
+    assert list(hh["k"]) == [7] and list(hh["count"]) == [50]

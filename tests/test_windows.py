@@ -137,3 +137,30 @@ def test_lookback_agg_matches_pandas_rolling():
     # rows at 00:05 are peers: both see [00:00, both 00:05] -> n=3 sum=6
     assert list(out["lb_n"]) == [1, 3, 3, 1, 1]
     assert list(out["lb_sum"]) == [1.0, 6.0, 6.0, 4.0, 9.0]
+
+
+def test_lookback_agg_null_ts_and_null_value():
+    """Null timestamps must not corrupt the key's other rows (NaT ->
+    INT64_MIN broke searchsorted's sorted precondition) and null values
+    sum as 0 per SQL SUM semantics while still counting the row."""
+    import pandas as pd
+    from nailray.ops import window
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:05:00", "2024-01-01 00:08:00",
+        None, "2024-01-01 00:03:00"])
+    t = pa.table({"u": pa.array(["a", "a", "a", "a", "a"]),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0, 3.0, 100.0, None])})
+    out = pa.concat_tables(list(
+        window.lookback_agg(rd.from_arrow(t), "u", "ts", "v",
+                            lookback_s=600.0).iter_batches(batch_format="pyarrow")),
+        promote_options="default").to_pandas()
+    out = out.sort_values("ts").reset_index(drop=True)
+    # null-ts row last after sort; its outputs are null
+    assert out["lb_n"].iloc[-1] is pd.NA or pd.isna(out["lb_n"].iloc[-1])
+    assert pd.isna(out["lb_sum"].iloc[-1])
+    valid = out.iloc[:4]
+    assert list(valid["lb_n"]) == [1, 2, 3, 4]
+    # null v at 00:03 contributes 0 to sums, but counts as a row
+    assert list(valid["lb_sum"]) == [1.0, 1.0, 3.0, 6.0]
