@@ -140,20 +140,19 @@ def _join_partition(g: pa.Table, lk: str, how: str, left_cols: list[str],
                                 preserve_index=False).replace_schema_metadata(None)
 
 
-def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
-                       how: str, right_prefix: str,
-                       num_partitions: int | None = None) -> rd.Dataset:
-    """Partitioned hash join without `Dataset.join`'s actor
-    infrastructure: both sides shuffle by ``hash(key) mod P`` through
-    ONE union + groupby, and each partition joins with a pandas merge.
-    All rows of a key land in one partition, so inner/left/right/full
-    all emit each unmatched row exactly once.
+def _tagged_union(left, right, lk, rk, right_prefix, num_partitions,
+                  lts=None, rts=None):
+    """Shared exchange for the partitioned joins (equi / asof / range):
+    both sides tagged with a normalized key scratch column — plus
+    normalized timestamp scratch columns when ``lts``/``rts`` are given
+    (the temporal joins) — padded with the OTHER side's columns as TYPED
+    Arrow nulls (those ship as validity bitmaps, so the exchange payload
+    stays ≈ the two tables), unioned, and key-hash partitioned so every
+    row of a key lands in one partition.
 
-    The union pads each side with the other side's columns as TYPED
-    Arrow nulls — those ship as validity bitmaps, so the exchange
-    payload stays ≈ the two tables."""
-    import functools
-
+    Returns ``(tagged_ds, left_names, right_out_names, out_schema_ser,
+    n_parts)``; right columns come back ``right_prefix``-ed with the
+    right key dropped."""
     import numpy as np
     import pandas as pd
 
@@ -163,97 +162,29 @@ def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
         s = ds.schema()
         return s.base_schema if hasattr(s, "base_schema") else s
 
-    n_parts = partition_count(num_partitions)
-    l_schema, r_schema = schema_of(left), schema_of(right)
-    left_names = list(l_schema.names)
-    rmap = {c: f"{right_prefix}{c}" for c in r_schema.names if c != rk}
-    right_out_fields = [pa.field(rmap[f.name], f.type)
-                        for f in r_schema if f.name != rk]
-    clash = set(left_names) & {f.name for f in right_out_fields}
-    if clash:
-        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
-    reserved = {"__lkey", "__rkey", "__side", "__part"}
-    bad = reserved & (set(left_names) | set(r_schema.names))
-    if bad:
-        raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
-    key_t = _norm_key_type(l_schema.field(lk).type)
-    left_cols = left_names + ["__lkey"]
-    right_cols = [f.name for f in right_out_fields] + ["__rkey"]
-    out_schema = pa.schema(list(l_schema) + right_out_fields)
-    out_schema_ser = out_schema.serialize().to_pybytes()
-
-    def part_of(keys: pa.Array) -> pa.Array:
-        import pyarrow.compute as pc
-
-        norm = pc.cast(keys, key_t)
-        part = hash_partition(pd.DataFrame({"k": norm.to_pandas()}), ["k"], n_parts)
-        return pa.array(part), norm
-
-    def tag_left(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        part, norm = part_of(t.column(lk).combine_chunks())
-        arrays = [t.column(c) for c in left_names] + [norm]
-        arrays += [pa.nulls(n, f.type) for f in right_out_fields] + [pa.nulls(n, key_t)]
-        arrays += [pa.array(np.zeros(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols + ["__side", "__part"])
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        part, norm = part_of(t.column(rk).combine_chunks())
-        arrays = [pa.nulls(n, f.type) for f in l_schema] + [pa.nulls(n, key_t)]
-        arrays += [t.column(f) for f in r_schema.names if f != rk] + [norm]
-        arrays += [pa.array(np.ones(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols + ["__side", "__part"])
-
-    from ..shuffle import group_map
-
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow"))
-    return group_map(
-        tagged, "__part",
-        functools.partial(_join_partition, lk=lk, how=how,
-                          left_cols=left_cols, right_cols=right_cols,
-                          out_schema_ser=out_schema_ser),
-        n_parts)
-
-
-
-def _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
-                         num_partitions):
-    """Shared exchange for the temporal joins (asof/range): both sides
-    tagged with normalized (key, ts) scratch columns and typed-null
-    padding, unioned, key-hash partitioned. Returns
-    (tagged_ds, left_cols, right_cols, out_schema_ser, n_parts)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..shuffle import hash_partition, partition_count
-
-    def schema_of(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
-
+    with_ts = lts is not None
     n_parts = partition_count(num_partitions)
     l_schema, r_schema = schema_of(left), schema_of(right)
     left_names = list(l_schema.names)
     right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
                         for f in r_schema if f.name != rk]
-    clash = set(left_names) & {f.name for f in right_out_fields}
+    right_out_names = [f.name for f in right_out_fields]
+    clash = set(left_names) & set(right_out_names)
     if clash:
         raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
     reserved = {"__lkey", "__rkey", "__lts", "__rts", "__side", "__part"}
     bad = reserved & (set(left_names) | set(r_schema.names))
     if bad:
         raise ValueError(f"input columns collide with join scratch columns: {sorted(bad)}")
-    key_t = _norm_key_type(l_schema.field(key).type)
-    lt, rt_ = l_schema.field(ts).type, r_schema.field(rts).type
-    ts_t = pa.timestamp("us") if (pa.types.is_timestamp(lt)
-                                  or pa.types.is_timestamp(rt_)) else _norm_key_type(lt)
-    left_cols = left_names
-    right_cols = [f.name for f in right_out_fields]
+    key_t = _norm_key_type(l_schema.field(lk).type)
+    if with_ts:
+        lt, rt_ = l_schema.field(lts).type, r_schema.field(rts).type
+        ts_t = pa.timestamp("us") if (pa.types.is_timestamp(lt)
+                                      or pa.types.is_timestamp(rt_)) else _norm_key_type(lt)
     out_schema = pa.schema(list(l_schema) + right_out_fields)
     out_schema_ser = out_schema.serialize().to_pybytes()
-    scratch = ["__lkey", "__rkey", "__lts", "__rts", "__side", "__part"]
+    scratch = ["__lkey", "__rkey"] + (["__lts", "__rts"] if with_ts else []) \
+        + ["__side", "__part"]
 
     def part_of(keys: pa.Array):
         import pyarrow.compute as pc
@@ -266,13 +197,14 @@ def _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
         import pyarrow.compute as pc
 
         n = t.num_rows
-        part, norm = part_of(t.column(key).combine_chunks())
+        part, norm = part_of(t.column(lk).combine_chunks())
         arrays = [t.column(c) for c in left_names]
         arrays += [pa.nulls(n, f.type) for f in right_out_fields]
-        arrays += [norm, pa.nulls(n, key_t),
-                   pc.cast(t.column(ts), ts_t), pa.nulls(n, ts_t),
-                   pa.array(np.zeros(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols + scratch)
+        arrays += [norm, pa.nulls(n, key_t)]
+        if with_ts:
+            arrays += [pc.cast(t.column(lts), ts_t), pa.nulls(n, ts_t)]
+        arrays += [pa.array(np.zeros(n, np.int8)), part]
+        return pa.table(arrays, names=left_names + right_out_names + scratch)
 
     def tag_right(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -281,14 +213,38 @@ def _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
         part, norm = part_of(t.column(rk).combine_chunks())
         arrays = [pa.nulls(n, f.type) for f in l_schema]
         arrays += [t.column(f) for f in r_schema.names if f != rk]
-        arrays += [pa.nulls(n, key_t), norm,
-                   pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t),
-                   pa.array(np.ones(n, np.int8)), part]
-        return pa.table(arrays, names=left_cols + right_cols + scratch)
+        arrays += [pa.nulls(n, key_t), norm]
+        if with_ts:
+            arrays += [pa.nulls(n, ts_t), pc.cast(t.column(rts), ts_t)]
+        arrays += [pa.array(np.ones(n, np.int8)), part]
+        return pa.table(arrays, names=left_names + right_out_names + scratch)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
-    return tagged, left_cols, right_cols, out_schema_ser, n_parts
+    return tagged, left_names, right_out_names, out_schema_ser, n_parts
+
+
+def _merge_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
+                       how: str, right_prefix: str,
+                       num_partitions: int | None = None) -> rd.Dataset:
+    """Partitioned hash join without `Dataset.join`'s actor
+    infrastructure: both sides shuffle by ``hash(key) mod P`` through
+    ONE union + groupby (:func:`_tagged_union`), and each partition
+    joins with a pandas merge. All rows of a key land in one partition,
+    so inner/left/right/full all emit each unmatched row exactly once."""
+    import functools
+
+    from ..shuffle import group_map
+
+    tagged, left_names, right_out_names, out_schema_ser, n_parts = \
+        _tagged_union(left, right, lk, rk, right_prefix, num_partitions)
+    return group_map(
+        tagged, "__part",
+        functools.partial(_join_partition, lk=lk, how=how,
+                          left_cols=left_names + ["__lkey"],
+                          right_cols=right_out_names + ["__rkey"],
+                          out_schema_ser=out_schema_ser),
+        n_parts)
 
 
 def _asof_partition(g: pa.Table, how: str, direction: str,
@@ -363,13 +319,13 @@ def merge_asof(
     rts = right_ts or ts
     if how not in ("left", "inner"):
         raise ValueError(f"unknown asof how {how!r}: left|inner")
-    tagged, left_cols, right_cols, out_schema_ser, n_parts = \
-        _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
-                             num_partitions)
+    tagged, left_names, right_out_names, out_schema_ser, n_parts = \
+        _tagged_union(left, right, key, rk, right_prefix, num_partitions,
+                      lts=ts, rts=rts)
     return group_map(
         tagged, "__part",
         functools.partial(_asof_partition, how=how, direction=direction,
-                          left_cols=left_cols, right_cols=right_cols,
+                          left_cols=left_names, right_cols=right_out_names,
                           out_schema_ser=out_schema_ser),
         n_parts)
 
@@ -429,13 +385,13 @@ def merge_range(
 
     rk = right_key or key
     rts = right_ts or ts
-    tagged, left_cols, right_cols, out_schema_ser, n_parts = \
-        _tagged_key_ts_union(left, right, key, ts, rk, rts, right_prefix,
-                             num_partitions)
+    tagged, left_names, right_out_names, out_schema_ser, n_parts = \
+        _tagged_union(left, right, key, rk, right_prefix, num_partitions,
+                      lts=ts, rts=rts)
     return group_map(
         tagged, "__part",
         functools.partial(_range_partition, lower=lower, upper=upper,
-                          left_cols=left_cols, right_cols=right_cols,
+                          left_cols=left_names, right_cols=right_out_names,
                           out_schema_ser=out_schema_ser),
         n_parts)
 

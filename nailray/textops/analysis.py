@@ -24,6 +24,15 @@ _LANG_STOPWORDS = {
 }
 
 
+def _upsert_column(batch: pa.Table, name: str, col) -> pa.Table:
+    """Overwrite-or-append so analysis stages compose idempotently
+    (append_column alone duplicates the field on a second pass and
+    breaks batch.column(name) downstream)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, col)
+    return batch.append_column(name, col)
+
+
 class TextAnalyzer:
     """Actor-pool stage: compiled regexes + stopword tables built once.
 
@@ -33,7 +42,10 @@ class TextAnalyzer:
     corpus per batch)."""
 
     WORD_PAT = r"\S+"
-    TOKEN_PAT = r"\w+|[^\w\s]"  # BPE-ish: words + punct marks
+    # BPE-ish: words + punct marks. RE2's \w is ASCII-only, so spell out
+    # the Unicode classes to keep 'café'/'über' as single tokens (parity
+    # with the Python-re Unicode \w this kernel replaced).
+    TOKEN_PAT = r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]"
     PUNCT_PAT = r"[.,;:!?]"
 
     def __init__(self, text_col: str = "text"):
@@ -51,7 +63,7 @@ class TextAnalyzer:
                           pc.cast(denom, pa.float64()))
         for name, col in [("n_chars_calc", n_chars), ("n_words", n_words),
                           ("n_tokens", n_tokens), ("punct_ratio", ratio)]:
-            batch = batch.append_column(name, col)
+            batch = _upsert_column(batch, name, col)
         return batch
 
 
@@ -86,8 +98,8 @@ class QualityAnalyzer(TextAnalyzer):
             + np.clip(stop_ratio * 4, 0, 1) * 0.2
             + np.clip(2.0 / (1.0 + np.abs(mean_wl - 5.0)), 0, 1) * 0.2
         )
-        batch = batch.append_column("stopword_ratio", pa.array(stop_ratio))
-        batch = batch.append_column("quality_score", pa.array(score))
+        batch = _upsert_column(batch, "stopword_ratio", pa.array(stop_ratio))
+        batch = _upsert_column(batch, "quality_score", pa.array(score))
         return batch
 
 
@@ -146,6 +158,6 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text",
         for t in batch.column(text_col).to_pylist():
             norm = ws.sub(" ", (t or "").strip().lower())
             vals.append(hashlib.blake2b(norm.encode(), digest_size=8).hexdigest())
-        return batch.append_column(out_col, pa.array(vals))
+        return _upsert_column(batch, out_col, pa.array(vals))
 
     return ds.map_batches(fn, batch_format="pyarrow")

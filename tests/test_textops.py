@@ -272,3 +272,27 @@ def test_batch_matrix_ragged_guard():
     ok = pa.table({"e": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64()))})
     m = ann._batch_matrix(ok, "e")
     assert m.shape == (2, 2) and m[1, 0] == 3.0
+
+
+def test_token_counts_unicode_and_composition():
+    """Unicode words count as single tokens (RE2 \\w is ASCII-only, so
+    the kernel spells out \\p{L}\\p{N}), and re-running an analysis
+    stage overwrites its columns instead of duplicating fields."""
+    import pyarrow as pa
+    import ray.data as rd
+    from nailray.textops import analysis
+
+    t = pa.table({"doc_id": [1, 2], "text": ["café über", "plain words here."]})
+    ds = analysis.token_counts(rd.from_arrow(t), "text")
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
+                           promote_options="default")
+    by_id = {r["doc_id"]: r for r in out.to_pylist()}
+    assert by_id[1]["n_tokens"] == 2
+    assert by_id[2]["n_tokens"] == 4  # 3 words + final period
+
+    # composition: quality_scores over an already-token_counted dataset
+    ds2 = analysis.quality_scores(analysis.token_counts(rd.from_arrow(t), "text"), "text")
+    out2 = pa.concat_tables(list(ds2.iter_batches(batch_format="pyarrow")),
+                            promote_options="default")
+    assert out2.column_names.count("n_tokens") == 1
+    assert out2.column_names.count("quality_score") == 1
