@@ -701,6 +701,24 @@ def q_stratified_sample(sf):
                                       seed=3).select_columns(["doc_id", "lang"])
 
 
+def q_topk_per_group(sf):
+    ds = _t(sf, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"])
+    return sorting.topk_per_group(ds, ["o_custkey"],
+                                  ["o_totalprice", "o_orderkey"], k=3,
+                                  descending=[True, False])
+
+
+def q_quantiles_price(sf):
+    from nailray.ops.quantile import exact_quantiles
+
+    # small collect_limit forces ≥1 histogram-refinement round even at
+    # sf0.01, so the driver exercises the distributed path end-to-end
+    return exact_quantiles(_t(sf, "lineitem"), "l_extendedprice",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                           collect_limit=4096)
+
+
 def q_encode_corpus(sf):
     """Flagship: encode → manifest → decode → sha256 bit-identity on a
     deterministic corpus (the BASELINE.json north-star pipeline)."""
@@ -792,6 +810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
+        "topk_per_group": q_topk_per_group,
+        "quantiles_price": q_quantiles_price,
         # non-SQL-expressible → rows-only driver check
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -997,6 +1017,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
             "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM s GROUP BY user_id, sid"),
+        "topk_per_group": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"),
+        "quantiles_price": (
+            "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
+            "(ORDER BY l_extendedprice) AS rn FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "n AS (SELECT COUNT(*) AS n FROM s), "
+            "qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q) "
+            "SELECT qs.q, s.v AS value FROM qs CROSS JOIN n "
+            "JOIN s ON s.rn = GREATEST(1, CAST(CEIL(qs.q * n.n) AS BIGINT))"),
         "fill_forward": (
             "WITH t AS (SELECT event_id, CASE WHEN value >= 5 THEN value END AS v "
             "FROM events) SELECT event_id, LAST_VALUE(v IGNORE NULLS) OVER "

@@ -1,0 +1,185 @@
+"""Exact distributed quantiles without a sort.
+
+``exact_quantiles`` computes EXACT order statistics (DuckDB
+``quantile_disc`` semantics: 1-based rank ``max(1, ceil(q*n))`` over the
+non-null values) with no all-to-all exchange at all: every pass is a
+``map_batches`` that folds each block into a few KB (min/max/count, then
+per-bracket histograms), and brackets shrink geometrically until the
+candidate set is small enough to collect exactly.
+
+Cost model at scale: a 4096-bin histogram over 10^12 rows leaves
+~2.4·10^8 rows per bin after one round and ~6·10^4 after two — three
+column-pruned scans replace the full sort a naive exact quantile needs.
+Degenerate distributions (one value dominating a bracket) resolve
+immediately when the bracket collapses to a point.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _col_values(batch: pa.Table, column: str) -> np.ndarray:
+    arr = batch.column(column)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.drop_null().to_numpy(zero_copy_only=False)
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    column: str,
+    qs: list[float],
+    bins: int = 4096,
+    collect_limit: int = 1 << 18,
+    max_rounds: int = 64,
+) -> pd.DataFrame:
+    """Exact ``quantile_disc`` values for every q in ``qs``; returns a
+    DataFrame ``(q, value)``. Nulls are ignored (SQL aggregate
+    semantics); an all-null / empty column yields null values."""
+    if not qs:
+        return pd.DataFrame({"q": [], "value": []})
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1]: {qs}")
+    ds = ds.select_columns([column])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = _col_values(batch, column).astype(np.float64, copy=False)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    n, gmin, gmax = 0, math.inf, -math.inf
+    for b in ds.map_batches(minmax, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            n += r["n"]
+            if r["lo"] is not None:
+                gmin, gmax = min(gmin, r["lo"]), max(gmax, r["hi"])
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": [None] * len(qs)})
+
+    # state per target: inclusive bracket [lo, hi] known to contain the
+    # rank element, `below` = values < lo, `m` = values in the bracket
+    targets = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        targets.append({"q": q, "rank": rank, "lo": gmin, "hi": gmax,
+                        "below": 0, "m": n, "value": None})
+
+    for _ in range(max_rounds):
+        open_t = [t for t in targets if t["value"] is None]
+        if not open_t:
+            break
+        # point / unshrinkable brackets go through collect too: their
+        # values are FLOAT-identical but may be distinct in the native
+        # type (int64 beyond 2^53) — collect dedups per block, so a hot
+        # value costs one (value, count) row per block, not m rows
+        coll_t = [t for t in open_t if t["m"] <= collect_limit
+                  or t["lo"] == t["hi"] or t.get("force_collect")]
+        hist_t = [t for t in open_t if t not in coll_t]
+
+        if coll_t:
+            # bracket membership tests in float64 (consistent with the
+            # histogram counts) but the VALUES come back in the column's
+            # native dtype and the final sort is native: float64 rounding
+            # is monotonic, so float-bracket + exact-native-sort is the
+            # true order even for int64 beyond 2^53
+            brackets = [(t["lo"], t["hi"]) for t in coll_t]
+
+            def collect(batch: pa.Table, brackets=tuple(brackets)) -> pa.Table:
+                native = _col_values(batch, column)
+                v = native.astype(np.float64, copy=False)
+                idxs, vals, cnts = [], [], []
+                for i, (lo, hi) in enumerate(brackets):
+                    sel = native[(v >= lo) & (v <= hi)]
+                    if len(sel):
+                        u, c = np.unique(sel, return_counts=True)
+                        idxs.append(np.full(len(u), i, np.int32))
+                        vals.append(u)
+                        cnts.append(c.astype(np.int64))
+                if not idxs:
+                    return pa.table({"t": pa.array([], pa.int32()),
+                                     "v": pa.array(np.array([], native.dtype)),
+                                     "c": pa.array([], pa.int64())})
+                return pa.table({"t": pa.array(np.concatenate(idxs)),
+                                 "v": pa.array(np.concatenate(vals)),
+                                 "c": pa.array(np.concatenate(cnts))})
+
+            got_v: list[list[np.ndarray]] = [[] for _ in coll_t]
+            got_c: list[list[np.ndarray]] = [[] for _ in coll_t]
+            for b in ds.map_batches(collect, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+                ti = b.column("t").to_numpy(zero_copy_only=False)
+                vv = b.column("v").to_numpy(zero_copy_only=False)
+                cc = b.column("c").to_numpy(zero_copy_only=False)
+                for i in range(len(coll_t)):
+                    m = ti == i
+                    if m.any():
+                        got_v[i].append(vv[m])
+                        got_c[i].append(cc[m])
+            for i, t in enumerate(coll_t):
+                vv = np.concatenate(got_v[i])
+                cc = np.concatenate(got_c[i])
+                order = np.argsort(vv, kind="mergesort")
+                cum = np.cumsum(cc[order])
+                k = t["rank"] - t["below"]  # 1-based within the bracket
+                pos = int(np.searchsorted(cum, k, side="left"))
+                t["value"] = vv[order][pos].item()
+
+        if hist_t:
+            edges_list = [np.linspace(t["lo"], t["hi"], bins + 1)
+                          for t in hist_t]
+
+            def hist(batch: pa.Table,
+                     edges_list=tuple(e.tobytes() for e in edges_list)) -> pa.Table:
+                v = _col_values(batch, column).astype(np.float64, copy=False)
+                rows = []
+                for i, eb in enumerate(edges_list):
+                    edges = np.frombuffer(eb, np.float64)
+                    sel = v[(v >= edges[0]) & (v <= edges[-1])]
+                    c = (np.searchsorted(edges, sel, side="right") - 1) \
+                        .clip(0, len(edges) - 2)
+                    counts = np.bincount(c, minlength=len(edges) - 1) \
+                        .astype(np.int64)
+                    rows.append(counts.tobytes())
+                return pa.table({"t": pa.array(range(len(rows)), pa.int32()),
+                                 "c": pa.array(rows, pa.large_binary())})
+
+            sums = [np.zeros(bins, np.int64) for _ in hist_t]
+            for b in ds.map_batches(hist, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+                for r in b.to_pylist():
+                    sums[r["t"]] += np.frombuffer(r["c"], np.int64)
+            for i, t in enumerate(hist_t):
+                cum = np.cumsum(sums[i])
+                k = t["rank"] - t["below"]
+                bidx = int(np.searchsorted(cum, k, side="left"))
+                edges = edges_list[i]
+                new_lo, new_hi = float(edges[bidx]), float(edges[bidx + 1])
+                new_m = int(sums[i][bidx])
+                if (new_lo, new_hi, new_m) == (t["lo"], t["hi"], t["m"]):
+                    # float-precision floor: the bracket cannot shrink.
+                    # The values are float64-identical but NOT necessarily
+                    # native-identical — resolve via the deduping collect
+                    t["force_collect"] = True
+                    continue
+                t["below"] += int(cum[bidx - 1]) if bidx > 0 else 0
+                t["lo"], t["hi"], t["m"] = new_lo, new_hi, new_m
+
+    unresolved = [t for t in targets if t["value"] is None]
+    if unresolved:
+        raise RuntimeError(
+            f"quantile refinement did not converge in {max_rounds} rounds "
+            f"for q={[t['q'] for t in unresolved]}")
+    return pd.DataFrame({"q": [t["q"] for t in targets],
+                         "value": [t["value"] for t in targets]})

@@ -193,6 +193,83 @@ def topk(
     return sort(part, columns, descending=descending, nulls=nulls).limit(k)
 
 
+def _topk_group_kernel(df, group_keys, sort_cols, ascending, k, nulls):
+    df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort",
+                        na_position="first" if nulls == "first" else "last")
+    return df.groupby(group_keys, dropna=False, sort=False,
+                      observed=True).head(k)
+
+
+def _topk_group_partition(g: pa.Table, group_keys, sort_cols, ascending,
+                          k, nulls, schema_ser: bytes) -> pa.Table:
+    from ..shuffle import int_types_mapper, to_arrow_clean
+
+    schema = pa.ipc.read_schema(pa.py_buffer(schema_ser))
+    df = g.to_pandas(types_mapper=int_types_mapper).drop(columns="__part")
+    out = _topk_group_kernel(df, group_keys, sort_cols, ascending, k, nulls)
+    return to_arrow_clean(out.reset_index(drop=True), schema=schema)
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    group_keys: list[str] | str,
+    sort_cols: list[str] | str,
+    k: int,
+    descending: list[bool] | bool = True,
+    nulls: str = "last",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Top-k rows per group (the "keep the k best documents per domain"
+    training-data shape) — SQL ``row_number() OVER (PARTITION BY keys
+    ORDER BY cols) <= k`` — without a global sort.
+
+    Two-level reduction: each BLOCK first pre-reduces to its local
+    top-k per group (vectorized sort + groupby-head), so at most
+    ``k`` rows per (block, group) enter the exchange; the survivors
+    hash-partition on the group keys (coarse ``mod P`` — see
+    nailray/shuffle.py) and each partition takes the final top-k per
+    group. Deterministic only if ``sort_cols`` totally orders rows
+    within a group — include a tie-breaker column. Null group keys form
+    one group; null sort values place per ``nulls`` (DuckDB default:
+    last)."""
+    import functools
+
+    from ..shuffle import (group_map, hash_partition, int_types_mapper,
+                           partition_count, to_arrow_clean)
+
+    s = ds.schema()
+    schema = s.base_schema if hasattr(s, "base_schema") else s
+    names = list(schema.names)
+    if isinstance(group_keys, str):
+        group_keys = [c.strip() for c in group_keys.split(",") if c.strip()]
+    if isinstance(sort_cols, str):
+        sort_cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
+    group_keys = [resolve_column(names, c) for c in group_keys]
+    sort_cols = [resolve_column(names, c) for c in sort_cols]
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    ascending = [not d for d in descending]
+    if nulls not in ("first", "last"):
+        raise ValueError(f"unknown null handling {nulls!r}: first|last")
+    n_parts = partition_count(num_partitions)
+    schema_ser = schema.serialize().to_pybytes()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas(types_mapper=int_types_mapper)
+        out = _topk_group_kernel(df, group_keys, sort_cols, ascending, k, nulls)
+        out = out.reset_index(drop=True)
+        t = to_arrow_clean(out, schema=schema)
+        part = hash_partition(out[group_keys], group_keys, n_parts)
+        return t.append_column("__part", pa.array(part))
+
+    return group_map(
+        ds.map_batches(partial, batch_format="pyarrow"), "__part",
+        functools.partial(_topk_group_partition, group_keys=group_keys,
+                          sort_cols=sort_cols, ascending=ascending, k=k,
+                          nulls=nulls, schema_ser=schema_ser),
+        n_parts)
+
+
 def shuffle(ds: rd.Dataset, seed: int | None = None) -> rd.Dataset:
     """Seeded distributed shuffle — replaces the reference's
     full-materialize Fisher-Yates (src/commands/shuffle.rs:33-131)."""

@@ -218,6 +218,38 @@ def test_topk_equals_sort_limit(lineitem):
     assert got2["v"].tolist() == [5.0, 3.0, 2.0]
 
 
+def test_topk_per_group_vs_duckdb(sf_dir):
+    """Map-side pre-reduced grouped top-k == SQL row_number() QUALIFY."""
+    ds = nio.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    got = _pdf(sorting.topk_per_group(
+        ds, ["o_custkey"], ["o_totalprice", "o_orderkey"], k=3,
+        descending=[True, False]))
+    ora = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+    ).df()
+    key = ["o_custkey", "o_totalprice", "o_orderkey"]
+    got = got.sort_values(key).reset_index(drop=True)[ora.columns]
+    ora = ora.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+
+
+def test_topk_per_group_null_keys_and_values():
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", None, None, "b"], pa.string()),
+        "v": pa.array([1.0, None, 3.0, 2.0, 5.0, None], pa.float64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = _pdf(sorting.topk_per_group(
+        rd.from_arrow(t).repartition(3), ["g"], ["v", "id"], k=1,
+        descending=[True, False], nulls="last"))
+    out = out.sort_values("id").reset_index(drop=True)
+    # per group: a -> v=3 (id 3), null-group -> v=5 (id 5), b -> only null v (id 6)
+    assert out["id"].tolist() == [3, 5, 6]
+
+
 def test_sort_multi(lineitem):
     out = _pdf(sorting.sort(lineitem, ["l_returnflag", "l_quantity"],
                             descending=[False, True]).limit(50))
