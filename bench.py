@@ -287,6 +287,22 @@ def run_queries() -> dict[str, float]:
         sketch.heavy_hitters(nio.read_parquet(f"{SF_DIR}/events.parquet"),
                              "event_type", k=3)
 
+    @timed("topk_per_group")
+    def _topk_group():
+        ds = nio.read_parquet(f"{SF_DIR}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        sorting.topk_per_group(ds, ["o_custkey"],
+                               ["o_totalprice", "o_orderkey"], k=3,
+                               descending=[True, False]).count()
+
+    @timed("exact_quantiles")
+    def _quantiles():
+        from nailray.ops.quantile import exact_quantiles
+
+        exact_quantiles(nio.read_parquet(li, columns=["l_extendedprice"]),
+                        "l_extendedprice", [0.1, 0.5, 0.9, 0.99],
+                        collect_limit=1 << 16)
+
     return timings
 
 
