@@ -349,6 +349,12 @@ def q_token_counts(sf):
     return ds.select_columns(["doc_id", "n_words"])
 
 
+def q_vocab_topk(sf):
+    from nailray.textops import analysis
+
+    return analysis.token_topk(_t(sf, "documents"), "text", k=50)
+
+
 def q_punct_ratio(sf):
     from nailray.textops import analysis
 
@@ -812,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "topk_per_group": q_topk_per_group,
         "quantiles_price": q_quantiles_price,
+        "vocab_topk": q_vocab_topk,
         # non-SQL-expressible → rows-only driver check
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1021,6 +1028,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"),
+        "vocab_topk": (
+            "WITH t AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM t "
+            "WHERE token != '' GROUP BY token "
+            "ORDER BY count DESC, token LIMIT 50"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

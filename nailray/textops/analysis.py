@@ -147,6 +147,40 @@ def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.
                           batch_format="pandas", concurrency=concurrency)
 
 
+def token_topk(ds: rd.Dataset, text_col: str = "text", k: int = 100,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Corpus vocabulary: the ``k`` most frequent whitespace-delimited
+    tokens with their counts — the vocab-building / BPE-seeding pass of
+    a training-data pipeline.
+
+    Scale shape: each block folds to its own (token, count) partials
+    with Arrow kernels (split_pattern_regex → flatten → value_counts),
+    so the exchange carries one row per (block, distinct token), never
+    per token occurrence; partials combine in a coarse hash-partitioned
+    sum (`nailray.shuffle.grouped_agg`) and the final top-k is a
+    per-block partial top-k merge, not a global sort. Ties break on the
+    token string so the result is deterministic."""
+    from ..ops import sorting
+    from ..shuffle import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(col, pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = grouped_agg(partials, ["token"], {"count": ("count", "sum")},
+                      num_partitions=num_partitions)
+    return sorting.topk(agg, ["count", "token"], k,
+                        descending=[True, False])
+
+
 def fingerprint(ds: rd.Dataset, text_col: str = "text",
                 out_col: str = "fingerprint") -> rd.Dataset:
     """Deterministic 64-bit rolling-hash document fingerprint over

@@ -296,3 +296,38 @@ def test_token_counts_unicode_and_composition():
                             promote_options="default")
     assert out2.column_names.count("n_tokens") == 1
     assert out2.column_names.count("quality_score") == 1
+
+
+def test_token_topk_vs_duckdb(sf_dir):
+    """Distributed vocab top-k == DuckDB unnest+group+order, including
+    the tie-break at the k boundary."""
+    import duckdb
+
+    import nailray.io as nio
+    from nailray.textops import analysis
+
+    got = nio.to_arrow(analysis.token_topk(
+        nio.read_parquet(f"{sf_dir}/documents.parquet"), "text",
+        k=25)).to_pandas()
+    ora = duckdb.sql(
+        "WITH t AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')) "
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM t "
+        "WHERE token != '' GROUP BY token "
+        "ORDER BY count DESC, token LIMIT 25").df()
+    assert got["token"].tolist() == ora["token"].tolist()
+    assert got["count"].tolist() == ora["count"].tolist()
+
+
+def test_token_topk_null_and_empty_docs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    import nailray.io as nio
+    from nailray.textops import analysis
+
+    t = pa.table({"text": pa.array(
+        ["a b a", None, "", "  ", "b a"], pa.string())})
+    out = nio.to_arrow(analysis.token_topk(
+        rd.from_arrow(t).repartition(3), "text", k=10)).to_pylist()
+    assert out == [{"token": "a", "count": 3}, {"token": "b", "count": 2}]
