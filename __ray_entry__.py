@@ -355,6 +355,31 @@ def q_vocab_topk(sf):
     return analysis.token_topk(_t(sf, "documents"), "text", k=50)
 
 
+def q_repetition_docs(sf):
+    from nailray.textops import analysis
+
+    out = analysis.repetition_metrics(_t(sf, "documents"), "text",
+                                      unit="word")
+    return _round_cols(
+        out.select_columns(["doc_id", "rep_dup_frac", "rep_top_frac"]),
+        ["rep_dup_frac", "rep_top_frac"])
+
+
+def q_decontaminate_docs(sf):
+    from nailray.textops import decontam
+
+    ds = _t(sf, "documents")
+    # derive the contamination set from the corpus itself (deterministic,
+    # SQL-reproducible): 40-char prefixes of every 50th document
+    snips = [(r["text"] or "")[:40] for r in ds.select_columns(["doc_id", "text"])
+             .map_batches(lambda b: b.filter(
+                 pa.array(np.asarray(b.column("doc_id")) % 50 == 0)),
+                 batch_format="pyarrow")
+             .take_all()]
+    out = decontam.flag_contaminated(ds, snips, "text")
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def q_punct_ratio(sf):
     from nailray.textops import analysis
 
@@ -819,6 +844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "quantiles_price": q_quantiles_price,
         "vocab_topk": q_vocab_topk,
+        "repetition_docs": q_repetition_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         # non-SQL-expressible → rows-only driver check
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1034,6 +1061,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM t "
             "WHERE token != '' GROUP BY token "
             "ORDER BY count DESC, token LIMIT 50"),
+        "repetition_docs": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "u AS (SELECT doc_id, token, COUNT(*) AS c FROM t "
+            "WHERE token != '' GROUP BY doc_id, token), "
+            "a AS (SELECT doc_id, "
+            "ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) "
+            "AS rep_dup_frac, "
+            "ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) "
+            "AS rep_top_frac FROM u GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
+            "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
+            "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "decontaminate_docs": (
+            "WITH s AS (SELECT substr(text, 1, 40) AS snip FROM documents "
+            "WHERE doc_id % 50 = 0 AND snip IS NOT NULL AND snip != '') "
+            "SELECT d.doc_id, EXISTS (SELECT 1 FROM s "
+            "WHERE position(s.snip IN d.text) > 0) AS contaminated "
+            "FROM documents d"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

@@ -303,6 +303,25 @@ def run_queries() -> dict[str, float]:
                         "l_extendedprice", [0.1, 0.5, 0.9, 0.99],
                         collect_limit=1 << 16)
 
+    @timed("vocab_topk")
+    def _vocab():
+        analysis.token_topk(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                             columns=["text"]),
+                            "text", k=100).count()
+
+    @timed("repetition_metrics")
+    def _repetition():
+        analysis.repetition_metrics(
+            nio.read_parquet(f"{SF_DIR}/documents.parquet"), "text").count()
+
+    @timed("decontaminate")
+    def _decontam():
+        from nailray.textops import decontam
+
+        ds = nio.read_parquet(f"{SF_DIR}/documents.parquet")
+        snips = [(r["text"] or "")[:40] for r in ds.limit(200).take_all()]
+        decontam.decontaminate(ds, snips, "text").count()
+
     return timings
 
 

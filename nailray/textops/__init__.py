@@ -3,4 +3,4 @@ near deduplication, language id, quality scoring, token counting,
 fingerprinting. All stages are vectorized map_batches / groupby
 pipelines designed for the 100 TB documents table."""
 
-from . import dedup, analysis  # noqa: F401
+from . import dedup, analysis, decontam  # noqa: F401

@@ -181,6 +181,54 @@ def token_topk(ds: rd.Dataset, text_col: str = "text", k: int = 100,
                         descending=[True, False])
 
 
+_REP_UNIT_PATTERNS = {"word": r"\s+", "line": r"\n"}
+
+
+def repetition_metrics(ds: rd.Dataset, text_col: str = "text",
+                       unit: str = "word",
+                       out_prefix: str = "rep_") -> rd.Dataset:
+    """Per-document repetition quality metrics (the Gopher/MassiveText
+    repetition filters): ``{prefix}dup_frac`` = fraction of units that
+    are repeats of an earlier unit (1 - distinct/total), and
+    ``{prefix}top_frac`` = fraction covered by the single most frequent
+    unit. ``unit`` is ``"word"`` or ``"line"``.
+
+    Per-batch only (no shuffle): units explode via one Arrow
+    split+flatten, doc association rides a repeated index, and the
+    distinct/top counts are pandas C groupby kernels. Empty documents
+    score 0.0 on both metrics."""
+    try:
+        pat = _REP_UNIT_PATTERNS[unit]
+    except KeyError:
+        raise ValueError(f"unit must be one of {sorted(_REP_UNIT_PATTERNS)}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern_regex(txt, pattern=pat)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(lens)), lens)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"i": idx[keep],
+                           "u": flat.to_pandas().to_numpy()[keep]})
+        per_unit = df.groupby(["i", "u"], sort=False).size()
+        by_doc = per_unit.groupby(level=0)
+        total = by_doc.sum()
+        dup = 1.0 - by_doc.size().astype(np.float64) / total
+        top = by_doc.max().astype(np.float64) / total
+        full = pd.RangeIndex(len(lens))
+        dup = dup.reindex(full, fill_value=0.0).to_numpy()
+        top = top.reindex(full, fill_value=0.0).to_numpy()
+        batch = _upsert_column(batch, out_prefix + "dup_frac",
+                               pa.array(dup, pa.float64()))
+        return _upsert_column(batch, out_prefix + "top_frac",
+                              pa.array(top, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: rd.Dataset, text_col: str = "text",
                 out_col: str = "fingerprint") -> rd.Dataset:
     """Deterministic 64-bit rolling-hash document fingerprint over

@@ -331,3 +331,70 @@ def test_token_topk_null_and_empty_docs():
     out = nio.to_arrow(analysis.token_topk(
         rd.from_arrow(t).repartition(3), "text", k=10)).to_pylist()
     assert out == [{"token": "a", "count": 3}, {"token": "b", "count": 2}]
+
+
+def test_repetition_metrics_known_values():
+    from nailray.io import to_arrow
+
+    t = pa.table({"text": pa.array(
+        ["a a b", "x y z", None, "", "q q q q"], pa.string())})
+    out = to_arrow(analysis.repetition_metrics(
+        rd.from_arrow(t).repartition(2), "text")).to_pylist()
+    got = [(r["rep_dup_frac"], r["rep_top_frac"]) for r in out]
+    assert got[0] == (1.0 - 2 / 3, 2 / 3)
+    assert got[1] == (0.0, 1.0 / 3)
+    assert got[2] == (0.0, 0.0) and got[3] == (0.0, 0.0)
+    assert got[4] == (0.75, 1.0)
+
+
+def test_repetition_metrics_line_unit_and_bad_unit():
+    from nailray.io import to_arrow
+
+    t = pa.table({"text": pa.array(["l1\nl2\nl1", "one line"], pa.string())})
+    out = to_arrow(analysis.repetition_metrics(
+        rd.from_arrow(t), "text", unit="line")).to_pylist()
+    assert out[0]["rep_dup_frac"] == pytest.approx(1 / 3)
+    assert out[1]["rep_dup_frac"] == 0.0
+    with pytest.raises(ValueError):
+        analysis.repetition_metrics(rd.from_arrow(t), "text", unit="char")
+
+
+def test_decontaminate_flag_and_drop():
+    from nailray.io import to_arrow
+    from nailray.textops import decontam
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["clean doc", "has SECRET+TOKEN inside", None, "another (clean)"],
+            pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    # '+' and '(' must be treated literally, '' ignored, None text never matches
+    flags = to_arrow(decontam.flag_contaminated(
+        ds, ["SECRET+TOKEN", "", "(clean)"], "text")).to_pandas()
+    flags = flags.sort_values("doc_id")["contaminated"].tolist()
+    assert flags == [False, True, False, True]
+
+    kept = to_arrow(decontam.decontaminate(
+        ds, ["SECRET+TOKEN", "(clean)"], "text")).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 2]
+    assert "contaminated" not in kept.columns and "__contam__" not in kept.columns
+
+    # no snippets -> nothing flagged
+    none = to_arrow(decontam.flag_contaminated(ds, [], "text")).to_pandas()
+    assert not none["contaminated"].any()
+
+
+def test_decontaminate_chunked_patterns():
+    from nailray.io import to_arrow
+    from nailray.textops import decontam
+
+    # force >1 alternation chunk: 600 distinct snippets, one of which hits
+    snips = [f"needle{i:04d}" for i in range(600)]
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["contains needle0599 here", "nope"],
+                                   pa.string())})
+    got = to_arrow(decontam.flag_contaminated(
+        rd.from_arrow(t), snips, "text")).to_pandas().sort_values("doc_id")
+    assert got["contaminated"].tolist() == [True, False]
