@@ -492,6 +492,15 @@ def q_anti_join(sf):
     return combine.anti_join(_t(sf, "lineitem"), big, "l_orderkey", "o_orderkey")
 
 
+def q_bloom_semi_join(sf):
+    # lineitems of high-value orders: Bloom prefilter (no shuffle of the
+    # big side) + exact shuffle verify of the survivors
+    big = filtering.filter_conditions(_t(sf, "orders"), "o_totalprice>400000")
+    out = combine.bloom_semi_join(_t(sf, "lineitem"), big,
+                                  "l_orderkey", "o_orderkey", verify="shuffle")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
 def q_sliding_windows(sf):
     from nailray.ops import window
 
@@ -839,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_forward": q_fill_forward,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "bloom_semi_join": q_bloom_semi_join,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "topk_per_group": q_topk_per_group,
@@ -1033,6 +1043,10 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": (
             "SELECT * FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')"),
+        "bloom_semi_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"),
         "anti_join": (
             "SELECT * FROM lineitem WHERE l_orderkey NOT IN "
             "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)"),

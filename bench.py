@@ -303,6 +303,16 @@ def run_queries() -> dict[str, float]:
                         "l_extendedprice", [0.1, 0.5, 0.9, 0.99],
                         collect_limit=1 << 16)
 
+    @timed("bloom_semi_join")
+    def _bloom():
+        from nailray.ops import filtering
+
+        big = filtering.filter_conditions(
+            nio.read_parquet(f"{SF_DIR}/orders.parquet"), "o_totalprice>400000")
+        combine.bloom_semi_join(nio.read_parquet(li), big,
+                                "l_orderkey", "o_orderkey",
+                                verify="shuffle").count()
+
     @timed("vocab_topk")
     def _vocab():
         analysis.token_topk(nio.read_parquet(f"{SF_DIR}/documents.parquet",

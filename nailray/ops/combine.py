@@ -523,3 +523,58 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
         return batch.filter(pc.invert(pc.fill_null(mask, False)))
 
     return left.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+                    right_key: str | None = None,
+                    bits_per_key: int = 12,
+                    expected_keys: int | None = None,
+                    verify: str = "shuffle",
+                    num_partitions: int = 16) -> rd.Dataset:
+    """Semi join for key sets too large to broadcast exactly: the right
+    side folds into a Bloom filter (``bits_per_key``/8 bytes per key —
+    ~12× smaller than an int64 key set, far smaller than strings),
+    which broadcasts ONCE via ``ray.put`` and prefilters the big left
+    side in map_batches with no shuffle. Survivors (true matches plus
+    ~0.03% false positives at the default sizing) then get an exact
+    ``verify`` pass: "shuffle" (distributed hash semi join of only the
+    survivors — the 100 TB path), "broadcast" (exact key-set is_in),
+    or "none" (keep the FP tail; fastest, approximate).
+
+    Not in the reference (engine extra, like semi/anti): the standard
+    scale shape for filtering a fact table by a large dimension key set.
+    """
+    import numpy as np
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from ..expr import resolve_column
+    from ..sketch import _bloom_key_hashes, build_bloom
+
+    lk = resolve_column(left.schema().names, left_key)
+    rk = resolve_column(right.schema().names, right_key or left_key)
+    rs = right.schema()
+    rbase = rs.base_schema if hasattr(rs, "base_schema") else rs
+    key_type = _norm_key_type(rbase.field(rk).type)
+
+    bf = build_bloom(right, rk, expected_keys=expected_keys,
+                     bits_per_key=bits_per_key)
+    ref = _ray.put(bf)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        col = batch.column(lk)
+        h = _bloom_key_hashes(col, key_type)
+        # null keys dropped from h: rebuild a full-length mask (nulls
+        # never match, matching SQL semi-join semantics)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(batch), bool)
+        mask[valid] = _ray.get(ref).contains_hashes(h)
+        return batch.filter(pa.array(mask))
+
+    candidates = left.map_batches(prefilter, batch_format="pyarrow")
+    if verify == "none":
+        return candidates
+    if verify in ("shuffle", "broadcast"):
+        return semi_join(candidates, right, lk, rk, strategy=verify,
+                         num_partitions=num_partitions)
+    raise ValueError(f"unknown verify mode {verify!r}")

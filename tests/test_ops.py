@@ -834,3 +834,67 @@ def test_merge_range_pairs():
     # x=2 (k1,t20): r at 15 (-5) and 19 (-1) qualify
     # x=3 (k2,t5): r at 9 is future -> no
     assert list(zip(out["x"], out["r_p"])) == [(1, 100), (2, 200), (2, 300)]
+
+
+def test_bloom_semi_join_exact_and_superset(sf_dir):
+    """Bloom prefilter + exact verify == plain semi join; verify='none'
+    is a superset containing every true match."""
+    from nailray.ops import combine as cmb, filtering
+
+    li = nio.read_parquet(f"{sf_dir}/lineitem.parquet")
+    big = filtering.filter_conditions(
+        nio.read_parquet(f"{sf_dir}/orders.parquet"), "o_totalprice>400000")
+    exact = _pdf(cmb.semi_join(li, big, "l_orderkey", "o_orderkey"))
+    bloom = _pdf(cmb.bloom_semi_join(li, big, "l_orderkey", "o_orderkey",
+                                     verify="shuffle"))
+    cols = sorted(exact.columns)
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = bloom[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    cand = _pdf(cmb.bloom_semi_join(li, big, "l_orderkey", "o_orderkey",
+                                    verify="none"))
+    assert set(exact["l_orderkey"]) <= set(cand["l_orderkey"])
+    assert len(cand) >= len(exact)
+
+
+def test_bloom_semi_join_null_keys_and_dtype_drift():
+    """Null keys never match (SQL semantics) and an int key column that
+    null-widens to float64 in SOME pandas blocks still hashes
+    identically on both sides (normalize-then-hash)."""
+    from nailray.ops import combine as cmb
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4, 5, None], pa.int64()),
+        "v": pa.array(list("abcdef")),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, None, 5, 7], pa.int64()),
+    })).repartition(2)
+    got = _pdf(cmb.bloom_semi_join(left, right, "k", verify="broadcast"))
+    assert sorted(got["k"].tolist()) == [2, 5]
+    # int32 left vs int64 right must also line up (exchange-type widening)
+    left32 = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int32()),
+    }))
+    got32 = _pdf(cmb.bloom_semi_join(left32, right, "k", verify="none"))
+    assert sorted(got32["k"].tolist()) == [2, 5]
+
+
+def test_bloom_filter_fp_rate():
+    """Measured FP rate at the default sizing stays within ~4x of the
+    theoretical bound for the rounded-up bitmap."""
+    import numpy as np
+
+    from nailray.sketch import BloomFilter, _hash64
+    import pandas as pd
+
+    n = 5000
+    bf = BloomFilter(n, bits_per_key=12)
+    keys = pd.Series(np.arange(n, dtype=np.int64))
+    bf.add_hashes(_hash64(keys))
+    probe = pd.Series(np.arange(n, 2 * n, dtype=np.int64))
+    fp = bf.contains_hashes(_hash64(probe)).mean()
+    k, m = bf.k, bf.m
+    theory = (1.0 - np.exp(-k * n / m)) ** k
+    assert fp <= max(4 * theory, 0.002), (fp, theory)
