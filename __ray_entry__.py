@@ -380,6 +380,21 @@ def q_decontaminate_docs(sf):
     return out.select_columns(["doc_id", "contaminated"])
 
 
+def q_decontaminate_ngrams(sf):
+    from nailray.textops import decontam
+
+    ds = _t(sf, "documents")
+    # benchmark set derived from the corpus itself (deterministic,
+    # SQL-reproducible): full text of every 97th document
+    bench = [r["text"] or "" for r in ds.select_columns(["doc_id", "text"])
+             .map_batches(lambda b: b.filter(
+                 pa.array(np.asarray(b.column("doc_id")) % 97 == 0)),
+                 batch_format="pyarrow")
+             .take_all()]
+    out = decontam.flag_contaminated_ngrams(ds, bench, n=8, text_col="text")
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def q_punct_ratio(sf):
     from nailray.textops import analysis
 
@@ -856,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1095,6 +1111,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, EXISTS (SELECT 1 FROM s "
             "WHERE position(s.snip IN d.text) > 0) AS contaminated "
             "FROM documents d"),
+        "decontaminate_ngrams": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x != '') AS t "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+            "FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)), "
+            "bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g)) "
+            "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

@@ -75,3 +75,96 @@ def decontaminate(ds: rd.Dataset, snippets: list[str],
         return batch.filter(mask).drop_columns([out_col])
 
     return flagged.map_batches(keep_clean, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# n-gram (shingle) decontamination — the eval-overlap scrub used for
+# benchmark leakage: flag any document sharing an n-token shingle with
+# the benchmark set, not just exact substrings.
+# --------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+_NGRAM_B = np.uint64(0x100000001B3)
+
+
+def _token_hash_stream(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(token_hash, doc_index) arrays for a batch of texts: one Arrow
+    split+flatten, empties dropped, hashes via the pandas string hasher
+    (content-stable across blocks)."""
+    txt = pc.fill_null(texts, "")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    idx = np.repeat(np.arange(len(lens)), lens)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = pd.Series(flat.to_pandas().to_numpy()[keep])
+    if len(toks) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = pd.util.hash_pandas_object(toks, index=False).to_numpy(np.uint64)
+    return th, idx[keep]
+
+
+def _ngram_hashes(th: np.ndarray, idx: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hash of every n-token window that stays
+    inside one document (windows crossing a doc boundary are masked by
+    comparing the repeated doc index at both window ends)."""
+    if len(th) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(th, n)
+    acc = w[:, 0].copy()
+    for j in range(1, n):
+        acc = acc * _NGRAM_B + w[:, j]
+    same_doc = idx[: len(idx) - n + 1] == idx[n - 1:]
+    return acc[same_doc], idx[: len(idx) - n + 1][same_doc]
+
+
+def flag_contaminated_ngrams(ds: rd.Dataset, benchmark_texts: list[str],
+                             n: int = 13, text_col: str = "text",
+                             out_col: str = "contaminated") -> rd.Dataset:
+    """Append a boolean ``out_col``: does the document share ANY
+    n-token shingle with the benchmark set?
+
+    The benchmark side folds to a sorted uint64 shingle-hash array on
+    the driver (8 bytes per distinct benchmark shingle — benchmark sets
+    are thousands of documents, so KBs–MBs) and broadcasts once via
+    ``ray.put``. Per batch, corpus shingles hash through one
+    vectorized rolling-polynomial pass and membership is a single
+    ``searchsorted`` — linear in corpus tokens, no shuffle. Hash
+    collisions (≈ #shingles²/2⁶⁴) can only over-flag."""
+    import ray as _ray
+
+    bth, bidx = _token_hash_stream(pa.array(benchmark_texts, pa.string()))
+    bh, _ = _ngram_hashes(bth, bidx, n)
+    bench = np.unique(bh)
+    ref = _ray.put(bench)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        th, idx = _token_hash_stream(batch.column(text_col))
+        gh, gidx = _ngram_hashes(th, idx, n)
+        flags = np.zeros(len(batch), bool)
+        b = _ray.get(ref)
+        if len(gh) and len(b):
+            pos = np.searchsorted(b, gh)
+            pos[pos == len(b)] = 0
+            flags[gidx[b[pos] == gh]] = True
+        return _upsert_column(batch, out_col, pa.array(flags))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate_ngrams(ds: rd.Dataset, benchmark_texts: list[str],
+                         n: int = 13, text_col: str = "text") -> rd.Dataset:
+    """Drop documents sharing any n-token shingle with the benchmark
+    set; schema passes through unchanged."""
+    out_col = "__contam_ng__"
+    flagged = flag_contaminated_ngrams(ds, benchmark_texts, n, text_col, out_col)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column(out_col))) \
+                    .drop_columns([out_col])
+
+    return flagged.map_batches(keep_clean, batch_format="pyarrow")

@@ -398,3 +398,35 @@ def test_decontaminate_chunked_patterns():
     got = to_arrow(decontam.flag_contaminated(
         rd.from_arrow(t), snips, "text")).to_pandas().sort_values("doc_id")
     assert got["contaminated"].tolist() == [True, False]
+
+
+def test_ngram_decontaminate_planted():
+    from nailray.io import to_arrow
+    from nailray.textops import decontam
+
+    bench = ["alpha beta gamma delta epsilon",
+             "tiny"]  # < n tokens: contributes no shingles
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "prefix beta gamma delta suffix",        # shares a 3-gram
+            "alpha beta wrong delta epsilon",        # no shared 3-gram
+            None,                                    # null text never flags
+            "x  alpha\tbeta gamma y",                # multi-whitespace split
+            "tiny tiny tiny",                        # only overlaps 'tiny' 1-grams
+        ], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    got = to_arrow(decontam.flag_contaminated_ngrams(
+        ds, bench, n=3, text_col="text")).to_pandas().sort_values("doc_id")
+    assert got["contaminated"].tolist() == [True, False, False, True, False]
+
+    kept = to_arrow(decontam.decontaminate_ngrams(
+        ds, bench, n=3, text_col="text")).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [1, 2, 4]
+    assert "__contam_ng__" not in kept.columns
+
+    # empty benchmark set -> nothing flagged
+    none = to_arrow(decontam.flag_contaminated_ngrams(
+        ds, [], n=3, text_col="text")).to_pandas()
+    assert not none["contaminated"].any()
