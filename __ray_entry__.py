@@ -160,6 +160,41 @@ def q_lookback_features(sf):
                        ["lb_sum"])
 
 
+def q_rank_orders(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_rank(_t(sf, "orders"), ["o_custkey"], "o_orderkey",
+                              method="row_number")
+    return out.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+def q_running_total(sf):
+    from nailray.ops import analytic
+
+    out = analytic.running_agg(_t(sf, "orders"), ["o_custkey"], "o_orderkey",
+                               "o_totalprice", fn="sum",
+                               out_col="running_total")
+    return _round_cols(out.select_columns(["o_orderkey", "running_total"]),
+                       ["running_total"], 4)
+
+
+def q_lag_events(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_lag(_t(sf, "events"), ["user_id"], "event_id",
+                             "value", offset=1, out_col="prev_value")
+    return out.select_columns(["event_id", "user_id", "prev_value"])
+
+
+def q_dense_rank_lineitem(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_rank(_t(sf, "lineitem"), ["l_orderkey"],
+                              "l_quantity", method="dense_rank",
+                              out_col="qrank")
+    return out.select_columns(["l_orderkey", "l_linenumber", "qrank"])
+
+
 def q_range_join_minute(sf):
     # every (event, prior event of same user within 60s) pair — the
     # event-context range-join shape
@@ -855,6 +890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_full": q_merge_full,
         "asof_join_hourly": q_asof_join_hourly,
         "lookback_features": q_lookback_features,
+        "rank_orders": q_rank_orders,
+        "running_total": q_running_total,
+        "lag_events": q_lag_events,
+        "dense_rank_lineitem": q_dense_rank_lineitem,
         "heavy_hitters": q_heavy_hitters,
         "range_join_minute": q_range_join_minute,
         "stats_exhaustive": q_stats_exhaustive,
@@ -1037,6 +1076,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(SUM(value) OVER w AS DOUBLE), 6) AS lb_sum "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)"),
+        "rank_orders": (
+            "SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders"),
+        "running_total": (
+            "SELECT o_orderkey, ROUND(CAST(SUM(o_totalprice) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_total "
+            "FROM orders"),
+        "lag_events": (
+            "SELECT event_id, user_id, LAG(value, 1) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS prev_value "
+            "FROM events"),
+        "dense_rank_lineitem": (
+            "SELECT l_orderkey, l_linenumber, DENSE_RANK() OVER "
+            "(PARTITION BY l_orderkey ORDER BY l_quantity) AS qrank "
+            "FROM lineitem"),
         "asof_join_hourly": (
             "WITH snap AS (SELECT user_id, date_trunc('hour', ts) AS ws, "
             "SUM(value) AS sum_value FROM events GROUP BY 1, 2) "

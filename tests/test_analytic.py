@@ -1,0 +1,106 @@
+"""Per-group analytic (window) function tests: rank family, running
+aggregates, lag/lead — planted edge cases (null keys, null order
+values, null aggregates, ties) plus a DuckDB cross-check."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nailray.io import to_arrow
+from nailray.ops import analytic
+
+
+def _planted():
+    # groups: 1 (4 rows, with a null value), 2 (1 row), null key (2 rows)
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, None, None], pa.int64()),
+        "o": pa.array([10, 30, 20, None, 5, 2, 1], pa.int64()),
+        "v": pa.array([1.0, None, 3.0, 4.0, 7.0, 9.0, 8.0], pa.float64()),
+    })
+    return rd.from_arrow(t).repartition(3)
+
+
+def _by_o(ds, cols):
+    df = to_arrow(ds).to_pandas()
+    return df.sort_values("o", na_position="last").reset_index(drop=True)[cols]
+
+
+def test_group_rank_row_number_and_null_keys():
+    got = _by_o(analytic.group_rank(_planted(), ["k"], "o"), ["k", "o", "rn"])
+    # group 1 by o asc (null o last): 10->1, 20->2, 30->3, None->4
+    assert got.dropna(subset=["o"]).set_index("o")["rn"].to_dict() == {
+        10: 1, 20: 2, 30: 3, 5: 1, 2: 2, 1: 1}
+    assert got[got["o"].isna()]["rn"].tolist() == [4]  # null order key last
+    # null group keys form ONE group (rn 1..2), not one group per row
+    assert sorted(got[got["k"].isna()]["rn"].tolist()) == [1, 2]
+
+
+def test_group_rank_methods_and_ties():
+    t = pa.table({"k": pa.array([1] * 4, pa.int64()),
+                  "o": pa.array([5, 5, 7, 9], pa.int64())})
+    ds = rd.from_arrow(t).repartition(2)
+    rank = _by_o(analytic.group_rank(ds, ["k"], "o", method="rank"),
+                 ["o", "rn"])["rn"].tolist()
+    dense = _by_o(analytic.group_rank(ds, ["k"], "o", method="dense_rank"),
+                  ["o", "rn"])["rn"].tolist()
+    assert rank == [1, 1, 3, 4]
+    assert dense == [1, 1, 2, 3]
+    import pytest
+    with pytest.raises(ValueError):
+        analytic.group_rank(ds, ["k"], "o", method="percentile")
+
+
+def test_running_agg_sum_ignores_nulls():
+    # group 1 in o order: v = 1.0(o10), 3.0(o20), None(o30), 4.0(o None)
+    got = _by_o(analytic.running_agg(_planted(), ["k"], "o", "v", fn="sum"),
+                ["k", "o", "running_sum"])
+    by_o = got.dropna(subset=["o"]).set_index("o")["running_sum"].to_dict()
+    assert by_o[10] == 1.0 and by_o[20] == 4.0
+    assert by_o[30] == 4.0  # null v: frame sum unchanged, NOT null
+    assert got[got["o"].isna()]["running_sum"].tolist() == [8.0]
+
+
+def test_running_agg_count_min_max():
+    ds = _planted()
+    cnt = _by_o(analytic.running_agg(ds, ["k"], "o", "v", fn="count"),
+                ["o", "running_count"])
+    assert cnt.dropna(subset=["o"]).set_index("o")["running_count"].to_dict() \
+        == {10: 1, 20: 2, 30: 2, 5: 1, 1: 1, 2: 2}
+    mx = _by_o(analytic.running_agg(ds, ["k"], "o", "v", fn="max"),
+               ["o", "running_max"])
+    assert mx.set_index("o", drop=False).loc[30, "running_max"] == 3.0
+
+
+def test_running_agg_all_null_prefix_is_null():
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "o": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([None, 5.0], pa.float64())})
+    got = _by_o(analytic.running_agg(rd.from_arrow(t), ["k"], "o", "v"),
+                ["o", "running_sum"])
+    assert pd.isna(got["running_sum"].iloc[0]) and got["running_sum"].iloc[1] == 5.0
+
+
+def test_group_lag_and_lead():
+    ds = _planted()
+    lag = _by_o(analytic.group_lag(ds, ["k"], "o", "v"), ["k", "o", "lag_v"])
+    assert pd.isna(lag.set_index("o", drop=False).loc[10, "lag_v"])
+    assert lag.set_index("o", drop=False).loc[20, "lag_v"] == 1.0
+    lead = _by_o(analytic.group_lag(ds, ["k"], "o", "v", offset=-1),
+                 ["o", "lead_v"])
+    assert lead.set_index("o", drop=False).loc[10, "lead_v"] == 3.0
+
+
+def test_analytic_matches_duckdb_windows(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    got = to_arrow(
+        analytic.group_rank(ds, ["user_id"], "event_id", method="row_number")
+        .select_columns(["event_id", "rn"])).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = con.execute(
+        "SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY event_id) AS rn FROM events ORDER BY event_id").fetchdf()
+    assert got["rn"].tolist() == want["rn"].tolist()
