@@ -9,6 +9,7 @@ from __future__ import annotations
 from .base import Codec, PlainCodec
 from .bitpack import ForCodec, pack_uints, unpack_uints
 from .dict_codec import DictCodec
+from .prefix import PrefixCodec
 from .rle import RleCodec
 from .fsst import FsstCodec
 
@@ -27,10 +28,12 @@ def names() -> list[str]:
     return sorted(_REGISTRY)
 
 
-for _c in (PlainCodec(), DictCodec(), RleCodec(), FsstCodec(), ForCodec()):
+for _c in (PlainCodec(), DictCodec(), RleCodec(), FsstCodec(), ForCodec(),
+           PrefixCodec()):
     register(_c)
 
 __all__ = [
     "Codec", "PlainCodec", "DictCodec", "RleCodec", "FsstCodec", "ForCodec",
+    "PrefixCodec",
     "register", "get", "names", "pack_uints", "unpack_uints",
 ]

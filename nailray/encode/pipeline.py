@@ -39,7 +39,7 @@ from ray.data.aggregate import Sum
 from . import codecs, manifest as mf
 from .codecs import fsst as fsst_mod
 from .partition import PartitionAssigner, PartitionPlan, plan_partitions
-from .select import candidates_for
+from .select import _ORDER as _CODEC_ORDER, candidates_for
 from .stats import column_stats, entropy_estimate
 from ..io import _expand_paths, read_parquet as _read_pq
 
@@ -209,6 +209,10 @@ class EncoderGroup:
         # a wasted fsst pass is real CPU at scale
         if "fsst" in names and (st.get("avg_len", 0) < 48 or entropy_estimate(arr, st) > 7.2):
             names.remove("fsst")
+        # front coding pays only when adjacent values share prefixes
+        # (sorted keys); skip the trial on long free-text columns
+        if "prefix" in names and st.get("avg_len", 0) >= 256:
+            names.remove("prefix")
         return names
 
     def _chunk_bounds(self, content: pa.Array) -> list[tuple[int, int]]:
@@ -284,9 +288,10 @@ class EncoderGroup:
                 chosen[c] = "plain"
             else:
                 # within 5% of the measured minimum, prefer the structured
-                # codec (dict < rle < for < fsst < plain): same bytes, but
-                # decode touches fewer zstd bytes / enables random access
-                pref = {"dict": 0, "rle": 1, "for": 2, "fsst": 3, "plain": 4}
+                # codec (select._ORDER: dict < rle < for < prefix < fsst <
+                # plain): same bytes, but decode touches fewer zstd bytes /
+                # enables random access
+                pref = _CODEC_ORDER
                 min_sz = min(sz for _, sz in trials)
                 ok = [(pref[n], n) for n, sz in trials if sz <= min_sz * self.prefer_tol]
                 chosen[c] = min(ok)[1]

@@ -13,7 +13,7 @@ from . import codecs
 from .stats import entropy_estimate
 
 # preference order for ties (cheapest decode first)
-_ORDER = {"dict": 0, "rle": 1, "for": 2, "fsst": 3, "plain": 4}
+_ORDER = {"dict": 0, "rle": 1, "for": 2, "prefix": 3, "fsst": 4, "plain": 5}
 
 
 def candidates_for(arr: pa.Array) -> list[str]:
@@ -21,9 +21,9 @@ def candidates_for(arr: pa.Array) -> list[str]:
     if pa.types.is_integer(t):
         return ["dict", "rle", "for", "plain"]
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return ["dict", "rle", "fsst", "plain"]
+        return ["dict", "rle", "prefix", "fsst", "plain"]
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return ["plain"]
+        return ["prefix", "plain"]
     return ["plain"]
 
 

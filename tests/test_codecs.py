@@ -7,7 +7,7 @@ from hypothesis import given, settings, strategies as st
 
 from nailray.encode import codecs
 
-ALL = ["plain", "dict", "rle", "fsst"]
+ALL = ["plain", "dict", "rle", "fsst", "prefix"]
 
 
 def roundtrip(name: str, arr: pa.Array) -> pa.Array:
@@ -131,3 +131,43 @@ def test_codec_registry_extension():
         assert c.decode(p, m).equals(arr)
     finally:
         codecs._REGISTRY.pop("reverse-demo", None)
+
+
+def test_prefix_beats_plain_on_sorted_paths():
+    """Front coding is the chosen design for the sorted path column
+    (partitions are written sorted by repo/path/commit)."""
+    paths = pa.array(sorted(
+        f"api/codec/batch_{i}.{e}"
+        for i, e in zip(range(5000), ["py", "cpp", "rs", "java"] * 1250)))
+    pl, _ = codecs.get("plain").encode(paths)
+    pr, meta = codecs.get("prefix").encode(paths)
+    assert len(pr) < len(pl) / 3
+    assert meta["suffix_bytes"] < paths.nbytes / 2
+    assert roundtrip("prefix", paths).equals(paths)
+
+
+def test_prefix_binary_and_pathological():
+    for arr in [
+        pa.array([b"\x00\xff" * 10, b"\x00\xff" * 10 + b"x", b""], pa.binary()),
+        pa.array(["x" * 5000, "x" * 5000 + "y", "a"]),  # deep shared prefix
+        pa.array(["same"] * 500),                        # lcp == len
+    ]:
+        assert roundtrip("prefix", arr).equals(arr)
+
+
+def test_dict_hex_packs_commit_hashes():
+    commits = pa.array(
+        ["07b08e4ec830e9c99926ba1b32a9eb0d63a0ee84"] * 5
+        + ["deadbeef", "00"] * 3 + [None])
+    payload, meta = codecs.get("dict").encode(commits)
+    assert b"07b08e4ec830" not in payload  # stored nibble-packed, not text
+    assert roundtrip("dict", commits).equals(commits)
+    # non-hex / odd-length / uppercase values fall back to the plain path
+    for vals in [["DEADBEEF"], ["abc"], ["xyz", "deadbeef"]]:
+        arr = pa.array(vals)
+        assert roundtrip("dict", arr).equals(arr)
+    # rle run values go through the dict codec -> same packing applies
+    runny = pa.array(["aa" * 20] * 50 + ["bb" * 20] * 50)
+    p, _ = codecs.get("rle").encode(runny)
+    assert b"aaaa" not in p
+    assert roundtrip("rle", runny).equals(runny)
