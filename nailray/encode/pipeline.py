@@ -46,25 +46,35 @@ from ..io import _expand_paths, read_parquet as _read_pq
 ENC_VERSION = 1
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
-# Final-stage entropy coder level (NAILRAY_ZSTD_LEVEL overrides).
-# Measured on the bench corpus (143.7 MB of codec streams): level 3 →
-# 68.1 MB, 6 → 62.0, 9 → 59.6 (+4.5 s single-core), 12 → 58.5 (+9.6 s).
-# Level 9 is the knee: 12.5% smaller payloads for ~0.15 s of wall across
-# a 32-core pool; decode speed is unaffected (zstd decompression is
-# level-independent). Decode handles any level (self-describing frames).
+# Final-stage entropy coder (NAILRAY_ENTROPY="zstd:9" | "brotli:7" ...;
+# legacy NAILRAY_ZSTD_LEVEL sets the zstd level). Measured on real FSST
+# content payloads (16.3 MB): zstd-3 0.482 @ 110 MB/s/core, zstd-9
+# 0.419 @ 28, zstd-12 0.411 @ 12.5, brotli-7 0.405 @ 11.8, brotli-9
+# 0.400 @ 7.5, brotli-11 0.362 @ 0.5, zstd-19 0.390 @ 2.0. zstd-9 is
+# the throughput knee and the default; brotli:7 is the size-optimized
+# mode (~3.3% smaller archive for ~2.4x the entropy-stage CPU). The
+# coder is recorded per chunk (meta "zc"), so decode is self-describing
+# and archives written under either setting always decode.
 ZSTD_LEVEL = int(os.environ.get("NAILRAY_ZSTD_LEVEL", "9"))
-_ZSTD = pa.Codec("zstd", compression_level=ZSTD_LEVEL)
+_ENTROPY_SPEC = os.environ.get("NAILRAY_ENTROPY", f"zstd:{ZSTD_LEVEL}")
+_ENTROPY_NAME, _, _lvl = _ENTROPY_SPEC.partition(":")
+_ENTROPY = pa.Codec(_ENTROPY_NAME, compression_level=int(_lvl or 0) or None)
+_ZSTD = _ENTROPY if _ENTROPY_NAME == "zstd" else pa.Codec(
+    "zstd", compression_level=ZSTD_LEVEL)
+_DECODERS: dict[str, pa.Codec] = {}
 
 
 def _zip_payload(payload: bytes) -> tuple[bytes, int]:
     """Final entropy-coding stage over every codec payload (the analogue
     of parquet page compression, applied explicitly so codec selection
     can measure true output bytes)."""
-    return bytes(_ZSTD.compress(payload)), len(payload)
+    return bytes(_ENTROPY.compress(payload)), len(payload)
 
 
-def _unzip_payload(data: bytes, raw_len: int) -> bytes:
-    return bytes(_ZSTD.decompress(data, raw_len))
+def _unzip_payload(data: bytes, raw_len: int, coder: str = "zstd") -> bytes:
+    if coder not in _DECODERS:
+        _DECODERS[coder] = pa.Codec(coder)
+    return bytes(_DECODERS[coder].decompress(data, raw_len))
 
 
 # --------------------------------------------------------------------------
@@ -314,6 +324,8 @@ class EncoderGroup:
                     payload, meta = codec.encode(arr)
                 zpayload, raw_len = _zip_payload(payload)
                 meta["z"] = raw_len
+                if _ENTROPY_NAME != "zstd":
+                    meta["zc"] = _ENTROPY_NAME
                 out_rows[f"{c}__codec"].append(name)
                 out_rows[f"{c}__meta"].append(json.dumps(meta))
                 out_rows[f"{c}__payload"].append(zpayload)
@@ -758,7 +770,7 @@ def decode_chunks(batch: pa.Table, fsst_table=None) -> pa.Table:
             m = json.loads(batch.column(f"{c}__meta")[i].as_py())
             payload = batch.column(f"{c}__payload")[i].as_py()
             if "z" in m:
-                payload = _unzip_payload(payload, m["z"])
+                payload = _unzip_payload(payload, m["z"], m.get("zc", "zstd"))
             codec = fsst_codec if name == "fsst" else codecs.get(name)
             cols[c] = codec.decode(payload, m)
         outs.append(pa.table(cols))

@@ -262,3 +262,23 @@ def test_verify_partitions(encoded):
     finally:
         with open(pfile, "wb") as f:
             f.write(data)  # restore for other tests
+
+
+def test_entropy_coder_is_self_describing(monkeypatch):
+    """Payloads record their entropy coder (meta "zc"); archives written
+    under NAILRAY_ENTROPY=brotli:7 decode in a default-env process."""
+    import pyarrow as pa
+
+    from nailray.encode import pipeline as pl
+
+    raw = b"fn main() { println!(\"hello\"); }" * 100
+    monkeypatch.setattr(pl, "_ENTROPY", pa.Codec("brotli", compression_level=7))
+    monkeypatch.setattr(pl, "_ENTROPY_NAME", "brotli")
+    z, n = pl._zip_payload(raw)
+    # a default-configured reader decodes via the recorded coder name
+    assert pl._unzip_payload(z, n, "brotli") == raw
+    zz, nn = pl._zip_payload(raw)
+    assert pl._unzip_payload(zz, nn, "brotli") == raw
+    monkeypatch.undo()
+    z2, n2 = pl._zip_payload(raw)
+    assert pl._unzip_payload(z2, n2) == raw
