@@ -195,6 +195,31 @@ def q_dense_rank_lineitem(sf):
     return out.select_columns(["l_orderkey", "l_linenumber", "qrank"])
 
 
+def q_percent_rank_orders(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_rank(_t(sf, "orders"), ["o_custkey"], "o_totalprice",
+                              method="percent_rank", out_col="pr")
+    return _round_cols(out.select_columns(["o_orderkey", "pr"]), ["pr"], 6)
+
+
+def q_ntile_orders(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_rank(_t(sf, "orders"), ["o_custkey"], "o_orderkey",
+                              method="ntile", k=4, out_col="tile")
+    return out.select_columns(["o_orderkey", "tile"])
+
+
+def q_first_value_orders(sf):
+    from nailray.ops import analytic
+
+    out = analytic.group_value(_t(sf, "orders"), ["o_custkey"], "o_orderkey",
+                               "o_totalprice", which="first",
+                               out_col="first_price")
+    return out.select_columns(["o_orderkey", "first_price"])
+
+
 def q_range_join_minute(sf):
     # every (event, prior event of same user within 60s) pair — the
     # event-context range-join shape
@@ -894,6 +919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": q_running_total,
         "lag_events": q_lag_events,
         "dense_rank_lineitem": q_dense_rank_lineitem,
+        "percent_rank_orders": q_percent_rank_orders,
+        "ntile_orders": q_ntile_orders,
+        "first_value_orders": q_first_value_orders,
         "heavy_hitters": q_heavy_hitters,
         "range_join_minute": q_range_join_minute,
         "stats_exhaustive": q_stats_exhaustive,
@@ -1092,6 +1120,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, DENSE_RANK() OVER "
             "(PARTITION BY l_orderkey ORDER BY l_quantity) AS qrank "
             "FROM lineitem"),
+        "percent_rank_orders": (
+            "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS pr "
+            "FROM orders"),
+        "ntile_orders": (
+            "SELECT o_orderkey, NTILE(4) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey) AS tile "
+            "FROM orders"),
+        "first_value_orders": (
+            "SELECT o_orderkey, FIRST_VALUE(o_totalprice) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey) AS first_price "
+            "FROM orders"),
         "asof_join_hourly": (
             "WITH snap AS (SELECT user_id, date_trunc('hour', ts) AS ws, "
             "SUM(value) AS sum_value FROM events GROUP BY 1, 2) "

@@ -23,7 +23,8 @@ import ray.data as rd
 from ..shuffle import (group_map, hash_partition, int_types_mapper,
                        partition_count, to_arrow_clean)
 
-_RANK_METHODS = {"row_number", "rank", "dense_rank"}
+_RANK_METHODS = {"row_number", "rank", "dense_rank", "percent_rank",
+                 "cume_dist", "ntile"}
 _RUNNING_FNS = {"sum", "count", "min", "max"}
 
 
@@ -50,33 +51,103 @@ def _ordered_groupby(g: pa.Table, keys: list[str], order_col: str,
 
 
 def _rank_partition(g: pa.Table, *, keys: list[str], order_col: str,
-                    ascending: bool, method: str, out_col: str) -> pa.Table:
+                    ascending: bool, method: str, out_col: str,
+                    k: int) -> pa.Table:
+    import numpy as np
+    import pandas as pd
+
     base, df, ordered, gb = _ordered_groupby(g, keys, order_col, ascending)
+    out_t = pa.int64()
     if method == "row_number":
         df[out_col] = gb.cumcount() + 1
-    else:
+    elif method in ("rank", "dense_rank"):
         r = gb[order_col].rank(method="min" if method == "rank" else "dense",
                                ascending=ascending, na_option="bottom")
         df[out_col] = r.astype("int64")
-    schema = pa.schema(list(base.schema) + [pa.field(out_col, pa.int64())])
+    elif method in ("percent_rank", "cume_dist"):
+        # pandas na_option="bottom" ties nulls as one peer group — same
+        # as SQL's NULLS LAST peer semantics (verified vs DuckDB)
+        n = gb[order_col].transform("size")
+        if method == "percent_rank":
+            r = gb[order_col].rank(method="min", ascending=ascending,
+                                   na_option="bottom")
+            out = ((r - 1) / (n - 1).clip(lower=1)).where(n > 1, 0.0)
+        else:
+            r = gb[order_col].rank(method="max", ascending=ascending,
+                                   na_option="bottom")
+            out = r / n
+        df[out_col] = out
+        out_t = pa.float64()
+    else:  # ntile: first (n % k) buckets hold one extra row
+        c = gb.cumcount().to_numpy()
+        n = gb[order_col].transform("size").to_numpy()
+        q, r = n // k, n % k
+        cut = r * (q + 1)
+        tile = np.where(c < cut, c // np.maximum(q + 1, 1),
+                        r + (c - cut) // np.maximum(q, 1)) + 1
+        df[out_col] = pd.Series(tile, index=ordered.index)
+    schema = pa.schema(list(base.schema) + [pa.field(out_col, out_t)])
     return to_arrow_clean(df, schema=schema)
 
 
 def group_rank(ds: rd.Dataset, keys: list[str], order_col: str,
                ascending: bool = True, method: str = "row_number",
-               out_col: str = "rn",
+               out_col: str = "rn", k: int = 4,
                num_partitions: int | None = None) -> rd.Dataset:
-    """Append ``out_col`` = ROW_NUMBER() / RANK() / DENSE_RANK() OVER
-    (PARTITION BY keys ORDER BY order_col). row_number breaks ties by
-    input order within a partition — pass a unique order key when the
-    result must be deterministic (rank/dense_rank are tie-stable)."""
+    """Append ``out_col`` = ROW_NUMBER() / RANK() / DENSE_RANK() /
+    PERCENT_RANK() / CUME_DIST() / NTILE(k) OVER (PARTITION BY keys
+    ORDER BY order_col). row_number/ntile break ties by input order
+    within a partition — pass a unique order key when the result must
+    be deterministic (the other methods are tie-stable)."""
     if method not in _RANK_METHODS:
         raise ValueError(f"unknown method {method!r}: {sorted(_RANK_METHODS)}")
+    if method == "ntile" and k < 1:
+        raise ValueError("ntile requires k >= 1")
     n_parts = partition_count(num_partitions)
     return group_map(
         _tag(ds, keys, n_parts), "__part",
         functools.partial(_rank_partition, keys=keys, order_col=order_col,
-                          ascending=ascending, method=method, out_col=out_col),
+                          ascending=ascending, method=method, out_col=out_col,
+                          k=k),
+        n_parts)
+
+
+def _value_partition(g: pa.Table, *, keys: list[str], order_col: str,
+                     value_col: str, which: str, ascending: bool,
+                     out_col: str) -> pa.Table:
+    import numpy as np
+    import pandas as pd
+
+    base, df, ordered, gb = _ordered_groupby(g, keys, order_col, ascending)
+    # positional (SQL) semantics: FIRST_VALUE may be null — so take the
+    # row at the group's first/last position, not pandas' first non-null
+    pos = pd.Series(np.arange(len(ordered)), index=ordered.index)
+    ordered = ordered.assign(__pos=pos)
+    take = ordered.groupby(keys, dropna=False, sort=False)["__pos"] \
+        .transform("min" if which == "first" else "max").to_numpy()
+    vals = ordered[value_col].to_numpy()
+    df[out_col] = pd.Series(vals[take], index=ordered.index)
+    schema = pa.schema(list(base.schema)
+                       + [pa.field(out_col, base.schema.field(value_col).type)])
+    return to_arrow_clean(df, schema=schema)
+
+
+def group_value(ds: rd.Dataset, keys: list[str], order_col: str,
+                value_col: str, which: str = "first",
+                ascending: bool = True, out_col: str | None = None,
+                num_partitions: int | None = None) -> rd.Dataset:
+    """Append ``out_col`` = FIRST_VALUE / LAST_VALUE (value_col) OVER
+    (PARTITION BY keys ORDER BY order_col ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING) — positional, nulls included."""
+    if which not in ("first", "last"):
+        raise ValueError("which must be 'first' or 'last'")
+    out_col = out_col or f"{which}_{value_col}"
+    n_parts = partition_count(num_partitions)
+    return group_map(
+        _tag(ds, keys, n_parts), "__part",
+        functools.partial(_value_partition, keys=keys, order_col=order_col,
+                          value_col=value_col, which=which,
+                          ascending=ascending, out_col=out_col),
         n_parts)
 
 

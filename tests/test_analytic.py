@@ -104,3 +104,52 @@ def test_analytic_matches_duckdb_windows(sf_dir):
         "SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY event_id) AS rn FROM events ORDER BY event_id").fetchdf()
     assert got["rn"].tolist() == want["rn"].tolist()
+
+
+def test_percent_rank_cume_dist_ntile_vs_duckdb():
+    # ties + nulls + a single-row group, cross-checked against DuckDB
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "o": pa.array([1.0, 1.0, 2.0, None, None, 9.0], pa.float64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT id, ROUND(PERCENT_RANK() OVER w, 6) pr, "
+        "ROUND(CUME_DIST() OVER w, 6) cd, "
+        "NTILE(4) OVER (PARTITION BY k ORDER BY id) nt "
+        "FROM t WINDOW w AS (PARTITION BY k ORDER BY o) "
+        "ORDER BY id").fetchdf()
+    ds = rd.from_arrow(t).repartition(2)
+    import pandas as pd
+
+    def got(method, order, out):
+        r = analytic.group_rank(ds, ["k"], order, method=method, out_col=out)
+        return to_arrow(r).to_pandas().sort_values("id").reset_index(drop=True)
+
+    pr = got("percent_rank", "o", "pr")
+    cd = got("cume_dist", "o", "cd")
+    nt = got("ntile", "id", "nt")
+    assert [round(x, 6) for x in pr["pr"]] == want["pr"].tolist()
+    assert [round(x, 6) for x in cd["cd"]] == want["cd"].tolist()
+    assert nt["nt"].tolist() == want["nt"].tolist()
+
+
+def test_group_value_first_last_positional_nulls():
+    # FIRST_VALUE is positional: a null first row stays null
+    t = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "o": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([None, 5.0, 7.0], pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    first = to_arrow(analytic.group_value(ds, ["k"], "o", "v", which="first")) \
+        .to_pandas().sort_values("o")
+    last = to_arrow(analytic.group_value(ds, ["k"], "o", "v", which="last")) \
+        .to_pandas().sort_values("o")
+    assert first["first_v"].isna().all()
+    assert last["last_v"].tolist() == [7.0, 7.0, 7.0]
+    import pytest
+    with pytest.raises(ValueError):
+        analytic.group_value(ds, ["k"], "o", "v", which="middle")
