@@ -141,7 +141,7 @@ def _join_partition(g: pa.Table, lk: str, how: str, left_cols: list[str],
 
 
 def _tagged_union(left, right, lk, rk, right_prefix, num_partitions,
-                  lts=None, rts=None):
+                  lts=None, rts=None, right_schema: pa.Schema | None = None):
     """Shared exchange for the partitioned joins (equi / asof / range):
     both sides tagged with a normalized key scratch column — plus
     normalized timestamp scratch columns when ``lts``/``rts`` are given
@@ -164,7 +164,11 @@ def _tagged_union(left, right, lk, rk, right_prefix, num_partitions,
 
     with_ts = lts is not None
     n_parts = partition_count(num_partitions)
-    l_schema, r_schema = schema_of(left), schema_of(right)
+    # right_schema overrides schema_of(right): Ray 2.49's
+    # select_columns(...).schema() reports the stale UNPROJECTED schema
+    # when the upstream dataset was already executed (blocks are fine)
+    l_schema = schema_of(left)
+    r_schema = right_schema if right_schema is not None else schema_of(right)
     left_names = list(l_schema.names)
     right_out_fields = [pa.field(f"{right_prefix}{f.name}", f.type)
                         for f in r_schema if f.name != rk]
@@ -481,18 +485,8 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
     rk = resolve_column(right.schema().names, right_key or left_key)
 
     if strategy == "shuffle":
-        keys = right.select_columns([rk]).groupby(rk).count()
-
-        def strip(batch: pa.Table) -> pa.Table:
-            out = pa.table({"__semi_key": batch.column(rk)})
-            return out
-
-        keys = keys.map_batches(strip, batch_format="pyarrow")
-        joined = left.join(keys, join_type="inner", num_partitions=num_partitions,
-                           on=(lk,), right_on=("__semi_key",))
-        if "__semi_key" in joined.schema().names:
-            joined = joined.drop_columns(["__semi_key"])
-        return joined
+        return _semi_partitioned(left, right, lk, rk, num_partitions,
+                                 anti=False)
     if strategy != "broadcast":
         raise ValueError(f"unknown semi_join strategy {strategy!r}")
 
@@ -505,9 +499,55 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
     return left.map_batches(fn, batch_format="pyarrow")
 
 
+def _semi_anti_partition(g: pa.Table, *, left_names: list[str],
+                         anti: bool) -> pa.Table:
+    """Semi/anti one hash partition, Arrow-native: left rows filtered by
+    key membership in the partition's right-side key set. Null left keys
+    never match (semi drops them, anti keeps them — NOT EXISTS)."""
+    import pyarrow.compute as pc
+
+    side = g.column("__side")
+    lrows = g.filter(pc.equal(side, 0))
+    rkeys = g.filter(pc.equal(side, 1)).column("__rkey").combine_chunks()
+    rkeys = rkeys.drop_null().unique() if len(rkeys) else rkeys
+    mask = pc.fill_null(pc.is_in(lrows.column("__lkey"), value_set=rkeys),
+                        False)
+    out = lrows.filter(pc.invert(mask) if anti else mask)
+    return out.select(left_names)
+
+
+def _semi_partitioned(left: rd.Dataset, right: rd.Dataset, lk: str, rk: str,
+                      num_partitions: int | None, anti: bool) -> rd.Dataset:
+    """Distributed semi/anti join through the shared partitioned-join
+    exchange (`_tagged_union` + `group_map`): only the right KEY column
+    ships (the right side is projected first), and the per-partition
+    kernel is a pyarrow ``is_in`` — no pandas merge, no `Dataset.join`
+    actor infrastructure (which costs seconds of fixed startup)."""
+    import functools
+
+    from ..shuffle import group_map
+
+    rs = right.schema()
+    rbase = rs.base_schema if hasattr(rs, "base_schema") else rs
+    tagged, left_names, _ro, _schema, n_parts = _tagged_union(
+        left, right.select_columns([rk]), lk, rk, "r_", num_partitions,
+        right_schema=pa.schema([rbase.field(rk)]))
+    return group_map(
+        tagged, "__part",
+        functools.partial(_semi_anti_partition, left_names=left_names,
+                          anti=anti),
+        n_parts)
+
+
 def anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
-              right_key: str | None = None) -> rd.Dataset:
-    """Rows of left whose key does NOT appear in right (broadcast)."""
+              right_key: str | None = None, strategy: str = "broadcast",
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Rows of left whose key does NOT appear in right. NOT EXISTS
+    semantics: null left keys never match, so they are kept.
+
+    strategy="broadcast" (default) collects the right key set once;
+    strategy="shuffle" is the partitioned scale path for key sets too
+    large to broadcast."""
     import ray as _ray
     import pyarrow.compute as pc
 
@@ -515,6 +555,11 @@ def anti_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
 
     lk = resolve_column(left.schema().names, left_key)
     rk = resolve_column(right.schema().names, right_key or left_key)
+    if strategy == "shuffle":
+        return _semi_partitioned(left, right, lk, rk, num_partitions,
+                                 anti=True)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown anti_join strategy {strategy!r}")
     ref = _ray.put(_key_set(right, rk))
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -898,3 +898,25 @@ def test_bloom_filter_fp_rate():
     k, m = bf.k, bf.m
     theory = (1.0 - np.exp(-k * n / m)) ** k
     assert fp <= max(4 * theory, 0.002), (fp, theory)
+
+
+def test_anti_join_shuffle_strategy(sf_dir):
+    """Partitioned anti join (NOT EXISTS) matches the broadcast result,
+    including null-key left rows (kept)."""
+    from nailray.ops import combine as cmb, filtering
+
+    orders = nio.read_parquet(f"{sf_dir}/orders.parquet")
+    seg = filtering.filter_conditions(
+        nio.read_parquet(f"{sf_dir}/customer.parquet"), "c_mktsegment=AUTOMOBILE")
+    seg.count()  # pre-execute upstream: regression for the Ray 2.49
+    # stale select_columns().schema() bug the shuffle path works around
+    a = _pdf(cmb.anti_join(orders, seg, "o_custkey", "c_custkey"))
+    b = _pdf(cmb.anti_join(orders, seg, "o_custkey", "c_custkey",
+                           strategy="shuffle"))
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    import pytest
+    with pytest.raises(ValueError):
+        cmb.anti_join(orders, seg, "o_custkey", "c_custkey", strategy="nope")
