@@ -827,12 +827,14 @@ def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             tasks.append({"file": f, "rg": rg})
+    from ..shuffle import actor_pool_size
+
     task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
     return task_ds.map_batches(
         _PartFileDecoder,
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=actor_pool_size(concurrency),
     )
 
 

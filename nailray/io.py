@@ -146,12 +146,15 @@ def read_parquet_with_row_id(
     # would make the whole read run inside one Ray task)
     task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
     # ~1 row group per batch keeps output blocks row-group sized.
+    from .shuffle import actor_pool_size
+
     return task_ds.map_batches(
         _RowGroupReader,
         fn_constructor_args=(columns,),
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=actor_pool_size((1, concurrency) if isinstance(concurrency, int)
+                                    else concurrency),
     )
 
 
