@@ -90,6 +90,31 @@ def test_bit_identity(encoded):
     assert res["match"], res
 
 
+def test_skew_split_keeps_commit_runs(encoded, corpus_table):
+    """Shards of a split repo are assigned by hash(commit), so a commit's
+    rows land in ONE shard: summed per-chunk commit cardinality must stay
+    near the global distinct count (a path-hash scatter would multiply it
+    by the shard count)."""
+    import pyarrow.compute as pc
+
+    _, out, summary = encoded
+    assert summary["split_repos"]  # precondition: a repo actually split
+    stored = 0
+    n_chunks = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f), columns=["commit__meta"])
+        for m in t.column("commit__meta").to_pylist():
+            meta = json.loads(m)
+            vm = meta.get("value_meta") or {}
+            stored += vm.get("cardinality", meta.get("cardinality", 0))
+            n_chunks += 1
+    distinct = len(pc.unique(corpus_table.column("commit")))
+    # boundary chunks may re-store one value each; scatter would give ~k×
+    assert stored <= distinct + 2 * n_chunks, (stored, distinct, n_chunks)
+
+
 def test_decode_full_table(encoded, corpus_table):
     _, out, _ = encoded
     from nailray.io import to_arrow
