@@ -372,6 +372,15 @@ def q_spearman_corr(sf):
     return pa.table({"rho": pa.array([round(rho, 6)], pa.float64())})
 
 
+def q_spearman_exact(sf):
+    # fully distributed exact rho: distinct-count collapse -> bucketed
+    # exact ranks -> hash-join ranks back -> one-pass pearson (no
+    # driver-side column materialization, unlike the sampled-CDF path)
+    from nailray.ops.rank import spearman_exact
+    rho = spearman_exact(_t(sf, "events"), "value", "user_id")
+    return pa.table({"rho": pa.array([round(rho, 6)], pa.float64())})
+
+
 def q_kendall_tau(sf):
     # bounded deterministic subset (user_id < 20 ≈ 1.3k rows) with
     # sample_rows above the subset size → exact tau-a on the subset
@@ -902,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_ignore_schema": q_append_ignore_schema,
         "fill_backward": q_fill_backward,
         "spearman_corr": q_spearman_corr,
+        "spearman_exact": q_spearman_exact,
         "kendall_tau": q_kendall_tau,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
@@ -1053,6 +1063,14 @@ def oracle_sql() -> dict[str, str]:
             "+ COUNT(*) OVER (PARTITION BY value)) / 2.0 AS rx, "
             "(2 * (RANK() OVER (ORDER BY user_id) - 1) "
             "+ COUNT(*) OVER (PARTITION BY user_id)) / 2.0 AS ry FROM events) "
+            "SELECT ROUND(CAST(corr(rx, ry) AS DOUBLE), 6) AS rho FROM r"),
+        "spearman_exact": (
+            "WITH r AS (SELECT "
+            "(2 * (RANK() OVER (ORDER BY value) - 1) "
+            "+ COUNT(*) OVER (PARTITION BY value)) / 2.0 AS rx, "
+            "(2 * (RANK() OVER (ORDER BY user_id) - 1) "
+            "+ COUNT(*) OVER (PARTITION BY user_id)) / 2.0 AS ry "
+            "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL) "
             "SELECT ROUND(CAST(corr(rx, ry) AS DOUBLE), 6) AS rho FROM r"),
         "kendall_tau": (
             "WITH s AS (SELECT value, event_id FROM events WHERE user_id < 20), "

@@ -153,3 +153,47 @@ def test_group_value_first_last_positional_nulls():
     import pytest
     with pytest.raises(ValueError):
         analytic.group_value(ds, ["k"], "o", "v", which="middle")
+
+
+# --- global exact ranks (ops.rank) -----------------------------------------
+
+def test_global_avg_rank_matches_pandas():
+    import numpy as np
+    from nailray.ops.rank import global_avg_rank
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 40, 3000).astype(float)  # heavy ties
+    df = pd.DataFrame({"x": x})
+    ds = rd.from_pandas(df).repartition(7)
+    m = to_arrow(global_avg_rank(ds, "x")).to_pandas().set_index("x")["x__rank"]
+    got = df["x"].map(m)
+    want = df["x"].rank(method="average")
+    assert (got - want).abs().max() == 0.0
+    # one row per distinct value
+    assert len(m) == df["x"].nunique()
+
+
+def test_spearman_exact_matches_pandas_with_nulls():
+    import numpy as np
+    from nailray.ops.rank import spearman_exact
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    x = rng.integers(0, 50, n).astype(float)
+    y = x * 0.5 + rng.normal(0, 10, n)
+    x[rng.random(n) < 0.05] = np.nan
+    y[rng.random(n) < 0.05] = np.nan
+    df = pd.DataFrame({"x": x, "y": y})
+    rho = spearman_exact(rd.from_pandas(df).repartition(9), "x", "y")
+    sub = df.dropna()
+    want = sub["x"].rank().corr(sub["y"].rank())
+    assert abs(rho - want) < 1e-12
+
+
+def test_global_avg_rank_empty_input():
+    from nailray.ops.rank import global_avg_rank
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out = global_avg_rank(ds, "x")
+    assert out.count() == 0
+    assert out.schema().names == ["x", "x__rank"]
