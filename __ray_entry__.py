@@ -424,6 +424,21 @@ def q_vocab_topk(sf):
     return analysis.token_topk(_t(sf, "documents"), "text", k=50)
 
 
+_BM25_TERMS = ["data", "return", "import"]
+
+
+def q_bm25_scores(sf):
+    import pyarrow.compute as _pc
+
+    from nailray.textops import analysis
+
+    out = analysis.bm25_scores(_t(sf, "documents"), _BM25_TERMS)
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("score"), "score",
+                               _pc.round(b.column("score"), 6)),
+        batch_format="pyarrow")
+
+
 def q_repetition_docs(sf):
     from nailray.textops import analysis
 
@@ -946,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "quantiles_price": q_quantiles_price,
         "vocab_topk": q_vocab_topk,
+        "bm25_scores": q_bm25_scores,
         "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -1204,6 +1220,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM t "
             "WHERE token != '' GROUP BY token "
             "ORDER BY count DESC, token LIMIT 50"),
+        "bm25_scores": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "tok2 AS (SELECT * FROM tok WHERE token != ''), "
+            "dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len "
+            "FROM tok2 GROUP BY doc_id), "
+            "stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, "
+            "(SELECT CAST(COUNT(*) AS DOUBLE) FROM tok2) / "
+            "(SELECT COUNT(*) FROM documents) AS avgdl), "
+            "df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM tok2 WHERE token IN ('data','return','import') GROUP BY token), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf "
+            "FROM tok2 WHERE token IN ('data','return','import') "
+            "GROUP BY doc_id, token), "
+            "sc AS (SELECT tf.doc_id, "
+            "SUM(LN(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / stats.avgdl))) AS score "
+            "FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, ROUND(score, 6) AS score FROM sc WHERE score > 0"),
         "repetition_docs": (
             "WITH t AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(text, '\\s+')) AS token "

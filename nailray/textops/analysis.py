@@ -243,3 +243,71 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text",
         return _upsert_column(batch, out_col, pa.array(vals))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                k: int | None = None) -> rd.Dataset:
+    """BM25 relevance of every document to a fixed term list — the
+    retrieval / quality-filter scoring pass of a training-data pipeline
+    (Robertson-Sparck Jones idf in the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
+    form; whitespace tokens, matching :func:`token_topk`).
+
+    Scale shape: pass 1 folds each block to ONE stats row (doc count,
+    token sum, per-term doc frequency) — driver combines a handful of
+    numbers, nothing per-document moves; pass 2 scores each batch
+    vectorized (list_parent_indices + bincount per term — no Python
+    over rows) against the broadcast stats. Returns (id, score) for
+    documents matching ≥1 term; ``k`` adds a partial top-k merge.
+    """
+    terms = list(query_terms)
+
+    def _tokens(col: pa.ChunkedArray):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        toks = pc.split_pattern_regex(col, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parents[np.asarray(keep)]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens(batch.column(text_col))
+        n = batch.num_rows
+        row = {"n_docs": [n], "n_tokens": [len(flat)]}
+        for i, t in enumerate(terms):
+            hit = np.asarray(pc.equal(flat, t))
+            row[f"df_{i}"] = [int(np.unique(parents[hit]).size)]
+        return pa.table(row)
+
+    agg = {}
+    for bt in ds.map_batches(stats_partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        for c in bt.column_names:
+            agg[c] = agg.get(c, 0) + int(pc.sum(bt.column(c)).as_py() or 0)
+    n_docs = max(agg.get("n_docs", 0), 1)
+    avgdl = agg.get("n_tokens", 0) / n_docs
+    idf = np.array([
+        np.log1p((n_docs - agg.get(f"df_{i}", 0) + 0.5)
+                 / (agg.get(f"df_{i}", 0) + 0.5))
+        for i in range(len(terms))])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokens(batch.column(text_col))
+        dl = np.bincount(parents, minlength=n).astype(np.float64)
+        denom_dl = k1 * (1.0 - b + b * dl / max(avgdl, 1e-12))
+        s = np.zeros(n)
+        for i, t in enumerate(terms):
+            hit = np.asarray(pc.equal(flat, t))
+            tf = np.bincount(parents[hit], minlength=n).astype(np.float64)
+            s += idf[i] * tf * (k1 + 1.0) / np.maximum(tf + denom_dl, 1e-300)
+        keep = s > 0.0
+        return pa.table({id_col: batch.column(id_col).filter(pa.array(keep)),
+                         "score": pa.array(s[keep], pa.float64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    if k is not None:
+        from ..ops import sorting
+        return sorting.topk(out, ["score", id_col], k,
+                            descending=[True, False])
+    return out

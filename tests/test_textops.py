@@ -430,3 +430,49 @@ def test_ngram_decontaminate_planted():
     none = to_arrow(decontam.flag_contaminated_ngrams(
         ds, [], n=3, text_col="text")).to_pandas()
     assert not none["contaminated"].any()
+
+
+def test_bm25_scores_planted():
+    """Hand-checkable BM25: 3 docs, terms ('a','b'); empty doc excluded."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.analysis import bm25_scores
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a b", "b c", "c c c", ""], pa.string()),
+    })
+    out = bm25_scores(rd.from_arrow(docs).repartition(2), ["a", "b"]) \
+        .to_pandas().set_index("doc_id")["score"]
+    # N=4, tokens: d1=3, d2=2, d3=3, d4=0 -> avgdl=2.0
+    # df_a=1, df_b=2; idf_a=ln(1+3.5/1.5), idf_b=ln(1+2.5/2.5)
+    k1, b = 1.2, 0.75
+    idf_a = math.log(1 + 3.5 / 1.5)
+    idf_b = math.log(1 + 2.5 / 2.5)
+
+    def sc(tf, dl, idf):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.0))
+
+    assert abs(out[1] - (sc(2, 3, idf_a) + sc(1, 3, idf_b))) < 1e-12
+    assert abs(out[2] - sc(1, 2, idf_b)) < 1e-12
+    assert 3 not in out.index and 4 not in out.index
+
+
+def test_bm25_topk_mode():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.io import to_arrow
+    from nailray.textops.analysis import bm25_scores
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([("x " * (i + 1)).strip() for i in range(10)], pa.string()),
+    })
+    top = to_arrow(bm25_scores(rd.from_arrow(docs).repartition(3), ["x"], k=3))
+    assert top.num_rows == 3
+    # higher tf with bounded dl penalty -> longest docs win here
+    assert sorted(top.column("doc_id").to_pylist()) == [7, 8, 9]
