@@ -802,34 +802,40 @@ def _table_from_entry(entry: dict | None) -> "fsst_mod.FsstTable | None":
     return fsst_mod.FsstTable.from_bytes(raw)
 
 
-class _PartFileDecoder:
-    """Actor-pool decode stage: one task row = one (file, row-group);
+# worker-process-level cache: (open ParquetFile, FSST table) per part
+# file. Plain tasks reuse Ray's warm default workers, so this amortizes
+# exactly like actor state did — without the actor pool's per-invocation
+# startup (a fresh pool re-imports everything: measured 6.7 s vs 2.3 s
+# warm for a full sf0.1 decode). Bounded so long-lived workers that see
+# thousands of part files don't accumulate open handles.
+_DECODE_CACHE: dict[str, tuple] = {}
+_DECODE_CACHE_MAX = 64
+
+
+def _decode_task_batch(batch: pa.Table) -> pa.Table:
+    """Stateless decode kernel: one input row = one (file, row-group);
     reads the chunk rows with pyarrow (schema metadata — and thus the
     partition's FSST table — reliably preserved) and decodes them.
     Streaming and distributed: a row group holds a handful of chunks."""
-
-    def __init__(self):
-        self._open: dict[str, pq.ParquetFile] = {}
-        self._tables: dict[str, object] = {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for task in batch.to_pylist():
-            path = task["file"]
-            pf = self._open.get(path)
-            if pf is None:
-                pf = self._open[path] = pq.ParquetFile(path)
-                out_dir = os.path.dirname(path)
-                part_id = int(os.path.basename(path)[len("part-"):-len(".parquet")])
-                entry = None
-                ep = mf.entry_path(out_dir, part_id)
-                if os.path.exists(ep):
-                    with open(ep) as fh:
-                        entry = json.load(fh)
-                self._tables[path] = _table_from_entry(entry)
-            t = pf.read_row_group(task["rg"])
-            outs.append(decode_chunks(t, fsst_table=self._tables[path]))
-        return pa.concat_tables(outs, promote_options="default")
+    outs = []
+    for task in batch.to_pylist():
+        path = task["file"]
+        hit = _DECODE_CACHE.get(path)
+        if hit is None:
+            if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
+                _DECODE_CACHE.pop(next(iter(_DECODE_CACHE)))
+            out_dir = os.path.dirname(path)
+            part_id = int(os.path.basename(path)[len("part-"):-len(".parquet")])
+            entry = None
+            ep = mf.entry_path(out_dir, part_id)
+            if os.path.exists(ep):
+                with open(ep) as fh:
+                    entry = json.load(fh)
+            hit = _DECODE_CACHE[path] = (pq.ParquetFile(path), _table_from_entry(entry))
+        pf, tab = hit
+        t = pf.read_row_group(task["rg"])
+        outs.append(decode_chunks(t, fsst_table=tab))
+    return pa.concat_tables(outs, promote_options="default")
 
 
 def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
@@ -841,14 +847,13 @@ def decode_dataset(enc_dir: str, concurrency=None) -> rd.Dataset:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             tasks.append({"file": f, "rg": rg})
-    from ..shuffle import actor_pool_size
-
     task_ds = rd.from_arrow(pa.Table.from_pylist(tasks)).repartition(len(tasks))
+    kw = {"concurrency": concurrency} if concurrency else {}
     return task_ds.map_batches(
-        _PartFileDecoder,
+        _decode_task_batch,
         batch_size=1,
         batch_format="pyarrow",
-        concurrency=actor_pool_size(concurrency),
+        **kw,
     )
 
 
@@ -921,7 +926,7 @@ def verify_partitions(enc_dir: str) -> dict:
 
     class _VerifyPart:
         def __init__(self):
-            self._dec = _PartFileDecoder()
+            self._dec = _decode_task_batch
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             rows = []
