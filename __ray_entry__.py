@@ -494,6 +494,14 @@ def q_exact_dedup_docs(sf):
     return out.select_columns(["doc_id", "text"])
 
 
+def q_dedup_lines(sf):
+    # C4/CCNet boilerplate pass: strip lines occurring >= 3 times
+    # corpus-wide; surviving lines keep their order
+    from nailray.textops import dedup as tdedup
+
+    return tdedup.dedup_lines(_t(sf, "documents"), min_count=3)
+
+
 def q_ann_topk(sf):
     from nailray import ann
 
@@ -932,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "punct_ratio": q_punct_ratio,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "dedup_lines": q_dedup_lines,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1111,6 +1120,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT doc_id, text FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY text)"),
+        "dedup_lines": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS ln "
+            "FROM documents), "
+            "hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(*) >= 3), "
+            "kept AS (SELECT doc_id, line, ln FROM l "
+            "WHERE line NOT IN (SELECT line FROM hot)) "
+            "SELECT d.doc_id, "
+            "COALESCE((SELECT string_agg(k.line, chr(10) ORDER BY k.ln) "
+            "FROM kept k WHERE k.doc_id = d.doc_id), '') AS text "
+            "FROM documents d"),
         "select_rows": (
             "SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY "
             "o_orderkey) AS rn FROM orders) WHERE rn IN (10, 20) OR rn BETWEEN 30 AND 35"),

@@ -708,3 +708,69 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                min_count: int = 3, num_partitions: int | None = None) -> rd.Dataset:
+    """Corpus-wide duplicate-line removal (the C4 / CCNet boilerplate
+    pass): any line occurring in ``min_count`` or more documents-lines
+    across the WHOLE corpus is stripped from every document; remaining
+    lines keep their order (docs reduced to nothing become "").
+
+    Scale shape: pass 1 folds each block to its (line, count) partials
+    with Arrow kernels and combines them in a coarse hash-partitioned
+    sum (`grouped_agg`) — the exchange carries one row per (block,
+    distinct line). Only lines ABOVE the threshold (the repeated
+    boilerplate, which is small by construction — a line repeated ≥
+    min_count times appears once in the hot set no matter how often it
+    repeats) come back to the driver and broadcast via ``ray.put``.
+    Pass 2 filters each batch fully vectorized: split → is_in(hot) →
+    rebuild list offsets → ``binary_join``. For a corpus where the hot
+    set itself is too big to broadcast, swap the broadcast for a
+    hash-partitioned semi-join on the line hash (same exchange as
+    :func:`exact_dedup_winners`)."""
+    import ray
+
+    from ..shuffle import grouped_agg
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lines = pc.list_flatten(pc.split_pattern(col, pattern="\n"))
+        vc = pc.value_counts(lines)
+        return pa.table({"line": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = grouped_agg(ds.select_columns([text_col])
+                         .map_batches(line_partial, batch_format="pyarrow"),
+                         ["line"], {"count": ("count", "sum")},
+                         num_partitions=num_partitions)
+    def over_threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("count"), int(min_count)))
+
+    hot_blocks = [b.column("line").combine_chunks()
+                  for b in counts.map_batches(over_threshold,
+                                              batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if b.num_rows]
+    hot = (pa.concat_arrays(hot_blocks) if hot_blocks
+           else pa.array([], pa.string()))
+    hot_ref = ray.put(hot)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        col = batch.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ls = pc.split_pattern(col, pattern="\n")
+        flat = pc.list_flatten(ls)
+        parents = np.asarray(pc.list_parent_indices(ls))
+        keep = pc.invert(pc.is_in(flat, value_set=hot_set))
+        keep_np = np.asarray(keep)
+        kept = flat.filter(keep)
+        per_doc = np.bincount(parents[keep_np], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        joined = pc.binary_join(rebuilt, "\n")
+        return pa.table({id_col: batch.column(id_col), text_col: joined})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

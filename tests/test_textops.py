@@ -476,3 +476,43 @@ def test_bm25_topk_mode():
     assert top.num_rows == 3
     # higher tf with bounded dl penalty -> longest docs win here
     assert sorted(top.column("doc_id").to_pylist()) == [7, 8, 9]
+
+
+def test_dedup_lines_planted():
+    """Line 'DUP' appears 3x corpus-wide -> stripped everywhere; unique
+    lines survive in order; a doc reduced to nothing becomes ''."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "keep one\nDUP\nkeep two",
+            "DUP",
+            "solo line\nDUP",
+            "unique here",
+        ], pa.string()),
+    })
+    out = dedup_lines(rd.from_arrow(docs).repartition(2), min_count=3) \
+        .to_pandas().set_index("doc_id")["text"]
+    assert out[1] == "keep one\nkeep two"
+    assert out[2] == ""
+    assert out[3] == "solo line"
+    assert out[4] == "unique here"
+
+
+def test_dedup_lines_threshold_not_met():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["twice\nx", "twice\ny"], pa.string()),
+    })
+    out = dedup_lines(rd.from_arrow(docs), min_count=3).to_pandas() \
+        .set_index("doc_id")["text"]
+    assert out[1] == "twice\nx" and out[2] == "twice\ny"
