@@ -381,6 +381,20 @@ def q_spearman_exact(sf):
     return pa.table({"rho": pa.array([round(rho, 6)], pa.float64())})
 
 
+def q_global_rank(sf):
+    # exact per-row global fractional rank attached by a value join
+    from nailray.ops import combine
+    from nailray.ops.rank import global_avg_rank
+
+    ds = _t(sf, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    m = global_avg_rank(ds, "o_totalprice")
+    j = combine.merge(ds, m, "o_totalprice", "o_totalprice", right_prefix="")
+    return j.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "r": b.column("o_totalprice__rank")}),
+        batch_format="pyarrow")
+
+
 def q_kendall_tau(sf):
     # bounded deterministic subset (user_id < 20 ≈ 1.3k rows) with
     # sample_rows above the subset size → exact tau-a on the subset
@@ -935,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_backward": q_fill_backward,
         "spearman_corr": q_spearman_corr,
         "spearman_exact": q_spearman_exact,
+        "global_rank": q_global_rank,
         "kendall_tau": q_kendall_tau,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
@@ -1097,6 +1112,11 @@ def oracle_sql() -> dict[str, str]:
             "+ COUNT(*) OVER (PARTITION BY user_id)) / 2.0 AS ry "
             "FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL) "
             "SELECT ROUND(CAST(corr(rx, ry) AS DOUBLE), 6) AS rho FROM r"),
+        "global_rank": (
+            "SELECT o_orderkey, "
+            "RANK() OVER (ORDER BY o_totalprice) "
+            "+ (COUNT(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS r "
+            "FROM orders"),
         "kendall_tau": (
             "WITH s AS (SELECT value, event_id FROM events WHERE user_id < 20), "
             "i AS (SELECT value AS x, event_id AS y, ROW_NUMBER() OVER () AS rn FROM s), "

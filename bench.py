@@ -332,6 +332,24 @@ def run_queries() -> dict[str, float]:
         snips = [(r["text"] or "")[:40] for r in ds.limit(200).take_all()]
         decontam.decontaminate(ds, snips, "text").count()
 
+    @timed("dedup_lines")
+    def _dedup_lines():
+        tdedup.dedup_lines(
+            nio.read_parquet(f"{SF_DIR}/documents.parquet"), min_count=3).count()
+
+    @timed("bm25_scores")
+    def _bm25():
+        analysis.bm25_scores(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+                             ["data", "return", "import"], k=100).count()
+
+    @timed("spearman_exact")
+    def _spearman():
+        from nailray.ops.rank import spearman_exact
+
+        spearman_exact(nio.read_parquet(f"{SF_DIR}/events.parquet",
+                                        columns=["value", "user_id"]),
+                       "value", "user_id")
+
     return timings
 
 
