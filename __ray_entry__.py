@@ -516,6 +516,13 @@ def q_dedup_lines(sf):
     return tdedup.dedup_lines(_t(sf, "documents"), min_count=3)
 
 
+def q_dedup_spans(sf):
+    # Lee-et-al-style duplicate n-gram span removal at word granularity
+    from nailray.textops import dedup as tdedup
+
+    return tdedup.dedup_spans(_t(sf, "documents"), k=3, min_count=2)
+
+
 def q_ann_topk(sf):
     from nailray import ann
 
@@ -956,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "punct_ratio": q_punct_ratio,
         "exact_dedup_docs": q_exact_dedup_docs,
         "dedup_lines": q_dedup_lines,
+        "dedup_spans": q_dedup_spans,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1150,6 +1158,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE line NOT IN (SELECT line FROM hot)) "
             "SELECT d.doc_id, "
             "COALESCE((SELECT string_agg(k.line, chr(10) ORDER BY k.ln) "
+            "FROM kept k WHERE k.doc_id = d.doc_id), '') AS text "
+            "FROM documents d"),
+        "dedup_spans": (
+            "WITH tok0 AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token, "
+            "generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS p0 "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, token, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p0) AS pos "
+            "FROM tok0 WHERE token != ''), "
+            "kg AS (SELECT a.doc_id, a.pos AS start, "
+            "a.token || ' ' || b.token || ' ' || c.token AS kgram "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "hot AS (SELECT kgram FROM kg GROUP BY kgram HAVING COUNT(*) >= 2), "
+            "cov AS (SELECT DISTINCT kg.doc_id, kg.start + g.x AS pos "
+            "FROM kg JOIN hot USING (kgram), "
+            "LATERAL (SELECT unnest(generate_series(0, 2)) AS x) g), "
+            "kept AS (SELECT t.doc_id, t.token, t.pos FROM tok t "
+            "LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos "
+            "WHERE cov.pos IS NULL) "
+            "SELECT d.doc_id, "
+            "COALESCE((SELECT string_agg(k.token, ' ' ORDER BY k.pos) "
             "FROM kept k WHERE k.doc_id = d.doc_id), '') AS text "
             "FROM documents d"),
         "select_rows": (

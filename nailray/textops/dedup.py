@@ -774,3 +774,96 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col), text_col: joined})
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None) -> rd.Dataset:
+    """Duplicate n-gram SPAN removal — the word-granular variant of
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every token covered by
+    any occurrence of a word ``k``-gram that appears ``min_count``+
+    times corpus-wide is removed; survivors rejoin with single spaces
+    (whitespace tokens, consistent with :func:`~..analysis.token_topk`).
+
+    Scale shape: pass 1 folds each block to its (k-gram, count) partials
+    — k-grams built vectorized from the flattened token array with k
+    shifted Arrow slices + ``binary_join_element_wise`` (no Python over
+    rows) — and combines them through the coarse hash-partitioned
+    ``grouped_agg``; the exchange is O(distinct k-grams per block).
+    Hot k-grams (count ≥ min_count — the repeated boilerplate set)
+    broadcast once via ``ray.put``. Pass 2 re-derives each batch's
+    k-grams, marks hit spans with a difference-array cumsum (O(tokens)),
+    and rebuilds documents with recomputed list offsets +
+    ``binary_join``. At corpus scales where the hot set outgrows a
+    broadcast, hash-partition the k-gram space and semi-join instead
+    (the :func:`exact_dedup_winners` exchange)."""
+    import ray
+
+    from ..shuffle import grouped_agg
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (use dedup_lines for units)")
+
+    def _tokens(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ls = pc.split_pattern_regex(col, pattern=r"\s+")
+        flat = pc.list_flatten(ls)
+        parents = np.asarray(pc.list_parent_indices(ls))
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parents[np.asarray(keep)]
+
+    def _kgrams(flat: pa.Array, parents: np.ndarray):
+        n = len(flat)
+        if n < k:
+            return pa.array([], pa.string()), np.zeros(0, bool)
+        arrays = [flat.slice(i, n - k + 1) for i in range(k)]
+        kg = pc.binary_join_element_wise(*arrays, " ")
+        same_doc = parents[: n - k + 1] == parents[k - 1:]
+        return kg, same_doc
+
+    def kgram_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens(batch.column(text_col))
+        kg, same_doc = _kgrams(flat, parents)
+        vc = pc.value_counts(kg.filter(pa.array(same_doc)))
+        return pa.table({"kgram": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = grouped_agg(ds.select_columns([text_col])
+                         .map_batches(kgram_partial, batch_format="pyarrow"),
+                         ["kgram"], {"count": ("count", "sum")},
+                         num_partitions=num_partitions)
+
+    def over_threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("count"), int(min_count)))
+
+    hot_blocks = [b.column("kgram").combine_chunks()
+                  for b in counts.map_batches(over_threshold,
+                                              batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if b.num_rows]
+    hot = (pa.concat_arrays(hot_blocks) if hot_blocks
+           else pa.array([], pa.string()))
+    hot_ref = ray.put(hot)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        flat, parents = _tokens(batch.column(text_col))
+        n = len(flat)
+        kg, same_doc = _kgrams(flat, parents)
+        covered = np.zeros(n + k, np.int64)
+        if n >= k and len(hot_set):
+            hits = np.asarray(pc.is_in(kg, value_set=hot_set)) & same_doc
+            starts = np.flatnonzero(hits)
+            np.add.at(covered, starts, 1)
+            np.add.at(covered, starts + k, -1)
+        keep_np = np.cumsum(covered[:n]) == 0 if n else np.zeros(0, bool)
+        kept = flat.filter(pa.array(keep_np))
+        per_doc = (np.bincount(parents[keep_np], minlength=batch.num_rows)
+                   if n else np.zeros(batch.num_rows, np.int64))
+        offsets = np.zeros(batch.num_rows + 1, np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        return pa.table({id_col: batch.column(id_col),
+                         text_col: pc.binary_join(rebuilt, " ")})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

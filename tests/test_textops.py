@@ -516,3 +516,58 @@ def test_dedup_lines_threshold_not_met():
     out = dedup_lines(rd.from_arrow(docs), min_count=3).to_pandas() \
         .set_index("doc_id")["text"]
     assert out[1] == "twice\nx" and out[2] == "twice\ny"
+
+
+def test_dedup_spans_planted():
+    """k=2, min_count=2: 'alpha beta' repeats across docs -> both tokens
+    of every occurrence removed; overlapping hot spans merge coverage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_spans
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",     # 'alpha beta' hot -> 'gamma' survives
+            "x alpha beta y",       # middle span removed
+            "unique words only",
+        ], pa.string()),
+    })
+    out = dedup_spans(rd.from_arrow(docs).repartition(2), k=2, min_count=2) \
+        .to_pandas().set_index("doc_id")["text"]
+    assert out[1] == "gamma"
+    assert out[2] == "x y"
+    assert out[3] == "unique words only"
+
+
+def test_dedup_spans_overlapping_coverage():
+    """'a b c' duplicated as both ('a b') and ('b c') hot 2-grams:
+    coverage union removes all three tokens, not just one span."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_spans
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c tail", "a b c other"], pa.string()),
+    })
+    out = dedup_spans(rd.from_arrow(docs), k=2, min_count=2) \
+        .to_pandas().set_index("doc_id")["text"]
+    assert out[1] == "tail" and out[2] == "other"
+
+
+def test_dedup_spans_short_docs_untouched():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_spans
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one", "one"], pa.string()),  # < k tokens
+    })
+    out = dedup_spans(rd.from_arrow(docs), k=3, min_count=2) \
+        .to_pandas().set_index("doc_id")["text"]
+    assert out[1] == "one" and out[2] == "one"
