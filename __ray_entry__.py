@@ -523,6 +523,14 @@ def q_dedup_spans(sf):
     return tdedup.dedup_spans(_t(sf, "documents"), k=3, min_count=2)
 
 
+def q_sample_per_group(sf):
+    # cap each customer at 3 orders, deterministic splitmix-hash order
+    from nailray.ops.sampling import sample_per_group
+
+    ds = _t(sf, "orders").select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+    return sample_per_group(ds, ["o_custkey"], 3, "o_orderkey")
+
+
 def q_ann_topk(sf):
     from nailray import ann
 
@@ -964,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "dedup_lines": q_dedup_lines,
         "dedup_spans": q_dedup_spans,
+        "sample_per_group": q_sample_per_group,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1183,6 +1192,12 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE((SELECT string_agg(k.token, ' ' ORDER BY k.pos) "
             "FROM kept k WHERE k.doc_id = d.doc_id), '') AS text "
             "FROM documents d"),
+        "sample_per_group": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY (o_orderkey * 2654435761 + 42) % 4294967296, o_orderkey) "
+            "AS rn FROM orders) WHERE rn <= 3"),
         "select_rows": (
             "SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY "
             "o_orderkey) AS rn FROM orders) WHERE rn IN (10, 20) OR rn BETWEEN 30 AND 35"),

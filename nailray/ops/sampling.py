@@ -122,3 +122,30 @@ def preview(ds: rd.Dataset, n: int = 5, total: int | None = None, seed: int = 42
     frac = min(1.0, (n * 3) / total)
     rows = ds.random_sample(frac, seed=seed).take(n)
     return rows
+
+
+def sample_per_group(ds: rd.Dataset, group_keys: list[str] | str, n: int,
+                     id_column: str, seed: int = 42,
+                     num_partitions: int | None = None) -> rd.Dataset:
+    """Deterministic per-group downsample: keep ``n`` rows per group,
+    chosen by splitmix-hash order of the integer id — the "cap each
+    domain at N documents" pass of a training-data pipeline, exactly
+    reproducible in SQL (``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    (id * 2654435761 + seed) % 4294967296, id) <= n``).
+
+    Scale shape = :func:`~..sorting.topk_per_group`: each block
+    pre-reduces to its local n per group, so at most n rows per
+    (block, group) enter the coarse hash exchange — no global sort."""
+    from .sorting import topk_per_group
+
+    col = resolve_column(ds.schema().names, id_column)
+
+    def add_order(b: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(b.column(col), pa.int64())).astype(np.uint64)
+        h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        return b.append_column("__h", pa.array(h.astype(np.int64)))
+
+    with_h = ds.map_batches(add_order, batch_format="pyarrow")
+    out = topk_per_group(with_h, group_keys, ["__h", col], n,
+                         descending=False, num_partitions=num_partitions)
+    return out.drop_columns(["__h"])
