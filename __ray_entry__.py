@@ -531,6 +531,15 @@ def q_sample_per_group(sf):
     return sample_per_group(ds, ["o_custkey"], 3, "o_orderkey")
 
 
+def q_pack_sequences(sf):
+    # sequence packing (no SQL oracle: pack assignment is algorithmic;
+    # invariants covered by tests/test_packing.py)
+    from nailray.textops.packing import pack_sequences
+
+    return pack_sequences(_t(sf, "documents"), budget=2048, id_col="doc_id",
+                          text_col="text")
+
+
 def q_ann_topk(sf):
     from nailray import ann
 
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": q_dedup_lines,
         "dedup_spans": q_dedup_spans,
         "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
