@@ -1,0 +1,101 @@
+"""Property tests: dedup_lines / dedup_spans / bm25 against brute-force
+Python references on random corpora (random block splits included)."""
+
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+from nailray.io import to_arrow
+from nailray.textops.analysis import bm25_scores
+from nailray.textops.dedup import dedup_lines, dedup_spans
+
+_WORDS = ["a", "bb", "ccc", "dd", "e"]
+
+
+@st.composite
+def corpora(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 10_000)))
+    n_docs = draw(st.integers(1, 12))
+    docs = []
+    for _ in range(n_docs):
+        n_lines = int(rng.integers(0, 4))
+        lines = [" ".join(rng.choice(_WORDS, size=rng.integers(1, 6)))
+                 for _ in range(n_lines)]
+        docs.append("\n".join(lines))
+    return docs, int(draw(st.integers(1, 4)))
+
+
+def _ds(docs, nblocks):
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def _out(ds_result):
+    return to_arrow(ds_result).to_pandas().sort_values("doc_id")["text"].tolist()
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora())
+def test_dedup_lines_matches_bruteforce(tc):
+    docs, nblocks = tc
+    counts = collections.Counter(l for d in docs for l in d.split("\n"))
+    want = ["\n".join(l for l in d.split("\n") if counts[l] < 3) for d in docs]
+    got = _out(dedup_lines(_ds(docs, nblocks), min_count=3))
+    assert got == want
+
+
+def _spans_ref(docs, k, min_count):
+    toks = [[t for t in d.split() if t] for d in docs]
+    counts = collections.Counter(
+        " ".join(ts[i:i + k]) for ts in toks for i in range(len(ts) - k + 1))
+    out = []
+    for ts in toks:
+        covered = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if counts[" ".join(ts[i:i + k])] >= min_count:
+                for j in range(i, i + k):
+                    covered[j] = True
+        out.append(" ".join(t for t, c in zip(ts, covered) if not c))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora(), st.integers(2, 3))
+def test_dedup_spans_matches_bruteforce(tc, k):
+    docs, nblocks = tc
+    want = _spans_ref(docs, k, 2)
+    got = _out(dedup_spans(_ds(docs, nblocks), k=k, min_count=2))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_bm25_matches_bruteforce(tc):
+    docs, nblocks = tc
+    terms = ["a", "ccc"]
+    k1, b = 1.2, 0.75
+    toks = [[t for t in d.split() if t] for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {t: sum(1 for ts in toks if t in ts) for t in terms}
+    want = {}
+    for i, ts in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / max(avgdl, 1e-12)))
+        if s > 0:
+            want[i] = s
+    got = to_arrow(bm25_scores(_ds(docs, nblocks), terms)).to_pandas() \
+        .set_index("doc_id")["score"].to_dict()
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9
