@@ -138,6 +138,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--encoded", required=True)
     sp.add_argument("--partitions", action="store_true",
                     help="partition-level verify against manifest digests (no input read)")
+    # training-data operators (beyond the reference surface)
+    sp = add("dedup-docs", help="exact document dedup (min-id winner per distinct text)")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp = add("dedup-lines", help="strip lines occurring >= min-count times corpus-wide (C4/CCNet)")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--min-count", type=int, default=3)
+    sp = add("dedup-spans", help="strip duplicated word k-gram spans (substring dedup)")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("-k", type=int, default=8); sp.add_argument("--min-count", type=int, default=2)
+    sp = add("bm25", help="BM25 relevance of documents to fixed query terms")
+    sp.add_argument("--terms", required=True, help="comma-separated query terms")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--top-k", type=int, default=None)
+    sp = add("pack", help="assign documents to fixed token-budget packs")
+    sp.add_argument("--budget", type=int, required=True)
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
+    sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
+    sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
     return p
 
 
@@ -371,6 +390,37 @@ def main(argv: list[str] | None = None) -> int:
         out_dir = args.output or (args.input.rstrip("/") + ".decoded")
         epl.decode_dataset(args.input).write_parquet(out_dir)
         print(f"decoded to {out_dir}")
+    elif cmd == "dedup-docs":
+        from .textops import dedup as tdedup
+
+        _output(tdedup.exact_dedup(ds, args.text_col, args.id_col), args)
+    elif cmd == "dedup-lines":
+        from .textops import dedup as tdedup
+
+        _output(tdedup.dedup_lines(ds, text_col=args.text_col,
+                                   id_col=args.id_col,
+                                   min_count=args.min_count), args)
+    elif cmd == "dedup-spans":
+        from .textops import dedup as tdedup
+
+        _output(tdedup.dedup_spans(ds, k=args.k, min_count=args.min_count,
+                                   text_col=args.text_col,
+                                   id_col=args.id_col), args)
+    elif cmd == "bm25":
+        from .textops.analysis import bm25_scores
+
+        terms = [t for t in args.terms.split(",") if t]
+        _output(bm25_scores(ds, terms, text_col=args.text_col,
+                            id_col=args.id_col, k=args.top_k), args)
+    elif cmd == "pack":
+        from .textops.packing import pack_sequences
+
+        _output(pack_sequences(ds, args.budget, args.id_col,
+                               text_col=args.text_col), args)
+    elif cmd == "sample-per-group":
+        keys = [k for k in args.group_by.split(",") if k]
+        _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,
+                                          seed=args.seed), args)
     elif cmd == "verify":
         from .encode import pipeline as epl
 

@@ -79,6 +79,17 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["encode", corpus_dir, "-o", f"{out}/enc", "--fragment-mode"],
         ["decode", f"{out}/enc", "-o", f"{out}/dec"],
         ["verify", corpus_dir, "--encoded", f"{out}/enc"],
+        ["dedup-docs", f"{sf_dir}/documents.parquet", "-o", f"{out}/ddocs"],
+        ["dedup-lines", f"{sf_dir}/documents.parquet", "--min-count", "3",
+         "-o", f"{out}/dlines"],
+        ["dedup-spans", f"{sf_dir}/documents.parquet", "-k", "3",
+         "--min-count", "2", "-o", f"{out}/dspans"],
+        ["bm25", f"{sf_dir}/documents.parquet", "--terms", "data,return",
+         "--top-k", "10", "-o", f"{out}/bm25"],
+        ["pack", f"{sf_dir}/documents.parquet", "--budget", "2048",
+         "-o", f"{out}/packs"],
+        ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
+         "--id-column", "o_orderkey", "-o", f"{out}/spg"],
     ]
     script = textwrap.dedent("""
         import sys, io, contextlib, json
