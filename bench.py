@@ -337,6 +337,11 @@ def run_queries() -> dict[str, float]:
         tdedup.dedup_lines(
             nio.read_parquet(f"{SF_DIR}/documents.parquet"), min_count=3).count()
 
+    @timed("dedup_spans")
+    def _dedup_spans():
+        tdedup.dedup_spans(
+            nio.read_parquet(f"{SF_DIR}/documents.parquet"), k=8, min_count=2).count()
+
     @timed("bm25_scores")
     def _bm25():
         analysis.bm25_scores(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
