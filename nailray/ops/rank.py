@@ -115,8 +115,15 @@ def spearman_exact(ds: rd.Dataset, x: str, y: str,
 
     pair = ds.select_columns([x, y]).map_batches(complete, batch_format="pyarrow")
     pair = pair.materialize()  # reused 3×: two rank maps + the join spine
-    mx = global_avg_rank(pair, x, num_partitions=num_partitions)
-    my = global_avg_rank(pair, y, num_partitions=num_partitions)
+    # the two rank maps are independent pipelines with several driver
+    # barriers each (materialize, sample collect, bucket totals) —
+    # overlap them so neither's barrier idles the cluster
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fx = ex.submit(global_avg_rank, pair, x, 256, num_partitions)
+        fy = ex.submit(global_avg_rank, pair, y, 256, num_partitions)
+        mx, my = fx.result(), fy.result()
     # right side is (key, key__rank): key is dropped by the join and the
     # rank column is unique, so no prefix is needed
     j = merge(pair, mx, x, x, num_partitions=num_partitions, right_prefix="")
