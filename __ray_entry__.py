@@ -531,6 +531,27 @@ def q_sample_per_group(sf):
     return sample_per_group(ds, ["o_custkey"], 3, "o_orderkey")
 
 
+def q_clean_corpus(sf):
+    # the composed training-data cleaning pipeline: exact dedup (min-id
+    # winner) -> corpus-wide duplicate-line strip -> min-length filter.
+    # Each stage is an independently-oracled operator; this query checks
+    # the COMPOSITION end-to-end against one nested SQL expression.
+    import pyarrow.compute as _pc
+
+    from nailray.textops import dedup as tdedup
+    from nailray.textops.packing import token_counts_col
+
+    ds = tdedup.exact_dedup(_t(sf, "documents"), "text", "doc_id") \
+        .select_columns(["doc_id", "text"])
+    ds = tdedup.dedup_lines(ds, min_count=3)
+
+    def long_enough(b):
+        n = token_counts_col(b, "text")
+        return b.filter(_pc.greater_equal(n, 10))
+
+    return ds.map_batches(long_enough, batch_format="pyarrow")
+
+
 def q_pack_sequences(sf):
     # sequence packing (no SQL oracle: pack assignment is algorithmic;
     # invariants covered by tests/test_packing.py)
@@ -983,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
+        "clean_corpus": q_clean_corpus,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1208,6 +1230,20 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY o_custkey "
             "ORDER BY (o_orderkey * 2654435761 + 42) % 4294967296, o_orderkey) "
             "AS rn FROM orders) WHERE rn <= 3"),
+        "clean_corpus": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY text)), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS ln FROM d), "
+            "hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(*) >= 3), "
+            "kept AS (SELECT doc_id, line, ln FROM l "
+            "WHERE line NOT IN (SELECT line FROM hot)), "
+            "rebuilt AS (SELECT d.doc_id, "
+            "COALESCE((SELECT string_agg(k.line, chr(10) ORDER BY k.ln) "
+            "FROM kept k WHERE k.doc_id = d.doc_id), '') AS text FROM d) "
+            "SELECT doc_id, text FROM rebuilt WHERE "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t != '')) >= 10"),
         "select_rows": (
             "SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY "
             "o_orderkey) AS rn FROM orders) WHERE rn IN (10, 20) OR rn BETWEEN 30 AND 35"),
