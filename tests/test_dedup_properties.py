@@ -94,8 +94,10 @@ def test_bm25_matches_bruteforce(tc):
                 s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / max(avgdl, 1e-12)))
         if s > 0:
             want[i] = s
-    got = to_arrow(bm25_scores(_ds(docs, nblocks), terms)).to_pandas() \
-        .set_index("doc_id")["score"].to_dict()
+    gdf = to_arrow(bm25_scores(_ds(docs, nblocks), terms)).to_pandas()
+    # a fully-filtered result has zero batches; to_arrow then yields a
+    # no-column empty table (Ray 2.49 quirk) — normalize to empty dict
+    got = ({} if gdf.empty else gdf.set_index("doc_id")["score"].to_dict())
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9
