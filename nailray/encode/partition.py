@@ -158,8 +158,19 @@ class PartitionAssigner:
         part = base.astype(np.int64)
         split_mask = k > 1
         if split_mask.any():
-            key_col = (self.shard_key if self.shard_key in batch.column_names
-                       else batch.column_names[0])
+            # a wrong fallback column (e.g. the constant repo) would send
+            # every row of a split repo to ONE shard — silently undoing
+            # the skew split — so fall back only to 'path' (always present
+            # on the corpus schema) and otherwise fail loudly
+            if self.shard_key in batch.column_names:
+                key_col = self.shard_key
+            elif "path" in batch.column_names:
+                key_col = "path"
+            else:
+                raise ValueError(
+                    f"shard key {self.shard_key!r} (and fallback 'path') "
+                    f"not in columns {batch.column_names}; cannot split "
+                    "an oversized repo without a row-distinguishing key")
             h = cheap_string_hash(batch.column(key_col).combine_chunks())
             part[split_mask] += (h[split_mask] % k[split_mask].astype(np.uint64)).astype(np.int64)
         return batch.append_column("part_id", pa.array(part.astype(np.int32)))

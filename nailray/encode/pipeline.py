@@ -180,24 +180,26 @@ def _merge_repo_stats(stats: list[dict]) -> tuple[dict[str, int], dict[str, int]
 # encoder actor (per-partition stateful stage)
 # --------------------------------------------------------------------------
 
-_SORT_SPEC = os.environ.get("NAILRAY_SORT_KEYS", "repo,path,commit")
-
-
 def _partition_sort_keys(columns) -> list[tuple[str, str]]:
     """Partition-local sort for run formation, path-major by default:
     front-coding wins most on fully-sorted paths, and commit runs are
     already minimal under it (commits are assigned in path order, so the
     A/B measured path-major at 12.6k commit runs globally — equal to the
     distinct count — while commit-major cost +0.12 MB on the path column).
-    Override with NAILRAY_SORT_KEYS for corpora with other correlations."""
-    keys = [(k.strip(), "ascending") for k in _SORT_SPEC.split(",") if k.strip()]
+    Override with NAILRAY_SORT_KEYS for corpora with other correlations.
+    The env var is read here (once per partition, cost nil) rather than
+    at import so driver-side `os.environ` changes and late imports are
+    honored in encode workers."""
+    spec = os.environ.get("NAILRAY_SORT_KEYS", "repo,path,commit")
+    keys = [(k.strip(), "ascending") for k in spec.split(",") if k.strip()]
     return [(k, d) for k, d in keys if k in columns] or [(columns[0], "ascending")]
 
 
 class EncoderGroup:
     """Callable class for ``groupby("part_id").map_groups`` — runs in an
-    actor pool. Per partition: sort rows by (repo, commit, path) for run
-    formation, build ONE FSST symbol table from a content sample, chunk,
+    actor pool. Per partition: sort rows (default (repo, path, commit),
+    see ``_partition_sort_keys``) for run formation, build ONE FSST
+    symbol table from a content sample, chunk,
     auto-select + encode each column per chunk, write the partition's
     parquet atomically, record the manifest entry.
 
@@ -820,8 +822,14 @@ def _decode_task_batch(batch: pa.Table) -> pa.Table:
     outs = []
     for task in batch.to_pylist():
         path = task["file"]
+        # cache key includes (mtime_ns, size): the cache outlives one
+        # decode job (warm workers), so a re-encode to the SAME path in
+        # the same Ray session must invalidate the pinned file handle
+        # and FSST table or later decodes would serve the old archive
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
         hit = _DECODE_CACHE.get(path)
-        if hit is None:
+        if hit is None or hit[0] != stamp:
             if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
                 _DECODE_CACHE.pop(next(iter(_DECODE_CACHE)))
             out_dir = os.path.dirname(path)
@@ -831,8 +839,9 @@ def _decode_task_batch(batch: pa.Table) -> pa.Table:
             if os.path.exists(ep):
                 with open(ep) as fh:
                     entry = json.load(fh)
-            hit = _DECODE_CACHE[path] = (pq.ParquetFile(path), _table_from_entry(entry))
-        pf, tab = hit
+            hit = _DECODE_CACHE[path] = (
+                stamp, pq.ParquetFile(path), _table_from_entry(entry))
+        _, pf, tab = hit
         t = pf.read_row_group(task["rg"])
         outs.append(decode_chunks(t, fsst_table=tab))
     return pa.concat_tables(outs, promote_options="default")

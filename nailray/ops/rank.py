@@ -50,28 +50,41 @@ def global_avg_rank(ds: rd.Dataset, col: str, n_buckets: int = 256,
     # ~4k distinct values per bucket task; tiny inputs get few buckets
     n_buckets = max(8, min(n_buckets, counts.count() // 4096 + 1))
 
+    sch = counts.schema() or ds.schema()
+    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+    vt = sch.field(col).type
+    is_str = pa.types.is_string(vt) or pa.types.is_large_string(vt)
+
+    def _np_vals(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        # strings rank fine (lexicographic, like SQL ORDER BY): bucket
+        # via python-object comparisons over the DISTINCT values only
+        if is_str:
+            return np.asarray(arr.to_pylist(), dtype=object)
+        return np.asarray(pc.cast(arr, pa.float64()))
+
     # bucket boundaries from a bounded sample of the distinct values
     def sample_part(t: pa.Table) -> pa.Table:
         v = t.column(col)
         stride = max(1, len(v) // 256)
-        return pa.table({"v": pc.cast(
-            pc.take(v, pa.array(range(0, len(v), stride))), pa.float64())})
+        return pa.table({"v": pc.take(v, pa.array(range(0, len(v), stride)))})
 
-    samp_blocks = [np.asarray(b.column("v")) for b in
+    samp_blocks = [_np_vals(b.column("v")) for b in
                    counts.map_batches(sample_part, batch_format="pyarrow")
                    .iter_batches(batch_format="pyarrow")]
     samp = np.concatenate(samp_blocks) if samp_blocks else np.zeros(0)
     if len(samp) == 0:  # empty input: schema-correct empty mapping
-        sch = counts.schema() or ds.schema()
-        vt = sch.field(col).type if hasattr(sch, "field") else pa.float64()
-        return rd.from_arrow(pa.table({col: pa.array([], vt),
+        et = vt if hasattr(sch, "field") else pa.float64()
+        return rd.from_arrow(pa.table({col: pa.array([], et),
                                        rank_col: pa.array([], pa.float64())}))
-    bounds = np.unique(np.quantile(np.sort(samp),
-                                   np.linspace(0, 1, n_buckets + 1)[1:-1]))
+    # evenly spaced picks from the sorted sample (no interpolation —
+    # works identically for numeric and string domains)
+    samp.sort()
+    picks = np.linspace(0, len(samp) - 1, n_buckets + 1)[1:-1].astype(int)
+    bounds = np.unique(samp[picks])
     nb = len(bounds) + 1
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        v = np.asarray(pc.cast(t.column(col), pa.float64()))
+        v = _np_vals(t.column(col))
         bkt = np.searchsorted(bounds, v, side="right").astype(np.int64)
         return t.append_column("__bkt", pa.array(bkt))
 

@@ -245,9 +245,25 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def whitespace_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Shared whitespace tokenizer: (flat non-empty tokens, row index of
+    each token). THE single definition of token identity for
+    :func:`token_topk`, :func:`bm25_scores`,
+    :func:`~nailray.textops.dedup.dedup_spans` and
+    :func:`~nailray.textops.packing.token_counts_col` — their counts
+    (and the SQL oracles' ``token != ''`` filter) must all agree, so
+    any tokenization change happens here and nowhere else."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks))
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parents[np.asarray(keep)]
+
+
 def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
-                k: int | None = None) -> rd.Dataset:
+                k: int | None = None, cache_input: bool = True) -> rd.Dataset:
     """BM25 relevance of every document to a fixed term list — the
     retrieval / quality-filter scoring pass of a training-data pipeline
     (Robertson-Sparck Jones idf in the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
@@ -259,16 +275,16 @@ def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
     vectorized (list_parent_indices + bincount per term — no Python
     over rows) against the broadcast stats. Returns (id, score) for
     documents matching ≥1 term; ``k`` adds a partial top-k merge.
+
+    The input is consumed TWICE (stats pass + scoring pass); with
+    ``cache_input=True`` (default) it is materialized once so a composed
+    upstream pipeline doesn't re-execute (``cache_input=False`` for
+    plain file reads at scale).
     """
     terms = list(query_terms)
-
-    def _tokens(col: pa.ChunkedArray):
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        toks = pc.split_pattern_regex(col, pattern=r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = np.asarray(pc.list_parent_indices(toks))
-        keep = pc.not_equal(flat, "")
-        return flat.filter(keep), parents[np.asarray(keep)]
+    _tokens = whitespace_tokens
+    if cache_input:
+        ds = ds.materialize()
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         flat, parents = _tokens(batch.column(text_col))

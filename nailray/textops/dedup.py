@@ -711,7 +711,8 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                min_count: int = 3, num_partitions: int | None = None) -> rd.Dataset:
+                min_count: int = 3, num_partitions: int | None = None,
+                cache_input: bool = True) -> rd.Dataset:
     """Corpus-wide duplicate-line removal (the C4 / CCNet boilerplate
     pass): any line occurring in ``min_count`` or more documents-lines
     across the WHOLE corpus is stripped from every document; remaining
@@ -728,10 +729,19 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     rebuild list offsets → ``binary_join``. For a corpus where the hot
     set itself is too big to broadcast, swap the broadcast for a
     hash-partitioned semi-join on the line hash (same exchange as
-    :func:`exact_dedup_winners`)."""
+    :func:`exact_dedup_winners`).
+
+    The input is consumed TWICE (stats pass + rewrite pass); with
+    ``cache_input=True`` (default) it is materialized once so a composed
+    upstream pipeline doesn't re-execute. Pass ``cache_input=False``
+    when the input is a plain file read at a scale where re-reading
+    beats pinning it in the object store."""
     import ray
 
     from ..shuffle import grouped_agg
+
+    if cache_input:
+        ds = ds.materialize()
 
     def line_partial(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
@@ -778,7 +788,8 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
 
 def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
                 text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int | None = None) -> rd.Dataset:
+                num_partitions: int | None = None,
+                cache_input: bool = True) -> rd.Dataset:
     """Duplicate n-gram SPAN removal — the word-granular variant of
     exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every token covered by
@@ -797,21 +808,21 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
     and rebuilds documents with recomputed list offsets +
     ``binary_join``. At corpus scales where the hot set outgrows a
     broadcast, hash-partition the k-gram space and semi-join instead
-    (the :func:`exact_dedup_winners` exchange)."""
+    (the :func:`exact_dedup_winners` exchange).
+
+    The input is consumed TWICE (stats pass + rewrite pass); with
+    ``cache_input=True`` (default) it is materialized once so a composed
+    upstream pipeline doesn't re-execute (``cache_input=False`` for
+    plain file reads at scale)."""
     import ray
 
     from ..shuffle import grouped_agg
+    from .analysis import whitespace_tokens as _tokens
 
     if k < 2:
         raise ValueError("k must be >= 2 (use dedup_lines for units)")
-
-    def _tokens(col):
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        ls = pc.split_pattern_regex(col, pattern=r"\s+")
-        flat = pc.list_flatten(ls)
-        parents = np.asarray(pc.list_parent_indices(ls))
-        keep = pc.not_equal(flat, "")
-        return flat.filter(keep), parents[np.asarray(keep)]
+    if cache_input:
+        ds = ds.materialize()
 
     def _kgrams(flat: pa.Array, parents: np.ndarray):
         n = len(flat)

@@ -27,14 +27,13 @@ from ..shuffle import group_map, hash_partition, int_types_mapper, partition_cou
 
 
 def token_counts_col(batch: pa.Table, text_col: str) -> pa.Array:
-    """Whitespace token count per row (consistent with analysis ops)."""
-    col = batch.column(text_col)
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    ls = pc.split_pattern_regex(col, pattern=r"\s+")
-    flat = pc.list_flatten(ls)
-    parents = np.asarray(pc.list_parent_indices(ls))
-    nonempty = np.asarray(pc.not_equal(flat, ""))
-    return pa.array(np.bincount(parents[nonempty], minlength=batch.num_rows)
+    """Whitespace token count per row (the shared tokenizer —
+    :func:`~nailray.textops.analysis.whitespace_tokens` — so counts agree
+    with token_topk / bm25 / dedup_spans and the SQL oracles)."""
+    from .analysis import whitespace_tokens
+
+    _flat, parents = whitespace_tokens(batch.column(text_col))
+    return pa.array(np.bincount(parents, minlength=batch.num_rows)
                     .astype(np.int64))
 
 

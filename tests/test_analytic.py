@@ -197,3 +197,17 @@ def test_global_avg_rank_empty_input():
     out = global_avg_rank(ds, "x")
     assert out.count() == 0
     assert out.schema().names == ["x", "x__rank"]
+
+
+def test_global_avg_rank_string_column():
+    import numpy as np
+    from nailray.ops.rank import global_avg_rank
+
+    rng = np.random.default_rng(7)
+    words = [f"w{int(i):03d}" for i in rng.integers(0, 60, 2000)]
+    df = pd.DataFrame({"s": words})
+    ds = rd.from_pandas(df).repartition(5)
+    m = to_arrow(global_avg_rank(ds, "s")).to_pandas().set_index("s")["s__rank"]
+    got = df["s"].map(m)
+    want = df["s"].rank(method="average")  # lexicographic == numeric here
+    assert (got - want).abs().max() == 0.0

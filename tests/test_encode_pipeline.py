@@ -307,3 +307,25 @@ def test_entropy_coder_is_self_describing(monkeypatch):
     monkeypatch.undo()
     z2, n2 = pl._zip_payload(raw)
     assert pl._unzip_payload(z2, n2) == raw
+
+
+def test_decode_cache_invalidates_on_reencode(corpus_dir, tmp_path):
+    """Worker-level decode cache must not serve stale data after the same
+    output dir is re-encoded with different content in one Ray session."""
+    import shutil
+
+    from nailray.corpus import write_corpus
+    from nailray.io import to_arrow
+
+    out = str(tmp_path / "enc")
+    pl.encode_dataset(corpus_dir, out, target_partition_bytes=1 << 20)
+    first = to_arrow(pl.decode_dataset(out)).num_rows
+
+    src2 = str(tmp_path / "src2")
+    write_corpus(src2, n_rows=first // 2, seed=99)
+    shutil.rmtree(out)
+    pl.encode_dataset(src2, out, target_partition_bytes=1 << 20)
+    decoded = to_arrow(pl.decode_dataset(out))
+    assert decoded.num_rows == first // 2
+    res = pl.verify_bit_identity(src2, out)
+    assert res["match"], res
