@@ -76,6 +76,40 @@ def test_minhash_dedup_dup_heavy_cluster():
     assert wall < 120, wall
 
 
+def test_minhash_dedup_distributed_cc_beyond_max_edges():
+    """The distributed components path (default) has NO driver edge cap:
+    a dup cluster whose pair count exceeds a deliberately tiny
+    ``max_edges`` must still fully merge (exactly one survivor), while
+    the legacy driver path under the same cap under-merges."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    n_dup = 200  # star pairs alone (199) exceed max_edges=20
+    texts = [base] * n_dup + ["unique doc %d with its own words %d" % (i, i * 3)
+                              for i in range(5)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    out = dedup.minhash_dedup(rd.from_arrow(t).repartition(6), "text",
+                              "doc_id", threshold=0.8, max_edges=20,
+                              components="distributed")
+    kept = sorted(to_arrow(out).to_pandas()["doc_id"])
+    assert [k for k in kept if k < n_dup] == [0]
+    assert set(range(n_dup, n_dup + 5)) <= set(kept)
+
+
+def test_connected_component_labels_chain():
+    """Multi-round convergence: a path graph needs label propagation +
+    pointer jumping across several rounds; every node must end at the
+    component-min label with no driver-side union-find."""
+    import numpy as np
+
+    n = 40  # path 0-1-...-39 → diameter 39, converges via jumping
+    edges = pa.table({"id_a": pa.array(np.arange(1, n), pa.int64()),
+                      "id_b": pa.array(np.arange(0, n - 1), pa.int64())})
+    lab = dedup.connected_component_labels(rd.from_arrow(edges).repartition(4))
+    df = to_arrow(lab).to_pandas()
+    assert len(df) == n
+    assert (df["label"] == 0).all()
+
+
 def test_embedding_dup_heavy_bucket():
     """2k byte-identical vectors collapse to star pairs (linear), with the
     expected (rep, member) pair count and cosine 1.0."""
