@@ -170,6 +170,23 @@ def to_arrow(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+def is_plain_file_read(ds: rd.Dataset) -> bool:
+    """True when ``ds``'s logical plan is a bare file read (no derived
+    transforms). Two-pass operators use this to pick the scale-safe
+    default: a plain read is simply re-read from storage for the second
+    pass (no object-store pinning), while a derived pipeline is
+    materialized once so upstream stages don't re-execute. Inspects
+    Ray's logical plan DAG; returns False (→ materialize, always
+    correct) when the internals shift."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        dag = ds._logical_plan.dag
+        return isinstance(dag, Read) and not dag.input_dependencies
+    except Exception:
+        return False
+
+
 def write_parquet(ds: rd.Dataset, path: str, **kw) -> None:
     """Directory-of-part-files parquet sink (resumable layout).
 

@@ -263,7 +263,8 @@ def whitespace_tokens(col) -> tuple[pa.Array, np.ndarray]:
 
 def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
-                k: int | None = None, cache_input: bool = True) -> rd.Dataset:
+                k: int | None = None,
+                cache_input: bool | str = "auto") -> rd.Dataset:
     """BM25 relevance of every document to a fixed term list — the
     retrieval / quality-filter scoring pass of a training-data pipeline
     (Robertson-Sparck Jones idf in the Lucene ``ln(1 + (N-df+.5)/(df+.5))``
@@ -276,14 +277,18 @@ def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
     over rows) against the broadcast stats. Returns (id, score) for
     documents matching ≥1 term; ``k`` adds a partial top-k merge.
 
-    The input is consumed TWICE (stats pass + scoring pass); with
-    ``cache_input=True`` (default) it is materialized once so a composed
-    upstream pipeline doesn't re-execute (``cache_input=False`` for
-    plain file reads at scale).
+    The input is consumed TWICE (stats pass + scoring pass). The
+    ``cache_input="auto"`` default re-reads plain file-backed inputs
+    from storage (nothing pinned in the object store — the scale
+    default) and materializes only derived pipelines
+    (:func:`~nailray.textops.dedup._resolve_cache_input`);
+    True/False force either behavior.
     """
+    from .dedup import _resolve_cache_input
+
     terms = list(query_terms)
     _tokens = whitespace_tokens
-    if cache_input:
+    if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
 
     def stats_partial(batch: pa.Table) -> pa.Table:

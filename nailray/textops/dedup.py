@@ -887,9 +887,21 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _resolve_cache_input(ds: rd.Dataset, cache_input) -> bool:
+    """Scale-safe default for two-pass operators: ``"auto"`` re-reads a
+    plain file-backed input from storage (nothing pinned in the object
+    store — the 100 TB default) and materializes only DERIVED inputs,
+    whose upstream pipeline would otherwise re-execute per pass."""
+    if cache_input == "auto":
+        from ..io import is_plain_file_read
+
+        return not is_plain_file_read(ds)
+    return bool(cache_input)
+
+
 def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                 min_count: int = 3, num_partitions: int | None = None,
-                cache_input: bool = True) -> rd.Dataset:
+                cache_input: bool | str = "auto") -> rd.Dataset:
     """Corpus-wide duplicate-line removal (the C4 / CCNet boilerplate
     pass): any line occurring in ``min_count`` or more documents-lines
     across the WHOLE corpus is stripped from every document; remaining
@@ -908,16 +920,15 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     hash-partitioned semi-join on the line hash (same exchange as
     :func:`exact_dedup_winners`).
 
-    The input is consumed TWICE (stats pass + rewrite pass); with
-    ``cache_input=True`` (default) it is materialized once so a composed
-    upstream pipeline doesn't re-execute. Pass ``cache_input=False``
-    when the input is a plain file read at a scale where re-reading
-    beats pinning it in the object store."""
+    The input is consumed TWICE (stats pass + rewrite pass). The
+    ``cache_input="auto"`` default (see :func:`_resolve_cache_input`)
+    re-reads plain file-backed inputs from storage and materializes
+    only derived pipelines; True/False force either behavior."""
     import ray
 
     from ..shuffle import grouped_agg
 
-    if cache_input:
+    if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
 
     def line_partial(batch: pa.Table) -> pa.Table:
@@ -966,7 +977,7 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
 def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
                 text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None,
-                cache_input: bool = True) -> rd.Dataset:
+                cache_input: bool | str = "auto") -> rd.Dataset:
     """Duplicate n-gram SPAN removal — the word-granular variant of
     exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every token covered by
@@ -987,10 +998,10 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
     broadcast, hash-partition the k-gram space and semi-join instead
     (the :func:`exact_dedup_winners` exchange).
 
-    The input is consumed TWICE (stats pass + rewrite pass); with
-    ``cache_input=True`` (default) it is materialized once so a composed
-    upstream pipeline doesn't re-execute (``cache_input=False`` for
-    plain file reads at scale)."""
+    The input is consumed TWICE (stats pass + rewrite pass). The
+    ``cache_input="auto"`` default (see :func:`_resolve_cache_input`)
+    re-reads plain file-backed inputs from storage and materializes
+    only derived pipelines; True/False force either behavior."""
     import ray
 
     from ..shuffle import grouped_agg
@@ -998,7 +1009,7 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
 
     if k < 2:
         raise ValueError("k must be >= 2 (use dedup_lines for units)")
-    if cache_input:
+    if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
 
     def _kgrams(flat: pa.Array, parents: np.ndarray):
