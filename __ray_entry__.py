@@ -403,6 +403,21 @@ def q_kendall_tau(sf):
     return pa.table({"tau": pa.array([round(tau, 6)], pa.float64())})
 
 
+def q_kendall_exact(sf):
+    # exact distributed tau-b (nailray.ops.rank.kendall_exact); the
+    # oracle is the O(n²) pair self-join on a bounded user subset so
+    # DuckDB stays fast while the Ray side runs the full bucketed
+    # decomposition (same machinery regardless of subset size)
+    from nailray.ops.rank import kendall_exact
+
+    def sub(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("user_id"), 50))
+
+    ds = _t(sf, "events").map_batches(sub, batch_format="pyarrow")
+    tau = kendall_exact(ds, "value", "user_id", n_buckets=16)
+    return pa.table({"tau": pa.array([round(tau, 6)], pa.float64())})
+
+
 def q_sort_nulls_first(sf):
     # null-bearing sort key (derived): v = value where value < 2, else NULL;
     # sort v NULLS FIRST with event_id tiebreak → total deterministic order
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_exact": q_spearman_exact,
         "global_rank": q_global_rank,
         "kendall_tau": q_kendall_tau,
+        "kendall_exact": q_kendall_exact,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
         "punct_ratio": q_punct_ratio,
@@ -1175,6 +1191,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN (x1 > x2 AND y1 > y2) OR (x1 < x2 AND y1 < y2) THEN 1 "
             "WHEN (x1 > x2 AND y1 < y2) OR (x1 < x2 AND y1 > y2) THEN -1 "
             "ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS tau FROM p"),
+        "kendall_exact": (
+            "WITH s AS (SELECT CAST(value AS DOUBLE) AS x, "
+            "CAST(user_id AS DOUBLE) AS y FROM events "
+            "WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id < 50), "
+            "i AS (SELECT x, y, ROW_NUMBER() OVER () AS rn FROM s), "
+            "p AS (SELECT CAST(SUM(CASE "
+            "WHEN (t1.x > t2.x AND t1.y > t2.y) OR (t1.x < t2.x AND t1.y < t2.y) THEN 1 "
+            "WHEN (t1.x > t2.x AND t1.y < t2.y) OR (t1.x < t2.x AND t1.y > t2.y) THEN -1 "
+            "ELSE 0 END) AS DOUBLE) AS cd, CAST(COUNT(*) AS DOUBLE) AS n0 "
+            "FROM i t1 JOIN i t2 ON t1.rn < t2.rn), "
+            "tx AS (SELECT SUM(c * (c - 1) / 2.0) AS t FROM "
+            "(SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM s GROUP BY x)), "
+            "ty AS (SELECT SUM(c * (c - 1) / 2.0) AS t FROM "
+            "(SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM s GROUP BY y)) "
+            "SELECT ROUND(p.cd / SQRT((p.n0 - tx.t) * (p.n0 - ty.t)), 6) AS tau "
+            "FROM p, tx, ty"),
         "window_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id, "

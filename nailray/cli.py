@@ -324,11 +324,11 @@ def main(argv: list[str] | None = None) -> int:
                     stat = r.get("rho", r.get("tau"))
                     print(a, b, round(stat, 6), "p", round(r["p_value"], 6))
         else:
-            fn = aggregates.spearman if args.method == "spearman" else aggregates.kendall
-            c = cols or aggregates._numeric_cols(aggregates._schema(ds))
-            for i, a in enumerate(c):
-                for b in c[i + 1:]:
-                    print(a, b, round(fn(ds, a, b), 6))
+            # full matrix for every method (reference parity:
+            # src/utils/stats.rs:344-475 — symmetric matrix output)
+            fn = (aggregates.spearman_matrix if args.method == "spearman"
+                  else aggregates.kendall_matrix)
+            print(fn(ds, cols).to_string())
     elif cmd == "outliers":
         out = aggregates.outliers(ds, args.columns.split(","), method=args.method,
                                   factor=args.factor,

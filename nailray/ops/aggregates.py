@@ -332,8 +332,17 @@ def _p_from_partial(d: dict) -> dict:
         fisher_p = math.erfc(abs(z) / math.sqrt(2.0))
     else:
         z, fisher_p = float("nan"), float("nan")
+    # χ² flavor (reference parity: src/utils/stats.rs:311-316): the
+    # statistic is t² on 1 df, so the p-value is the two-tailed NORMAL
+    # tail of |t| — P(χ²₁ > t²) = erfc(|t|/√2)
+    if math.isinf(t):
+        chi2, chi2_p = float("inf"), 0.0
+    else:
+        chi2 = t * t
+        chi2_p = math.erfc(abs(t) / math.sqrt(2.0))
     return {"r": float(r), "n": n, "t": float(t), "p_value": float(p),
-            "fisher_z": float(z), "fisher_p": float(fisher_p)}
+            "fisher_z": float(z), "fisher_p": float(fisher_p),
+            "chi2": float(chi2), "chi2_p": float(chi2_p)}
 
 
 def spearman_with_p(ds: rd.Dataset, x: str, y: str,
@@ -407,6 +416,93 @@ def spearman(ds: rd.Dataset, x: str, y: str,
 
     ranked = ds.map_batches(to_ranks, batch_format="pyarrow")
     return pearson(ranked, "rank_x", "rank_y")
+
+
+def spearman_matrix(ds: rd.Dataset, columns: list[str] | None = None,
+                    per_batch_sample: int = 4096) -> pd.DataFrame:
+    """All-pairs Spearman matrix (reference parity:
+    ``src/utils/stats.rs:344-475`` computes the full matrix with
+    symmetry caching for every method; here symmetry is free — the
+    matrix is Pearson over rank columns).
+
+    Two dataset passes TOTAL regardless of column count: one shared
+    sampling pass builds every column's CDF rank function, one ranked
+    pass feeds :func:`pearson_matrix` (which accumulates all pairs from
+    its single pass). The reference would run one SQL query per pair."""
+    cols = columns or _numeric_cols(_schema(ds))
+
+    def sample_all(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = pc.cast(batch.column(c).drop_null(), pa.float64())
+            n = len(v)
+            if n == 0:
+                out[c] = np.zeros(0)
+                continue
+            stride = max(1, n // per_batch_sample)
+            out[c] = np.asarray(v.combine_chunks()
+                                if isinstance(v, pa.ChunkedArray) else v)[::stride]
+        m = max((len(a) for a in out.values()), default=0)
+        # pad to a rectangle (NaN padding is dropped when sorting below)
+        return pa.table({c: pa.array(np.concatenate(
+            [a, np.full(m - len(a), np.nan)]), pa.float64())
+            for c, a in out.items()})
+
+    samples: dict[str, list] = {c: [] for c in cols}
+    for b in ds.map_batches(sample_all, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            if c in b.column_names:
+                v = np.asarray(b.column(c))
+                samples[c].append(v[~np.isnan(v)])
+    sorted_samples = {
+        c: np.sort(np.concatenate(s)) if s else np.zeros(0)
+        for c, s in samples.items()}
+
+    def to_ranks(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = np.asarray(pc.cast(batch.column(c), pa.float64()))
+            ss = sorted_samples[c]
+            if len(ss) == 0:
+                out[c] = np.zeros(len(v))
+            else:
+                lo = np.searchsorted(ss, v, side="left")
+                hi = np.searchsorted(ss, v, side="right")
+                out[c] = (lo + hi) / 2.0  # mid-rank for ties
+        return pa.table({c: pa.array(r) for c, r in out.items()})
+
+    ranked = ds.map_batches(to_ranks, batch_format="pyarrow")
+    return pearson_matrix(ranked, cols)
+
+
+def kendall_matrix(ds: rd.Dataset, columns: list[str] | None = None,
+                   sample_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
+    """All-pairs Kendall tau-a matrix from ONE seeded sample collection
+    (matches :func:`kendall`'s sampling semantics; the per-pair API
+    would re-sample the dataset per pair). For exact distributed tau-b
+    on a single pair use :func:`nailray.ops.rank.kendall_exact`."""
+    cols = columns or _numeric_cols(_schema(ds))
+    total = ds.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    sub = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    df = sub.select_columns(cols).to_pandas().head(sample_rows)
+    mat = pd.DataFrame(np.eye(len(cols)), index=cols, columns=cols)
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pair = df[[a, b]].dropna()
+            vx = pair[a].to_numpy(np.float64)
+            vy = pair[b].to_numpy(np.float64)
+            n = len(vx)
+            if n < 2:
+                tau = float("nan")
+            else:
+                sx = np.sign(vx[:, None] - vx[None, :])
+                sy = np.sign(vy[:, None] - vy[None, :])
+                conc = (sx * sy)[np.triu_indices(n, 1)]
+                tau = float(conc.sum() / (n * (n - 1) / 2))
+            mat.loc[a, b] = mat.loc[b, a] = tau
+    return mat
 
 
 def kendall(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000, seed: int = 42) -> float:

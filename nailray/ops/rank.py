@@ -110,6 +110,201 @@ def global_avg_rank(ds: rd.Dataset, col: str, n_buckets: int = 256,
     return group_map(bucketed, "__bkt", rank_bucket, nb, exchange=exchange)
 
 
+def _weighted_cd(x: np.ndarray, y: np.ndarray, c: np.ndarray) -> int:
+    """Σ_{i<j} sign(x_i−x_j)·sign(y_i−y_j)·c_i·c_j — the concordant-
+    minus-discordant pair count over a WEIGHTED point set (each row i
+    stands for ``c_i`` identical observations). O(m log m): sort by
+    (x, y), sweep groups of equal x, Fenwick tree over y-ranks holding
+    the weight mass seen so far. Same-x pairs and same-y pairs
+    contribute 0 (sign = 0), exactly the tau-b convention.
+
+    The Fenwick holds int64 weight sums; the C−D accumulator is a
+    Python int (products of two weights overflow int64 at 10^10+
+    rows)."""
+    n = len(x)
+    if n < 2:
+        return 0
+    order = np.lexsort((y, x))
+    x, y, c = x[order], y[order], c[order].astype(np.int64)
+    yr = np.unique(y, return_inverse=True)[1].astype(np.int64) + 1  # 1-based
+    K = int(yr.max())
+    tree = np.zeros(K + 1, np.int64)
+    cd = 0
+    total = 0
+    starts = np.flatnonzero(np.concatenate(([True], x[1:] != x[:-1])))
+    ends = np.concatenate((starts[1:], [n]))
+    for s, e in zip(starts, ends):
+        for k in range(s, e):
+            r = int(yr[k])
+            i, less_eq = r, 0
+            while i > 0:
+                less_eq += int(tree[i]); i -= i & (-i)
+            i, less = r - 1, 0
+            while i > 0:
+                less += int(tree[i]); i -= i & (-i)
+            cd += int(c[k]) * (less - (total - less_eq))
+        for k in range(s, e):
+            i, v = int(yr[k]), int(c[k])
+            while i <= K:
+                tree[i] += v; i += i & (-i)
+        total += int(c[s:e].sum())
+    return cd
+
+
+def _pair_sum(counts_ds: rd.Dataset, col: str) -> float:
+    """Σ c·(c−1)/2 over a (…, col) count Dataset — the tie-pair total
+    for one variable (float64 partials: exact below 2^53, and tau is a
+    ratio so the relative error beyond that is negligible)."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(b.column(col), pa.float64()))
+        return pa.table({"t": pa.array([float((v * (v - 1.0) / 2.0).sum())])})
+
+    tot = 0.0
+    for b in counts_ds.map_batches(partial, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        if "t" in b.column_names:
+            tot += float(pc.sum(b.column("t")).as_py() or 0.0)
+    return tot
+
+
+def _bucket_bounds(values_ds: rd.Dataset, col: str, n_buckets: int) -> np.ndarray:
+    """Ordered bucket boundaries from a bounded stride sample of the
+    DISTINCT values (same policy as :func:`global_avg_rank` — bounds
+    affect balance only, never correctness)."""
+    def sample_part(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        stride = max(1, len(v) // 256)
+        return pa.table({"v": pc.take(v, pa.array(range(0, len(v), stride)))})
+
+    samp = [np.asarray(pc.cast(b.column("v"), pa.float64()))
+            for b in values_ds.map_batches(sample_part, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow") if "v" in b.column_names]
+    samp = np.concatenate(samp) if samp else np.zeros(0)
+    if len(samp) == 0:
+        return np.zeros(0)
+    samp.sort()
+    picks = np.linspace(0, len(samp) - 1, n_buckets + 1)[1:-1].astype(int)
+    return np.unique(samp[picks])
+
+
+def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
+                  num_partitions: int | None = None) -> float:
+    """Exact Kendall tau-b, fully distributed — the scale answer to the
+    reference's O(n²) self-CROSS-JOIN tau (src/utils/stats.rs:386-410).
+
+    Decomposition: collapse to the distinct ``(x, y, count)`` table
+    (``grouped_agg`` — the only thing that ever moves is O(distinct
+    pairs)), bucket x and y by sampled distinct-value boundaries, then
+    split the C−D pair sum three ways, each computed EXACTLY:
+
+    - **same x-bucket** → one task per x-bucket runs the weighted
+      Fenwick sweep (:func:`_weighted_cd`) over its raw (x, y) rows;
+    - **different x-bucket, same y-bucket** → one task per y-bucket
+      sweeps (x_bucket, y): across x-buckets the x-order equals the
+      bucket order, and same-x-bucket pairs contribute sign 0 (already
+      counted above);
+    - **different x-bucket AND different y-bucket** → both signs are
+      determined by bucket order alone, so the ≤ n_buckets² contingency
+      COUNT matrix (a tiny grouped_agg result) closes the sum on the
+      driver.
+
+    Ties: tau-b = (C−D) / √((n0−n1)(n0−n2)) with n1/n2 the tie-pair
+    sums per variable (distributed Σ c(c−1)/2 over the per-value
+    counts). Pairs with a null in either column are dropped first.
+
+    Driver state: two bounds arrays (≤ n_buckets floats), the bucket
+    contingency matrix, and a handful of scalars — never a row set."""
+    import functools
+    import math
+
+    from ..shuffle import partition_count
+
+    def complete(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column(x)), pc.is_valid(b.column(y)))
+        b = b.filter(m)
+        return pa.table({"x": pc.cast(b.column(x), pa.float64()),
+                         "y": pc.cast(b.column(y), pa.float64())})
+
+    clean = ds.select_columns([x, y]).map_batches(complete, batch_format="pyarrow")
+    pairs = grouped_agg(clean, ["x", "y"], {"cnt": ("x", "size")},
+                        num_partitions=num_partitions).materialize()
+    m_distinct = pairs.count()
+    if m_distinct == 0:
+        return float("nan")
+    nb = max(4, min(n_buckets, m_distinct // 2048 + 1))
+
+    # n and tie-pair sums
+    gx = grouped_agg(pairs, ["x"], {"c": ("cnt", "sum")},
+                     num_partitions=num_partitions).materialize()
+    gy = grouped_agg(pairs, ["y"], {"c": ("cnt", "sum")},
+                     num_partitions=num_partitions).materialize()
+    n = 0
+    for b in gx.iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b.column("c")).as_py() or 0)
+    if n < 2:
+        return float("nan")
+    n0 = n * (n - 1) / 2.0
+    n1 = _pair_sum(gx, "c")
+    n2 = _pair_sum(gy, "c")
+    denom = math.sqrt((n0 - n1) * (n0 - n2))
+    if denom == 0:
+        return float("nan")
+
+    bx_bounds = _bucket_bounds(gx, "x", nb)
+    by_bounds = _bucket_bounds(gy, "y", nb)
+    nbx, nby = len(bx_bounds) + 1, len(by_bounds) + 1
+
+    def with_buckets(t: pa.Table) -> pa.Table:
+        vx = np.asarray(t.column("x"))
+        vy = np.asarray(t.column("y"))
+        return (t.append_column("__bx", pa.array(
+                    np.searchsorted(bx_bounds, vx, side="right").astype(np.int64)))
+                 .append_column("__by", pa.array(
+                    np.searchsorted(by_bounds, vy, side="right").astype(np.int64))))
+
+    bucketed = pairs.map_batches(with_buckets, batch_format="pyarrow").materialize()
+
+    def cd_kernel(g: pa.Table, xcol: str, ycol: str) -> pa.Table:
+        cd = _weighted_cd(np.asarray(g.column(xcol)),
+                          np.asarray(g.column(ycol)),
+                          np.asarray(g.column("cnt")))
+        return pa.table({"cd": pa.array([float(cd)], pa.float64())})
+
+    # term A: exact within each x-bucket
+    term_a_ds = group_map(bucketed, "__bx",
+                          functools.partial(cd_kernel, xcol="x", ycol="y"), nbx)
+    # term B: same y-bucket, different x-bucket (x at bucket granularity);
+    # collapse (bx, y) first so the sweep sees one row per (bx, y)
+    by_pairs = grouped_agg(bucketed, ["__bx", "__by", "y"],
+                           {"cnt": ("cnt", "sum")},
+                           num_partitions=num_partitions)
+
+    def bx_as_float(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("__bx"), "__bx",
+                            pc.cast(t.column("__bx"), pa.float64()))
+
+    term_b_ds = group_map(by_pairs.map_batches(bx_as_float, batch_format="pyarrow"),
+                          "__by",
+                          functools.partial(cd_kernel, xcol="__bx", ycol="y"), nby)
+
+    def _sum_cd(d: rd.Dataset) -> float:
+        t = 0.0
+        for b in d.iter_batches(batch_format="pyarrow"):
+            if "cd" in b.column_names:
+                t += float(pc.sum(b.column("cd")).as_py() or 0.0)
+        return t
+
+    # term C: both bucket indices differ — tiny contingency matrix
+    mat = grouped_agg(bucketed, ["__bx", "__by"], {"cnt": ("cnt", "sum")},
+                      num_partitions=num_partitions)
+    mdf = mat.to_pandas()
+    term_c = _weighted_cd(mdf["__bx"].to_numpy(np.float64),
+                          mdf["__by"].to_numpy(np.float64),
+                          mdf["cnt"].to_numpy(np.int64))
+    cd_total = _sum_cd(term_a_ds) + _sum_cd(term_b_ds) + float(term_c)
+    return cd_total / denom
+
+
 def spearman_exact(ds: rd.Dataset, x: str, y: str,
                    num_partitions: int | None = None) -> float:
     """Exact Spearman rho, fully distributed: Pearson over exact global

@@ -190,6 +190,67 @@ def test_spearman_exact_matches_pandas_with_nulls():
     assert abs(rho - want) < 1e-12
 
 
+def test_kendall_exact_matches_bruteforce():
+    import math
+
+    import numpy as np
+    from nailray.ops.rank import kendall_exact
+
+    rng = np.random.default_rng(8)
+    n = 2500
+    x = rng.integers(0, 30, n).astype(float)       # heavy ties
+    y = x * 0.6 + rng.integers(0, 25, n)
+    x[rng.random(n) < 0.04] = np.nan               # null pairs dropped
+    df = pd.DataFrame({"x": x, "y": y})
+    sub = df.dropna()
+    vx, vy = sub["x"].to_numpy(), sub["y"].to_numpy()
+    m = len(vx)
+    sx = np.sign(vx[:, None] - vx[None, :])
+    sy = np.sign(vy[:, None] - vy[None, :])
+    cd = (sx * sy)[np.triu_indices(m, 1)].sum()
+    n0 = m * (m - 1) / 2
+    n1 = sum(v * (v - 1) / 2 for v in np.unique(vx, return_counts=True)[1])
+    n2 = sum(v * (v - 1) / 2 for v in np.unique(vy, return_counts=True)[1])
+    want = cd / math.sqrt((n0 - n1) * (n0 - n2))
+    tau = kendall_exact(rd.from_pandas(df).repartition(7), "x", "y",
+                        n_buckets=8)
+    assert abs(tau - want) < 1e-9
+
+
+def test_spearman_matrix_matches_pandas():
+    import numpy as np
+    from nailray.ops.aggregates import spearman_matrix
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 50, n).astype(float),
+        "b": rng.normal(0, 1, n),
+    })
+    df["c"] = df["a"] * 0.3 + rng.normal(0, 5, n)
+    m = spearman_matrix(rd.from_pandas(df).repartition(5), ["a", "b", "c"],
+                        per_batch_sample=10000)
+    want = df.rank().corr()
+    for p, q in [("a", "b"), ("a", "c"), ("b", "c")]:
+        assert abs(m.loc[p, q] - want.loc[p, q]) < 1e-9
+        assert m.loc[p, q] == m.loc[q, p]
+
+
+def test_pearson_chi2_pvalue():
+    import math
+
+    import numpy as np
+    from nailray.ops.aggregates import pearson_with_p
+
+    rng = np.random.default_rng(10)
+    n = 500
+    a = rng.normal(0, 1, n)
+    df = pd.DataFrame({"a": a, "b": a * 0.2 + rng.normal(0, 1, n)})
+    r = pearson_with_p(rd.from_pandas(df).repartition(3), "a", "b")
+    assert abs(r["chi2"] - r["t"] ** 2) < 1e-9
+    assert abs(r["chi2_p"] - math.erfc(abs(r["t"]) / math.sqrt(2))) < 1e-12
+
+
 def test_global_avg_rank_empty_input():
     from nailray.ops.rank import global_avg_rank
 

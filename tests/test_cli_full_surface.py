@@ -69,6 +69,10 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["stats", li, "-c", "l_quantity", "--stats-type", "exhaustive"],
         ["frequency", li, "-c", "l_returnflag"],
         ["correlations", li, "-c", "l_quantity,l_extendedprice"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice,l_discount",
+         "--method", "spearman"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice",
+         "--method", "kendall"],
         ["outliers", li, "-c", "l_extendedprice", "--method", "iqr", "--factor", "1.5"],
         ["binning", orders, "-c", "o_totalprice", "--bins", "4"],
         ["pivot", orders, "--index", "o_orderstatus", "--pivot", "o_orderpriority",
