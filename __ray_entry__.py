@@ -568,12 +568,69 @@ def q_clean_corpus(sf):
 
 
 def q_pack_sequences(sf):
-    # sequence packing (no SQL oracle: pack assignment is algorithmic;
-    # invariants covered by tests/test_packing.py)
+    # sequence packing, oracle-checked through its INVARIANTS: the pack
+    # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
+    # contract is SQL-expressible from the documents table alone —
+    # every doc packed exactly once, no multi-doc pack over budget, no
+    # oversized doc sharing a pack, and the oversized count equals the
+    # corpus's tokens>budget count. All reductions run distributed
+    # (grouped_agg per pack + per-block partial sums); the driver sees
+    # five integers.
+    from nailray.shuffle import grouped_agg
     from nailray.textops.packing import pack_sequences
 
-    return pack_sequences(_t(sf, "documents"), budget=2048, id_col="doc_id",
-                          text_col="text")
+    budget = 64  # below the max doc length so oversized-singleton packs exist
+    packed = pack_sequences(_t(sf, "documents"), budget=budget,
+                            id_col="doc_id", text_col="text").materialize()
+
+    def _sum_partials(d, fn):
+        tot = 0
+        for b in d.map_batches(fn, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+            if "v" in b.column_names:
+                tot += int(pc.sum(b.column("v")).as_py() or 0)
+        return tot
+
+    def count_rows(b):
+        return pa.table({"v": pa.array([b.num_rows], pa.int64())})
+
+    def count_oversized(b):
+        n = pc.sum(pc.cast(pc.greater(b.column("n_tokens"), budget),
+                           pa.int64())).as_py() or 0
+        return pa.table({"v": pa.array([int(n)], pa.int64())})
+
+    per_pack = grouped_agg(packed, ["pack_id"],
+                           {"token_sum": ("n_tokens", "sum"),
+                            "n_docs_pack": ("n_tokens", "size"),
+                            "max_tok": ("n_tokens", "max")})
+
+    def count_violations(b):
+        multi = pc.greater(b.column("n_docs_pack"), 1)
+        over = pc.and_(pc.greater(b.column("token_sum"), budget), multi)
+        ovsz = pc.and_(pc.greater(b.column("max_tok"), budget), multi)
+        return pa.table({
+            "v": pa.array([int(pc.sum(pc.cast(over, pa.int64())).as_py() or 0)],
+                          pa.int64()),
+            "v2": pa.array([int(pc.sum(pc.cast(ovsz, pa.int64())).as_py() or 0)],
+                           pa.int64())})
+
+    n_docs = _sum_partials(packed, count_rows)
+    distinct_docs = grouped_agg(packed.select_columns(["doc_id"]),
+                                ["doc_id"], {"c": ("doc_id", "size")}).count()
+    n_oversized = _sum_partials(packed, count_oversized)
+    over_budget_multi = oversized_multi = 0
+    for b in per_pack.map_batches(count_violations, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        if "v" in b.column_names:
+            over_budget_multi += int(pc.sum(b.column("v")).as_py() or 0)
+            oversized_multi += int(pc.sum(b.column("v2")).as_py() or 0)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "distinct_docs": pa.array([distinct_docs], pa.int64()),
+        "over_budget_multi": pa.array([over_budget_multi], pa.int64()),
+        "oversized_multi": pa.array([oversized_multi], pa.int64()),
+        "n_oversized": pa.array([n_oversized], pa.int64()),
+    })
 
 
 def q_ann_topk(sf):
@@ -1437,6 +1494,16 @@ def oracle_sql() -> dict[str, str]:
             "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bg USING (g)) "
             "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id)"),
+        "pack_sequences": (
+            "WITH tok AS (SELECT doc_id, CAST(len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) "
+            "AS n FROM documents) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_docs, "
+            "CAST(0 AS BIGINT) AS over_budget_multi, "
+            "CAST(0 AS BIGINT) AS oversized_multi, "
+            "CAST(COALESCE(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_oversized FROM tok"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "
