@@ -119,12 +119,15 @@ class LangId:
         self.word_re = re.compile(r"[a-zA-ZäöüéèêàçñìÄÖÜ]+")
         self.tables = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # pyarrow in/out: ONLY the text column crosses into pandas (the
+        # full-batch pandas format paid an object-array conversion of
+        # every column — VERDICT r2 #5). The compute itself is
         # vectorized: findall → cap 200 words → explode once → one isin
-        # per language → per-row hit counts (pandas C kernels; no Python
-        # loop over documents)
-        words = (batch[self.text_col].fillna("").str.lower()
-                 .str.findall(self.word_re).str.slice(0, 200))
+        # per language → per-row hit counts (pandas C kernels; no
+        # Python loop over documents).
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        words = s.str.lower().str.findall(self.word_re).str.slice(0, 200)
         lens = words.str.len()
         ex = words.explode()
         scores = pd.DataFrame(index=words.index)
@@ -135,8 +138,8 @@ class LangId:
         best = scores.idxmax(axis=1)  # first language wins ties (table order)
         best_score = scores.max(axis=1)
         pred = best.where((best_score > 0.02) & (lens > 0), "unknown")
-        batch["lang_pred"] = pred.astype(str)
-        return batch
+        return _upsert_column(batch, "lang_pred",
+                              pa.array(pred.astype(str).to_numpy(), pa.string()))
 
 
 def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
@@ -144,7 +147,7 @@ def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.
 
     concurrency = actor_pool_size(concurrency)
     return ds.map_batches(LangId, fn_constructor_args=(text_col,),
-                          batch_format="pandas", concurrency=concurrency)
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 def token_topk(ds: rd.Dataset, text_col: str = "text", k: int = 100,
@@ -231,15 +234,33 @@ def repetition_metrics(ds: rd.Dataset, text_col: str = "text",
 
 def fingerprint(ds: rd.Dataset, text_col: str = "text",
                 out_col: str = "fingerprint") -> rd.Dataset:
-    """Deterministic 64-bit rolling-hash document fingerprint over
-    whitespace-normalized text (casefolded)."""
-    ws = re.compile(r"\s+")
+    """Deterministic 64-bit blake2b document fingerprint over
+    whitespace-normalized text (casefolded, trimmed, runs of whitespace
+    collapsed to one space).
+
+    The normalization runs as Arrow RE2 kernels (``utf8_lower`` +
+    ``utf8_trim_whitespace`` + ``replace_substring_regex``) over the
+    zero-copy text column; only the per-value digest loop is Python,
+    reading memoryview slices of the normalized buffer (VERDICT r2 #6
+    — the old path round-tripped every document through a Python str).
+    Whitespace identity is RE2's ``\\s`` (ASCII + Unicode WSpace via
+    trim); exotic control-character whitespace may normalize
+    differently than Python's ``re`` did — the fingerprint is a
+    self-consistent identity, not a cross-library contract."""
+    from ..encode.codecs.base import strings_to_buffer
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals = []
-        for t in batch.column(text_col).to_pylist():
-            norm = ws.sub(" ", (t or "").strip().lower())
-            vals.append(hashlib.blake2b(norm.encode(), digest_size=8).hexdigest())
+        col = pc.fill_null(batch.column(text_col), "")
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(col)), r"\s+", " ")
+        norm = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        data, lengths = strings_to_buffer(norm)
+        mv = memoryview(data)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        b2b = hashlib.blake2b
+        vals = [b2b(mv[s:e], digest_size=8).hexdigest()
+                for s, e in zip(starts.tolist(), ends.tolist())]
         return _upsert_column(batch, out_col, pa.array(vals))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -26,13 +26,29 @@ import ray.data as rd
 _PRIME = (1 << 61) - 1
 
 
-def _sha256_col(texts: list[str]) -> list[str]:
-    return [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+def _sha256_arr(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex digests straight off the Arrow data buffer.
+    Digesting is inherently per-value, but everything around it is
+    zero-copy: no ``to_pylist``, no per-string ``encode`` — each digest
+    reads a ``memoryview`` slice of the batch's concatenated utf-8
+    buffer (hash values identical to ``sha256(text.encode())``; nulls
+    hash as ``""``)."""
+    from ..encode.codecs.base import strings_to_buffer
+
+    col = pc.fill_null(col, "")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data, lengths = strings_to_buffer(col)
+    mv = memoryview(data)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    sha = hashlib.sha256
+    return pa.array([sha(mv[s:e]).hexdigest()
+                     for s, e in zip(starts.tolist(), ends.tolist())])
 
 
 def add_content_hash(ds: rd.Dataset, text_col: str, out_col: str = "content_sha256") -> rd.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        return batch.append_column(out_col, pa.array(_sha256_col(batch.column(text_col).to_pylist())))
+        return batch.append_column(out_col, _sha256_arr(batch.column(text_col)))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
@@ -55,7 +71,7 @@ def exact_dedup_winners(ds: rd.Dataset, text_col: str, id_col: str,
 
     def hash_ids(batch: pa.Table) -> pa.Table:
         t = pa.table({
-            "content_sha256": pa.array(_sha256_col(batch.column(text_col).to_pylist())),
+            "content_sha256": _sha256_arr(batch.column(text_col)),
             id_col: batch.column(id_col),
         })
         df = t.to_pandas(types_mapper=int_types_mapper)
