@@ -646,6 +646,30 @@ def q_ann_topk(sf):
 
 
 
+def q_multimodal_stats(sf):
+    # REAL multimodal kernel end-to-end (rows-only driver check: binary
+    # decode is not SQL-expressible): deterministic BMP payloads seeded
+    # per media_id → nearest resize (real pixel kernel) → per-channel
+    # stats features; output is the decoded geometry + rounded means
+    from nailray import multimodal
+
+    t = multimodal.synthesize_bmp_table(64, seed=13)
+    ds = rd.from_arrow(t).repartition(4)
+    rz = multimodal.resize_images(ds, 16, 12, batch_size=16, real_decode=True)
+    fs = multimodal.image_stats(rz, batch_size=16)
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.column("features")
+        means = pa.array([round(float(v[2].as_py()), 3) for v in f],
+                         pa.float64())
+        return pa.table({"media_id": b.column("media_id"),
+                         "width": b.column("width"),
+                         "height": b.column("height"),
+                         "mean_r": means})
+
+    return fs.map_batches(project, batch_format="pyarrow")
+
+
 def q_select_rows(sf):
     from nailray.ops import projection
 
@@ -1120,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "stratified_sample": q_stratified_sample,
+        "multimodal_stats": q_multimodal_stats,
         "encode_corpus": q_encode_corpus,
     }
 

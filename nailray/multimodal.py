@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels are STUBBED (no image/audio libraries in this
-container): `decode_image` raises NotImplementedError unless a library
-is importable; `FakeImageDecoder` is a deterministic stand-in used to
-test the Ray-side plumbing (schema, batch sizing, actor signature,
-output layout), which is real and tested.
+Real in-container kernels (pure numpy / stdlib — no PIL/soundfile
+needed): 24-bit uncompressed BMP and binary PPM (P6) decode+encode,
+RIFF/WAVE PCM decode+encode via the stdlib ``wave`` module, a
+nearest-neighbor resize, and real pixel/PCM feature stages
+(:class:`ImageStats`, :class:`AudioStats`). Formats beyond those
+(PNG/JPEG/FLAC/…) fall back to PIL/soundfile when importable and raise
+``NotImplementedError`` otherwise; the deterministic Fake* stand-ins
+remain for plumbing tests with arbitrary payload bytes.
 
 At 100 TB: binary payloads are large → small batch_size, pyarrow batch
 format (binary columns don't survive pandas object dtype cleanly), and
@@ -15,6 +18,7 @@ per-stage `num_cpus`/`concurrency` sized so decode doesn't starve IO.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -45,8 +49,128 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     })
 
 
-def decode_image(payload: bytes):
-    """Real decode — requires an imaging library (not in this container)."""
+# --------------------------------------------------------------------------
+# real pure-numpy / stdlib codecs
+# --------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → 24-bit uncompressed bottom-up BMP bytes."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → H×W×3 uint8 RGB array.
+    Handles bottom-up (positive height) and top-down (negative) rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"decode_bmp supports 24-bit BI_RGB only (got bpp={bpp}, "
+            f"compression={compression})")
+    h = abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=row_size * h, offset=data_off)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → binary PPM (P6, maxval 255)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → H×W×3 uint8 RGB array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment delimited
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("decode_ppm supports maxval <= 255 only")
+    pos += 1  # single whitespace after maxval
+    return np.frombuffer(payload, np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples (n,) or (n, channels) → RIFF/WAVE bytes
+    (stdlib ``wave``)."""
+    import io as _io
+    import wave
+
+    samples = np.asarray(samples, np.int16)
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(ch)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (samples int16 array (n,) or (n, ch), rate)."""
+    import io as _io
+    import wave
+
+    with wave.open(_io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("decode_wav supports 16-bit PCM only")
+        ch = f.getnchannels()
+        data = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+        if ch > 1:
+            data = data.reshape(-1, ch)
+        return data.copy(), f.getframerate()
+
+
+def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pixel-center sampling) — pure index
+    math, no interpolation library."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(int), h - 1)
+    xs = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(int), w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an H×W×3 uint8 RGB array. BMP (24-bit
+    BI_RGB) and PPM (P6) decode in-process with pure numpy; other
+    formats fall back to PIL when importable."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: F401
         import io as _io
@@ -54,8 +178,8 @@ def decode_image(payload: bytes):
         return np.asarray(Image.open(_io.BytesIO(payload)))
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv, not available in this "
-            "environment; use FakeImageDecoder for plumbing tests"
+            "non-BMP/PPM image decoding requires PIL/opencv, not available "
+            "in this environment; use BMP/PPM payloads or FakeImageDecoder"
         ) from e
 
 
@@ -96,11 +220,13 @@ def extract_features(ds: rd.Dataset, feature_dim: int = 64,
 
 
 class ImageResizer:
-    """Actor-pool resize stage. The real pixel kernel is gated on PIL
-    (absent in this container); the default deterministic stand-in
-    replaces the payload with resolution-tagged bytes so the Ray-side
-    plumbing — schema, metadata (width/height) updates, batch sizing,
-    arrow in/out — is fully real and testable."""
+    """Actor-pool resize stage. With ``real_decode=True`` the pixel
+    kernel is REAL in-container for BMP/PPM payloads: numpy decode →
+    nearest-neighbor resize → BMP re-encode (PIL handles other formats
+    when importable). The default deterministic stand-in replaces the
+    payload with resolution-tagged bytes so the Ray-side plumbing —
+    schema, metadata (width/height) updates, batch sizing, arrow
+    in/out — is testable with arbitrary payload bytes."""
 
     def __init__(self, target_w: int, target_h: int,
                  payload_col: str = "payload", real_decode: bool = False):
@@ -108,25 +234,11 @@ class ImageResizer:
         self.h = int(target_h)
         self.payload_col = payload_col
         self.real_decode = real_decode
-        if real_decode:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real resize requires PIL, not available in this "
-                    "environment; use the deterministic stand-in"
-                ) from e
 
     def _resize_payload(self, payload: bytes) -> bytes:
-        if self.real_decode:  # pragma: no cover - PIL absent here
-            import io as _io
-
-            from PIL import Image
-
-            img = Image.open(_io.BytesIO(payload)).resize((self.w, self.h))
-            out = _io.BytesIO()
-            img.save(out, format="PNG")
-            return out.getvalue()
+        if self.real_decode:
+            img = decode_image(payload)
+            return encode_bmp(resize_nearest(img, self.w, self.h))
         tag = b"resized:%dx%d:" % (self.w, self.h)
         return tag + hashlib.blake2b(payload, digest_size=16).digest()
 
@@ -144,16 +256,106 @@ class ImageResizer:
 
 
 def resize_images(ds: rd.Dataset, target_w: int, target_h: int,
-                  batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
-    """Resize stage: small batches (large payloads), actor pool."""
+                  batch_size: int = 64, concurrency=(1, 4),
+                  real_decode: bool = False) -> rd.Dataset:
+    """Resize stage: small batches (large payloads), actor pool.
+    ``real_decode=True`` runs the real BMP/PPM pixel kernel."""
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_args=(target_w, target_h),
+        fn_constructor_args=(target_w, target_h, "payload", real_decode),
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageStats:
+    """REAL pixel feature stage (no stand-in): decode (BMP/PPM pure
+    numpy) → 8-float feature vector [w, h, mean_r, mean_g, mean_b,
+    std_r, std_g, std_b]. Actor-pool signature: state-free decode but
+    the same per-actor shape a model-based featurizer uses."""
+
+    def __init__(self, payload_col: str = "payload",
+                 out_col: str = "features"):
+        self.payload_col = payload_col
+        self.out_col = out_col
+
+    def _features(self, payload: bytes) -> list[float]:
+        img = decode_image(payload).astype(np.float64)
+        h, w = img.shape[:2]
+        flat = img.reshape(-1, img.shape[2]) if img.ndim == 3 \
+            else img.reshape(-1, 1).repeat(3, axis=1)
+        return ([float(w), float(h)] + flat.mean(axis=0)[:3].tolist()
+                + flat.std(axis=0)[:3].tolist())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p)
+                 for p in batch.column(self.payload_col).to_pylist()]
+        return batch.append_column(
+            self.out_col, pa.array(feats, pa.list_(pa.float32())))
+
+
+def image_stats(ds: rd.Dataset, batch_size: int = 64,
+                concurrency=(1, 4)) -> rd.Dataset:
+    """Real decode → per-channel stats features (BMP/PPM in-container)."""
+    return ds.map_batches(ImageStats, batch_size=batch_size,
+                          batch_format="pyarrow", concurrency=concurrency,
+                          num_cpus=1)
+
+
+class AudioStats:
+    """REAL PCM feature stage: WAV decode (stdlib) → 6-float vector
+    [sample_rate, n_samples, n_channels, mean, std, rms] over the
+    normalized [-1, 1] samples."""
+
+    def __init__(self, payload_col: str = "payload",
+                 out_col: str = "audio_features"):
+        self.payload_col = payload_col
+        self.out_col = out_col
+
+    def _features(self, payload: bytes) -> list[float]:
+        samples, rate = decode_wav(payload)
+        ch = 1 if samples.ndim == 1 else samples.shape[1]
+        x = samples.astype(np.float64).reshape(-1) / 32768.0
+        n = max(len(x), 1)
+        return [float(rate), float(samples.shape[0]), float(ch),
+                float(x.sum() / n), float(x.std()) if len(x) else 0.0,
+                float(np.sqrt((x * x).sum() / n))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p)
+                 for p in batch.column(self.payload_col).to_pylist()]
+        return batch.append_column(
+            self.out_col, pa.array(feats, pa.list_(pa.float32())))
+
+
+def audio_stats(ds: rd.Dataset, batch_size: int = 64,
+                concurrency=(1, 4)) -> rd.Dataset:
+    """Real WAV decode → PCM stats features (stdlib wave, in-container)."""
+    return ds.map_batches(AudioStats, batch_size=batch_size,
+                          batch_format="pyarrow", concurrency=concurrency,
+                          num_cpus=1)
+
+
+def synthesize_bmp_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-BMP media rows (decodable in-container) for
+    the real-kernel pipelines and tests."""
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs = [], [], []
+    for _ in range(n):
+        w, h = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+        payloads.append(encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n),
+        "mime": pa.array(["image/bmp"] * n),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+    })
 
 
 def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
@@ -167,7 +369,11 @@ def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
 
 
 def decode_audio(payload: bytes):
-    """Real decode — requires an audio library (not in this container)."""
+    """Decode an audio payload to a sample array. RIFF/WAVE PCM16
+    decodes in-process (stdlib ``wave``); other formats fall back to
+    soundfile when importable."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)[0]
     try:
         import soundfile  # noqa: F401
         import io as _io
@@ -175,8 +381,9 @@ def decode_audio(payload: bytes):
         return soundfile.read(_io.BytesIO(payload))[0]
     except ImportError as e:
         raise NotImplementedError(
-            "audio decoding requires soundfile/librosa, not available in "
-            "this environment; use FakeAudioFeaturizer for plumbing tests"
+            "non-WAV audio decoding requires soundfile/librosa, not "
+            "available in this environment; use WAV payloads or "
+            "FakeAudioFeaturizer"
         ) from e
 
 
