@@ -355,6 +355,14 @@ def run_queries() -> dict[str, float]:
                                         columns=["value", "user_id"]),
                        "value", "user_id")
 
+    @timed("kendall_exact")
+    def _kendall():
+        from nailray.ops.rank import kendall_exact
+
+        kendall_exact(nio.read_parquet(f"{SF_DIR}/events.parquet",
+                                       columns=["value", "user_id"]),
+                      "value", "user_id")
+
     return timings
 
 
