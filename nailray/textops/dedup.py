@@ -390,9 +390,45 @@ def _label_checksum(labels: rd.Dataset) -> tuple[int, int]:
     return acc_s, acc_n
 
 
+def _cc_single_task_impl(src_col: str, dst_col: str, *blocks):
+    """Union-find over the WHOLE edge set inside one Ray task (not the
+    driver): the fallback for edge sets that fit a single worker's heap,
+    where the multi-round exchange's fixed cost dominates. Returns the
+    same (node, label) table as the distributed rounds."""
+    import pyarrow as pa
+
+    tabs = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks if b is not None]
+    tabs = [t for t in tabs if t.num_rows and src_col in t.column_names]
+    if not tabs:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs, promote_options="default")
+    id_type = t.schema.field(src_col).type
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in zip(t.column(src_col).to_pylist(), t.column(dst_col).to_pylist()):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ordered = sorted(nodes)
+    return pa.table({"node": pa.array(ordered, id_type),
+                     "label": pa.array([find(x) for x in ordered], id_type)})
+
+
 def connected_component_labels(edges: rd.Dataset, src_col: str = "id_a",
                                dst_col: str = "id_b", max_rounds: int = 16,
-                               num_partitions: int | None = None) -> rd.Dataset:
+                               num_partitions: int | None = None,
+                               single_task_max_edges: int = 1_000_000) -> rd.Dataset:
     """Distributed connected components over an undirected edge Dataset:
     returns ``(node, label)`` with ``label`` = the component's minimum
     node id, one row per distinct endpoint. NOTHING per-node lives on
@@ -413,11 +449,35 @@ def connected_component_labels(edges: rd.Dataset, src_col: str = "id_a",
 
     Exchange anatomy per round: one tagged-union ``group_map`` (the
     join of labels onto edge sources) + one ``grouped_agg`` min — both
-    O(|edges| + |nodes|) through the wire, driver holds two ints."""
-    from ..shuffle import (group_map, grouped_agg, hash_partition,
-                           int_types_mapper, partition_count, to_arrow_clean)
+    O(|edges| + |nodes|) through the wire, driver holds two ints.
 
-    n_parts = partition_count(num_partitions)
+    Edge sets up to ``single_task_max_edges`` short-circuit to a
+    union-find inside ONE Ray worker task (:func:`_cc_single_task_impl`)
+    — exact same result, none of the multi-round exchange's fixed cost,
+    still zero driver state. Past the threshold (edge set too big for
+    one worker's heap) the multi-round exchange takes over."""
+    import ray
+
+    from ..shuffle import (group_map, grouped_agg, hash_partition,
+                           int_types_mapper, partition_count)
+
+    # The edge set is consumed once per round plus twice up front — pin
+    # it (edges are the DUPLICATE pairs only, tiny next to the corpus;
+    # an unmaterialized upstream LSH pipeline would re-run per pass).
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= single_task_max_edges:
+        refs = [bref for bundle in edges.iter_internal_ref_bundles()
+                for bref in bundle.block_refs]
+        task = ray.remote(num_cpus=1)(_cc_single_task_impl)
+        return rd.from_arrow_refs([task.remote(src_col, dst_col, *refs)])
+    if num_partitions is None:
+        # CC exchanges move only (node, label) pairs — right-size the
+        # partition count to the edge volume instead of paying 2×CPU
+        # fixed task overhead per round on small dup sets
+        n_parts = max(8, min(partition_count(None), n_edges // 50_000 + 8))
+    else:
+        n_parts = partition_count(num_partitions)
     id_type = None
 
     def seed_rows(b: pa.Table) -> pa.Table:
@@ -433,7 +493,7 @@ def connected_component_labels(edges: rd.Dataset, src_col: str = "id_a",
 
     labels = grouped_agg(edges.map_batches(seed_rows, batch_format="pyarrow"),
                          ["node"], {"label": ("label", "min")},
-                         num_partitions=num_partitions).materialize()
+                         num_partitions=n_parts).materialize()
     if labels.count() == 0:
         return labels
     try:
@@ -491,7 +551,7 @@ def connected_component_labels(edges: rd.Dataset, src_col: str = "id_a",
         )
         cand = group_map(tagged, "__part", round_kernel, n_parts)
         labels = grouped_agg(cand, ["node"], {"label": ("label", "min")},
-                             num_partitions=num_partitions).materialize()
+                             num_partitions=n_parts).materialize()
         cur = _label_checksum(labels)
         if cur == prev:
             return labels
@@ -510,17 +570,18 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
                   seed: int = 42, max_bucket: int = 512,
                   max_edges: int = 50_000_000,
                   components: str = "distributed",
-                  drop_strategy: str = "shuffle") -> rd.Dataset:
+                  drop_strategy: str = "auto") -> rd.Dataset:
     """Full near-dedup: signatures → LSH candidates → threshold →
     connected components → drop non-canonical ids.
 
     ``components="distributed"`` (default — the 100 TB path): connected
     components run as Dataset-native min-label propagation
-    (:func:`connected_component_labels`) and the drop set stays a
-    Dataset, applied with a partitioned anti join
-    (``drop_strategy="shuffle"``; ``"broadcast"`` collects the drop ids
-    once for small-dup corpora). No per-node state ever lands on the
-    driver and ``max_edges`` is ignored.
+    (:func:`connected_component_labels`; small edge sets short-circuit
+    to one worker task) and the drop set stays a Dataset, applied as an
+    anti join — ``drop_strategy="auto"`` broadcasts drop sets below 5M
+    ids and hash-partitions (``"shuffle"``) beyond that; either value
+    forces its path. No per-node state ever lands on the driver and
+    ``max_edges`` is ignored.
 
     ``components="driver"`` is the small-corpus fast path: a driver
     union-find over the streamed edge batches — state is (id → parent)
@@ -547,14 +608,17 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
             return b.select(["id_a", "id_b"])
 
         edges = pairs.map_batches(edge_rows, batch_format="pyarrow")
-        labels = connected_component_labels(edges)
-        if labels.count() == 0:  # no candidate pairs at all
+        labels = connected_component_labels(edges).materialize()
+        n_labels = labels.count()
+        if n_labels == 0:  # no candidate pairs at all
             return ds
         drop = labels.map_batches(
             lambda b: b.filter(pc.not_equal(b.column("node"),
                                             b.column("label")))
                        .select(["node"]),
             batch_format="pyarrow")
+        if drop_strategy == "auto":
+            drop_strategy = "broadcast" if n_labels <= 5_000_000 else "shuffle"
         return anti_join(ds, drop, id_col, "node", strategy=drop_strategy)
     if components != "driver":
         raise ValueError(

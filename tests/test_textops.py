@@ -124,10 +124,12 @@ def test_connected_component_labels_chain():
     n = 40  # path 0-1-...-39 → diameter 39, converges via jumping
     edges = pa.table({"id_a": pa.array(np.arange(1, n), pa.int64()),
                       "id_b": pa.array(np.arange(0, n - 1), pa.int64())})
-    lab = dedup.connected_component_labels(rd.from_arrow(edges).repartition(4))
-    df = to_arrow(lab).to_pandas()
-    assert len(df) == n
-    assert (df["label"] == 0).all()
+    for stme in (0, 10**6):  # multi-round exchange AND single-task paths
+        lab = dedup.connected_component_labels(
+            rd.from_arrow(edges).repartition(4), single_task_max_edges=stme)
+        df = to_arrow(lab).to_pandas()
+        assert len(df) == n
+        assert (df["label"] == 0).all()
 
 
 def test_embedding_dup_heavy_bucket():
