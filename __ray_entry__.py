@@ -468,6 +468,16 @@ def q_bm25_scores(sf):
         batch_format="pyarrow")
 
 
+def q_unigram_logprob(sf):
+    # CCNet-style LM quality scoring: mean ln p(token) per doc under the
+    # corpus's own top-V unigram model (exact SQL oracle below)
+    from nailray.textops.analysis import unigram_logprob
+
+    out = unigram_logprob(_t(sf, "documents"), "text", "doc_id",
+                          top_vocab=1000)
+    return _round_cols(out, ["unigram_logprob"])
+
+
 def q_repetition_docs(sf):
     from nailray.textops import analysis
 
@@ -1058,7 +1068,7 @@ _QUERY_PRIORITY = [
     # r1/r2 — names are STABLE across rounds (VERDICT r2 #9); only the
     # dict ordering changes so a deterministic driver sample confirms
     # the least-covered queries first
-    "kendall_exact", "multimodal_stats", "pack_sequences",
+    "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
     "exact_dedup_docs", "clean_corpus",
@@ -1159,6 +1169,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "bm25_scores": q_bm25_scores,
         "repetition_docs": q_repetition_docs,
+        "unigram_logprob": q_unigram_logprob,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1529,6 +1540,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "unigram_logprob": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "t2 AS (SELECT * FROM tok WHERE token != ''), "
+            "c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS cnt "
+            "FROM t2 GROUP BY token), "
+            "tot AS (SELECT SUM(cnt) AS t FROM c), "
+            "top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token "
+            "LIMIT 1000), "
+            "lp AS (SELECT t2.doc_id, "
+            "COALESCE(LN(top.cnt / tot.t), LN(0.5 / tot.t)) AS l "
+            "FROM t2 LEFT JOIN top USING (token), tot), "
+            "s AS (SELECT doc_id, AVG(l) AS lp FROM lp GROUP BY doc_id) "
+            "SELECT d.doc_id, ROUND(COALESCE(s.lp, 0.0), 6) AS unigram_logprob "
+            "FROM documents d LEFT JOIN s USING (doc_id)"),
         "decontaminate_docs": (
             "WITH s AS (SELECT substr(text, 1, 40) AS snip FROM documents "
             "WHERE doc_id % 50 = 0 AND snip IS NOT NULL AND snip != '') "

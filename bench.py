@@ -355,6 +355,12 @@ def run_queries() -> dict[str, float]:
                                         columns=["value", "user_id"]),
                        "value", "user_id")
 
+    @timed("unigram_logprob")
+    def _unigram():
+        analysis.unigram_logprob(
+            nio.read_parquet(f"{SF_DIR}/documents.parquet"),
+            "text", "doc_id", top_vocab=1000).count()
+
     @timed("kendall_exact")
     def _kendall():
         from nailray.ops.rank import kendall_exact

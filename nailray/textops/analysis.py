@@ -282,6 +282,77 @@ def whitespace_tokens(col) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(keep), parents[np.asarray(keep)]
 
 
+def unigram_logprob(ds: rd.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", top_vocab: int = 1000,
+                    oov_weight: float = 0.5,
+                    cache_input: bool | str = "auto") -> rd.Dataset:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style LM quality-filter pass (docs scoring
+    far below the corpus mean are gibberish / boilerplate candidates).
+
+    Model: p(token) = count/T for the ``top_vocab`` most frequent
+    tokens (ties broken by token string — deterministic), and a floor
+    ``oov_weight``/T for everything else; the document score is the
+    mean ln p over its whitespace tokens (empty docs score 0.0).
+
+    Scale shape: pass 1 is the :func:`token_topk` exchange (per-block
+    Arrow ``value_counts`` partials → ``grouped_agg`` sum → partial
+    top-k merge), so only (token, count) partials move and only the
+    top-V table (bounded) reaches the driver for broadcast; the total
+    token count folds from per-block scalars. Pass 2 scores each batch
+    fully vectorized: one ``pc.index_in`` against the broadcast vocab +
+    ``np.bincount`` segment means. ``cache_input`` follows the two-pass
+    auto policy (:func:`~nailray.textops.dedup._resolve_cache_input`)."""
+    import ray
+
+    from ..ops import sorting
+    from ..shuffle import grouped_agg
+    from .dedup import _resolve_cache_input
+
+    if _resolve_cache_input(ds, cache_input):
+        ds = ds.materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _parents = whitespace_tokens(batch.column(text_col))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]) \
+                 .map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(partials, ["token"], {"count": ("count", "sum")})
+    counts = counts.materialize()  # consumed twice: total + top-k
+    total = 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        if "count" in b.column_names:
+            total += int(pc.sum(b.column("count")).as_py() or 0)
+    total = max(total, 1)
+    top = sorting.topk(counts, ["count", "token"], top_vocab,
+                       descending=[True, False])
+    top_t = pa.concat_tables(
+        [t for t in top.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default")
+    vocab = top_t.column("token").combine_chunks()
+    logp = np.log(np.asarray(top_t.column("count"), np.float64) / total)
+    oov = float(np.log(oov_weight / total))
+    vocab_ref = ray.put((vocab, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vset, lp = ray.get(vocab_ref)
+        flat, parents = whitespace_tokens(batch.column(text_col))
+        idx = pc.fill_null(pc.index_in(flat, value_set=vset), -1)
+        idx_np = np.asarray(idx)
+        tok_lp = np.where(idx_np >= 0, lp[np.maximum(idx_np, 0)], oov)
+        n = batch.num_rows
+        sums = np.bincount(parents, weights=tok_lp, minlength=n)
+        cnts = np.bincount(parents, minlength=n)
+        mean = np.divide(sums, np.maximum(cnts, 1))
+        return pa.table({id_col: batch.column(id_col),
+                         "unigram_logprob": pa.array(mean, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
                 k: int | None = None,

@@ -254,6 +254,29 @@ def test_ann_lsh(sf_dir):
     assert got["vec_id"].iloc[0] == t.column("vec_id")[0].as_py()  # finds self
 
 
+def test_unigram_logprob_planted():
+    """Hand-computable LM scores: corpus 'a a a b' (T=4) with top_vocab
+    covering both tokens → p(a)=3/4, p(b)=1/4; an OOV-only doc gets the
+    floor; an empty doc scores 0."""
+    import math
+
+    from nailray.textops.analysis import unigram_logprob
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["a a a", "b", ""]})
+    out = to_arrow(unigram_logprob(rd.from_arrow(t).repartition(2),
+                                   "text", "doc_id", top_vocab=2)) \
+        .to_pandas().set_index("doc_id")["unigram_logprob"]
+    assert abs(out[0] - math.log(3 / 4)) < 1e-12
+    assert abs(out[1] - math.log(1 / 4)) < 1e-12
+    assert out[2] == 0.0
+    # top_vocab=1 keeps only 'a' → 'b' falls to the 0.5/T floor
+    out2 = to_arrow(unigram_logprob(rd.from_arrow(t), "text", "doc_id",
+                                    top_vocab=1)).to_pandas() \
+        .set_index("doc_id")["unigram_logprob"]
+    assert abs(out2[1] - math.log(0.5 / 4)) < 1e-12
+
+
 def test_multimodal_real_codecs_roundtrip():
     """Pure-numpy/stdlib codecs: BMP, PPM, WAV round-trip bit-exact,
     nearest resize hits known pixels — no PIL/soundfile involved."""
