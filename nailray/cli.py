@@ -151,6 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--terms", required=True, help="comma-separated query terms")
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--top-k", type=int, default=None)
+    sp = add("lm-score", help="unigram-LM log-probability quality score per doc")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--top-vocab", type=int, default=1000)
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -412,6 +415,12 @@ def main(argv: list[str] | None = None) -> int:
         terms = [t for t in args.terms.split(",") if t]
         _output(bm25_scores(ds, terms, text_col=args.text_col,
                             id_col=args.id_col, k=args.top_k), args)
+    elif cmd == "lm-score":
+        from .textops.analysis import unigram_logprob
+
+        _output(unigram_logprob(ds, text_col=args.text_col,
+                                id_col=args.id_col,
+                                top_vocab=args.top_vocab), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

@@ -359,12 +359,31 @@ def spearman_with_p(ds: rd.Dataset, x: str, y: str,
 
 
 def kendall_with_p(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000,
-                   seed: int = 42) -> dict:
-    """Kendall tau-a with the normal-approximation p-value
-    (z = 3τ·√(n(n−1)) / √(2(2n+5))); n is the sampled row count."""
-    total = ds.count()
-    n = min(total, sample_rows)
-    tau = kendall(ds, x, y, sample_rows=sample_rows, seed=seed)
+                   seed: int = 42, method: str = "sample") -> dict:
+    """Kendall tau with the normal-approximation p-value
+    (z = 3τ·√(n(n−1)) / √(2(2n+5))). ``method="sample"`` (default):
+    tau-a on a seeded sample, n = sampled rows. ``method="exact"``:
+    exact distributed tau-b over ALL complete pairs
+    (:func:`nailray.ops.rank.kendall_exact`), n = complete-pair count."""
+    if method == "exact":
+        from .rank import kendall_exact
+
+        def complete(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(b.column(x)), pc.is_valid(b.column(y)))
+            return pa.table({"n": pa.array([int(pc.sum(pc.cast(m, pa.int64()))
+                                                .as_py() or 0)], pa.int64())})
+
+        n = sum(int(pc.sum(b.column("n")).as_py() or 0)
+                for b in ds.select_columns([x, y])
+                .map_batches(complete, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if "n" in b.column_names)
+        tau = kendall_exact(ds, x, y)
+    elif method == "sample":
+        total = ds.count()
+        n = min(total, sample_rows)
+        tau = kendall(ds, x, y, sample_rows=sample_rows, seed=seed)
+    else:
+        raise ValueError(f"unknown kendall method {method!r}: sample|exact")
     if n < 2 or math.isnan(tau):
         return {"tau": tau, "n": n, "p_value": float("nan")}
     z = 3.0 * tau * math.sqrt(n * (n - 1)) / math.sqrt(2.0 * (2 * n + 5))

@@ -90,6 +90,8 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "--min-count", "2", "-o", f"{out}/dspans"],
         ["bm25", f"{sf_dir}/documents.parquet", "--terms", "data,return",
          "--top-k", "10", "-o", f"{out}/bm25"],
+        ["lm-score", f"{sf_dir}/documents.parquet", "--top-vocab", "200",
+         "-o", f"{out}/lmscore"],
         ["pack", f"{sf_dir}/documents.parquet", "--budget", "2048",
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
