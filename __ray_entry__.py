@@ -577,6 +577,62 @@ def q_clean_corpus(sf):
     return ds.map_batches(long_enough, batch_format="pyarrow")
 
 
+def q_redact_pii(sf):
+    # PII redaction over a derived corpus: plant a synthetic email +
+    # IPv4 per doc (deterministic from doc_id), count + redact; the
+    # oracle replays the derivation and chains regexp_replace in the
+    # same kind order (Arrow and DuckDB are both RE2 — identical
+    # match semantics)
+    import pyarrow.compute as _pc
+
+    from nailray.textops.clean import redact_pii
+
+    ds = _t(sf, "documents").select_columns(["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = _pc.cast(b.column("doc_id"), pa.string())
+        ip_a = _pc.cast(_pc.subtract(b.column("doc_id"),
+                                     _pc.multiply(_pc.divide(b.column("doc_id"), 250), 250)),
+                        pa.string())
+        planted = _pc.binary_join_element_wise(
+            b.column("text"), " user", did, "@example.com ip ", ip_a,
+            ".0.0.1", "")
+        return b.set_column(b.schema.get_field_index("text"), "text", planted)
+
+    out = redact_pii(ds.map_batches(plant, batch_format="pyarrow"),
+                     kinds=("email", "ipv4"), token="<{kind}>")
+    return out.select_columns(["doc_id", "text", "n_email", "n_ipv4"])
+
+
+def q_normalize_text(sf):
+    # unicode/whitespace canonicalization over a derived corpus: append
+    # a decomposed-accent + mixed-case + ragged-whitespace tail so NFC,
+    # lower and collapse all do real work; oracle composes
+    # nfc_normalize/lower/regexp_replace/trim in the same order
+    import pyarrow.compute as _pc
+
+    from nailray.textops.clean import normalize_text
+
+    ds = _t(sf, "documents").select_columns(["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        planted = _pc.binary_join_element_wise(
+            b.column("text"), "  ÉXTRA\t\tTail ", "")
+        return b.set_column(b.schema.get_field_index("text"), "text", planted)
+
+    return normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def q_mix_sources(sf):
+    # training-corpus domain mixing: per-source deterministic hash
+    # downsample (src0 20%, src1 50%, src2 dropped, others kept)
+    from nailray.ops.sampling import mix_sources
+
+    ds = _t(sf, "documents").select_columns(["doc_id", "source"])
+    return mix_sources(ds, "source", {"src0": 0.2, "src1": 0.5, "src2": 0.0},
+                       "doc_id", seed=7)
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1068,6 +1124,7 @@ _QUERY_PRIORITY = [
     # r1/r2 — names are STABLE across rounds (VERDICT r2 #9); only the
     # dict ordering changes so a deterministic driver sample confirms
     # the least-covered queries first
+    "redact_pii", "normalize_text", "mix_sources",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1138,6 +1195,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
         "clean_corpus": q_clean_corpus,
+        "redact_pii": q_redact_pii,
+        "normalize_text": q_normalize_text,
+        "mix_sources": q_mix_sources,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1582,6 +1642,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS oversized_multi, "
             "CAST(COALESCE(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0) "
             "AS BIGINT) AS n_oversized FROM tok"),
+        "redact_pii": (
+            # same derivation + kind order as q_redact_pii; Arrow and
+            # DuckDB regex are both RE2, so match sets are identical
+            "WITH t AS (SELECT doc_id, text || ' user' || doc_id || "
+            "'@example.com ip ' || (doc_id % 250) || '.0.0.1' AS text "
+            "FROM documents) SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'), "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g') AS text, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4 FROM t"),
+        "normalize_text": (
+            # kernel order normalize -> lower -> collapse -> trim,
+            # composed inside-out here
+            "WITH t AS (SELECT doc_id, text || '  E' || chr(769) || 'XTRA' "
+            "|| chr(9) || chr(9) || 'Tail ' AS text FROM documents) "
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'\\s+', ' ', 'g')) AS text FROM t"),
+        "mix_sources": (
+            f"SELECT doc_id, source FROM documents WHERE "
+            f"((doc_id * {HASH_MULT} + 7) % {HASH_MOD}) * 1000000 < "
+            f"(CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 500000 "
+            f"WHEN 'src2' THEN 0 ELSE 1000000 END) * {HASH_MOD}"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

@@ -369,6 +369,29 @@ def run_queries() -> dict[str, float]:
                                        columns=["value", "user_id"]),
                       "value", "user_id")
 
+    @timed("redact_pii")
+    def _redact():
+        from nailray.textops.clean import redact_pii
+
+        redact_pii(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                    columns=["doc_id", "text"])).count()
+
+    @timed("normalize_text")
+    def _normalize():
+        from nailray.textops.clean import normalize_text
+
+        normalize_text(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                        columns=["doc_id", "text"])).count()
+
+    @timed("mix_sources")
+    def _mix():
+        from nailray.ops.sampling import mix_sources
+
+        mix_sources(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "source"]),
+                    "source", {"src0": 0.2, "src1": 0.5, "src2": 0.0},
+                    "doc_id", seed=7).count()
+
     return timings
 
 

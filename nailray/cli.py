@@ -154,6 +154,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("lm-score", help="unigram-LM log-probability quality score per doc")
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--top-vocab", type=int, default=1000)
+    sp = add("redact", help="replace PII spans (email/ipv4/ssn/phone) with markers")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--kinds", default="email,ipv4,ssn")
+    sp.add_argument("--no-counts", action="store_true")
+    sp = add("normalize", help="canonicalize text: NFC + lower + collapse whitespace")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--form", default="NFC", choices=["NFC", "NFKC", "NFD", "NFKD"])
+    sp.add_argument("--keep-case", action="store_true")
+    sp = add("mix", help="per-group deterministic downsample (domain mixing)")
+    sp.add_argument("--group-col", required=True)
+    sp.add_argument("--rates", required=True,
+                    help="comma-separated group=rate pairs, e.g. web=0.2,books=1.0")
+    sp.add_argument("--id-column", required=True)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--default-rate", type=float, default=1.0)
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -421,6 +436,26 @@ def main(argv: list[str] | None = None) -> int:
         _output(unigram_logprob(ds, text_col=args.text_col,
                                 id_col=args.id_col,
                                 top_vocab=args.top_vocab), args)
+    elif cmd == "redact":
+        from .textops.clean import redact_pii
+
+        kinds = tuple(k for k in args.kinds.split(",") if k)
+        _output(redact_pii(ds, text_col=args.text_col, kinds=kinds,
+                           count=not args.no_counts), args)
+    elif cmd == "normalize":
+        from .textops.clean import normalize_text
+
+        _output(normalize_text(ds, text_col=args.text_col, form=args.form,
+                               lower=not args.keep_case), args)
+    elif cmd == "mix":
+        rates = {}
+        for pair in args.rates.split(","):
+            k, _, v = pair.partition("=")
+            if k:
+                rates[k] = float(v)
+        _output(sampling.mix_sources(ds, args.group_col, rates,
+                                     args.id_column, seed=args.seed,
+                                     default_rate=args.default_rate), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

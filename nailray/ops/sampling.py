@@ -40,6 +40,51 @@ def sample_hash(ds: rd.Dataset, id_column: str, fraction: float, seed: int = 42)
     )
 
 
+def mix_sources(
+    ds: rd.Dataset,
+    group_col: str,
+    rates: dict[str, float],
+    id_column: str,
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> rd.Dataset:
+    """Per-group deterministic downsampling — training-corpus domain
+    mixing (keep web at 20%, books at 100%, ...). Each row keeps iff
+    hash(id, seed) < rate(group); rates are exact at corpus scale and
+    the same row set is selected regardless of block layout, so a
+    resumed/re-run job reproduces the mix bit-for-bit.
+
+    Vectorized per batch: one `pc.index_in` maps the group column to a
+    rate-numerator array (unknown groups → ``default_rate``), then one
+    uint64 hash compare — no shuffle, no driver state; scale-safe at
+    any corpus size. SQL-equivalent (the oracle): keep iff
+    ``((id*2654435761 + seed) % 2^32) * 10^6 < CASE group ... END * 2^32``.
+    """
+    names = ds.schema().names
+    gcol = resolve_column(names, group_col)
+    icol = resolve_column(names, id_column)
+    keys = list(rates)
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} out of [0,1]: {r}")
+    nums = np.array(
+        [int(round(r * 1_000_000)) for r in rates.values()]
+        + [int(round(default_rate * 1_000_000))], dtype=np.uint64)
+    key_arr = pa.array(keys, pa.string())
+
+    def fn(b: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(b.column(icol), pa.int64())).astype(np.uint64)
+        h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        idx = pc.fill_null(
+            pc.index_in(pc.cast(b.column(gcol), pa.string()), key_arr),
+            len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
+        num = nums[idx]
+        return b.filter(pa.array(h * np.uint64(1_000_000)
+                                 < num * np.uint64(HASH_MOD)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_random(ds: rd.Dataset, n: int, total: int | None = None, seed: int = 42) -> rd.Dataset:
     """~n uniform rows without replacement (seeded, distributed)."""
     total = total if total is not None else ds.count()

@@ -1,0 +1,121 @@
+"""Text cleaning stages: PII redaction and unicode/whitespace
+normalization. Pure Arrow RE2 / unicode kernels inside map_batches —
+the document payload stays zero-copy in the object store and never
+converts to Python objects; no shuffle, no driver state.
+
+These are pre-training corpus hygiene passes (C4/CCNet-style): strip
+personally-identifiable spans before tokenization, and canonicalize
+text (NFC, case, whitespace) so downstream dedup/hashing sees one
+spelling per logical string. Both are SQL-expressible (DuckDB
+regexp_replace / nfc_normalize use the same RE2 / Unicode semantics
+as the Arrow kernels) so they carry exact oracles.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .analysis import _upsert_column
+
+# RE2-compatible patterns (identical semantics in pyarrow.compute and
+# DuckDB regexp_* — both are RE2). Ordered dict: replacement happens in
+# this order, so e.g. emails are consumed before the bare-digit rules
+# could touch their host parts.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "ssn"),
+    token: str = "<{kind}>",
+    count: bool = True,
+) -> rd.Dataset:
+    """Replace PII spans in ``text_col`` with ``token`` markers.
+
+    One chained `pc.replace_substring_regex` per kind (applied in the
+    order given — order matters where patterns could overlap, and the
+    SQL oracle chains regexp_replace in the same order). With
+    ``count=True`` each kind also emits an ``n_<kind>`` match-count
+    column (counted BEFORE replacement, on the original text).
+    Per-batch only: scale-safe at any corpus size.
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; have {sorted(PII_PATTERNS)}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if count:
+            for kind in kinds:
+                batch = _upsert_column(
+                    batch, f"n_{kind}",
+                    pc.cast(pc.count_substring_regex(text, PII_PATTERNS[kind]),
+                            pa.int64()))
+        out = text
+        for kind in kinds:
+            out = pc.replace_substring_regex(
+                out, pattern=PII_PATTERNS[kind],
+                replacement=token.format(kind=kind))
+        return _upsert_column(batch, text_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _normalize_strings(col, form: str) -> pa.Array:
+    """Exact Unicode normalization of a string column.
+
+    `pc.utf8_normalize` in this Arrow build decomposes but does NOT
+    recompose under NFC/NFKC (E + U+0301 stays two codepoints), so it
+    can't match DuckDB/ICU semantics. Instead: one `unicodedata`
+    C-level pass over a NUL-joined buffer (NUL is a starter that never
+    composes with a following mark, so normalization can't leak across
+    row boundaries), with an `is_normalized` quick-check that makes the
+    common already-normalized batch a no-op.
+    """
+    lst = col.to_pylist()
+    vals = ["" if v is None else v for v in lst]
+    joined = "\x00".join(vals)
+    if unicodedata.is_normalized(form, joined):
+        out = vals
+    elif joined.count("\x00") == len(vals) - 1:
+        out = unicodedata.normalize(form, joined).split("\x00")
+    else:  # some payload contains NUL itself — normalize per row
+        out = [unicodedata.normalize(form, v) for v in vals]
+    return pa.array([o if v is not None else None
+                     for o, v in zip(out, lst)], pa.string())
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    form: str = "NFC",
+    lower: bool = True,
+    collapse_whitespace: bool = True,
+) -> rd.Dataset:
+    """Canonicalize ``text_col``: unicode-normalize (NFC/NFKC/NFD/NFKD),
+    optionally lowercase, collapse whitespace runs to single spaces and
+    trim. Kernel order is normalize → lower → collapse → trim, and the
+    SQL oracle composes nfc_normalize/lower/regexp_replace/trim in the
+    same order. Per-batch Arrow kernels only — zero-copy, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _normalize_strings(batch.column(text_col), form)
+        if lower:
+            out = pc.utf8_lower(out)
+        if collapse_whitespace:
+            out = pc.replace_substring_regex(out, pattern=r"\s+",
+                                             replacement=" ")
+            out = pc.utf8_trim_whitespace(out)
+        return _upsert_column(batch, text_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -92,6 +92,11 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "--top-k", "10", "-o", f"{out}/bm25"],
         ["lm-score", f"{sf_dir}/documents.parquet", "--top-vocab", "200",
          "-o", f"{out}/lmscore"],
+        ["redact", f"{sf_dir}/documents.parquet", "-o", f"{out}/redacted"],
+        ["normalize", f"{sf_dir}/documents.parquet", "-o", f"{out}/normed"],
+        ["mix", f"{sf_dir}/documents.parquet", "--group-col", "source",
+         "--rates", "src0=0.2,src1=0.5", "--id-column", "doc_id",
+         "-o", f"{out}/mixed"],
         ["pack", f"{sf_dir}/documents.parquet", "--budget", "2048",
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",

@@ -710,3 +710,79 @@ def test_dedup_spans_short_docs_untouched():
     out = dedup_spans(rd.from_arrow(docs), k=3, min_count=2) \
         .to_pandas().set_index("doc_id")["text"]
     assert out[1] == "one" and out[2] == "one"
+
+
+def test_redact_pii_planted():
+    from nailray.textops.clean import redact_pii
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at a.b+c@foo-bar.org or b@x.io thanks",
+            "server at 10.0.0.1 and 192.168.1.255, ssn 123-45-6789",
+            "nothing sensitive here",
+        ], pa.string()),
+    })
+    out = redact_pii(rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "mail me at <email> or <email> thanks"
+    assert out.loc[1, "n_email"] == 2 and out.loc[1, "n_ipv4"] == 0
+    assert out.loc[2, "text"] == "server at <ipv4> and <ipv4>, ssn <ssn>"
+    assert out.loc[2, "n_ipv4"] == 2 and out.loc[2, "n_ssn"] == 1
+    assert out.loc[3, "text"] == "nothing sensitive here"
+    assert list(out.loc[3, ["n_email", "n_ipv4", "n_ssn"]]) == [0, 0, 0]
+
+
+def test_redact_pii_unknown_kind_rejected():
+    from nailray.textops.clean import redact_pii
+
+    docs = pa.table({"text": pa.array(["x"], pa.string())})
+    with pytest.raises(ValueError):
+        redact_pii(rd.from_arrow(docs), kinds=("email", "nope"))
+
+
+def test_normalize_text_planted():
+    import unicodedata
+
+    from nailray.textops.clean import normalize_text
+
+    decomposed = "Café"  # e + combining acute
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "  Hello\t\tWORLD  ",
+            decomposed + "  du Monde\n\nx",
+            None,
+        ], pa.string()),
+    })
+    out = normalize_text(rd.from_arrow(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "hello world"
+    got = out.loc[2, "text"]
+    assert got == "café du monde x"
+    assert unicodedata.is_normalized("NFC", got)  # composed, single codepoint
+    assert out.loc[3, "text"] is None
+
+
+def test_mix_sources_rates_and_determinism():
+    from nailray.ops.sampling import mix_sources
+
+    n = 20000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["web" if i % 2 else "books" for i in range(n)],
+                           pa.string()),
+    })
+    rates = {"web": 0.25, "books": 1.0}
+    out = mix_sources(rd.from_arrow(tbl), "source", rates, "doc_id",
+                      seed=11).to_pandas()
+    by = out.groupby("source").size()
+    assert by["books"] == n // 2                      # rate 1.0 keeps all
+    assert abs(by["web"] / (n // 2) - 0.25) < 0.02    # ~rate within 2%
+    # deterministic: same rows on a re-run regardless of block layout
+    out2 = mix_sources(
+        rd.from_arrow(tbl).repartition(7), "source", rates, "doc_id",
+        seed=11).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # rate 0 drops the group entirely
+    out3 = mix_sources(rd.from_arrow(tbl), "source", {"web": 0.0}, "doc_id",
+                       seed=11, default_rate=1.0).to_pandas()
+    assert (out3["source"] == "books").all()
