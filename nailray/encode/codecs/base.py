@@ -74,6 +74,33 @@ def strings_to_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, lengths
 
 
+def digest_column(col, algo: str = "sha256",
+                  digest_size: int | None = None) -> "pa.Array":
+    """Per-row hex digests straight off the Arrow data buffer (nulls
+    hash as ``""``). Digesting is inherently per-value, but everything
+    around the hashlib call is zero-copy: each digest reads a
+    memoryview slice of the batch's concatenated utf-8 buffer —
+    identical values to ``algo(text.encode()).hexdigest()``. THE single
+    digest loop shared by exact dedup (sha256) and fingerprinting
+    (blake2b) so buffer-slicing fixes land in one place."""
+    import hashlib
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(col, "")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data, lengths = strings_to_buffer(col)
+    mv = memoryview(data)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    if digest_size is not None:
+        ctor = getattr(hashlib, algo)
+        mk = lambda b: ctor(b, digest_size=digest_size)  # noqa: E731
+    else:
+        mk = getattr(hashlib, algo)
+    return pa.array([mk(mv[s:e]).hexdigest()
+                     for s, e in zip(starts.tolist(), ends.tolist())])
+
+
 def buffer_to_strings(data: np.ndarray, lengths: np.ndarray, typ: pa.DataType) -> pa.Array:
     offsets = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])

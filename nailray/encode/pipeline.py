@@ -623,12 +623,9 @@ def encode_dataset(
     payload (the network-bound multi-node option; loses on one box
     where plasma transfers are memcpy)."""
     if exchange is None:
-        try:
-            import ray as _ray
+        from ..shuffle import default_exchange
 
-            exchange = "direct" if len(_ray.nodes()) <= 1 else "sort"
-        except Exception:
-            exchange = "sort"
+        exchange = default_exchange()
     os.makedirs(out_dir, exist_ok=True)
     paths = _expand_paths(input_paths)
 

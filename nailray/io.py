@@ -187,6 +187,19 @@ def is_plain_file_read(ds: rd.Dataset) -> bool:
         return False
 
 
+def resolve_cache_input(ds: rd.Dataset, cache_input) -> bool:
+    """Scale-safe default for two-pass operators (dedup_lines,
+    dedup_spans, bm25_scores, unigram_logprob): ``"auto"`` re-reads a
+    plain file-backed input from storage (nothing pinned in the object
+    store — the 100 TB default) and materializes only DERIVED inputs,
+    whose upstream pipeline would otherwise re-execute per pass. Lives
+    here beside :func:`is_plain_file_read` (its only dependency) so
+    operator modules don't import policy from each other."""
+    if cache_input == "auto":
+        return not is_plain_file_read(ds)
+    return bool(cache_input)
+
+
 def write_parquet(ds: rd.Dataset, path: str, **kw) -> None:
     """Directory-of-part-files parquet sink (resumable layout).
 

@@ -163,6 +163,20 @@ def resize_nearest(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Coerce a decoded array to H×W×3 uint8 RGB: grayscale (H,W) or
+    (H,W,1) channels replicate, RGBA drops alpha — PIL-decoded
+    grayscale/palette/RGBA payloads must survive the BMP re-encode
+    path, not just the 3-channel numpy decoders."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] > 3:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img[:, :, :3], np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an H×W×3 uint8 RGB array. BMP (24-bit
     BI_RGB) and PPM (P6) decode in-process with pure numpy; other
@@ -237,7 +251,7 @@ class ImageResizer:
 
     def _resize_payload(self, payload: bytes) -> bytes:
         if self.real_decode:
-            img = decode_image(payload)
+            img = to_rgb(decode_image(payload))
             return encode_bmp(resize_nearest(img, self.w, self.h))
         tag = b"resized:%dx%d:" % (self.w, self.h)
         return tag + hashlib.blake2b(payload, digest_size=16).digest()

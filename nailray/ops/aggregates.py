@@ -368,16 +368,9 @@ def kendall_with_p(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000,
     if method == "exact":
         from .rank import kendall_exact
 
-        def complete(b: pa.Table) -> pa.Table:
-            m = pc.and_(pc.is_valid(b.column(x)), pc.is_valid(b.column(y)))
-            return pa.table({"n": pa.array([int(pc.sum(pc.cast(m, pa.int64()))
-                                                .as_py() or 0)], pa.int64())})
-
-        n = sum(int(pc.sum(b.column("n")).as_py() or 0)
-                for b in ds.select_columns([x, y])
-                .map_batches(complete, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow") if "n" in b.column_names)
-        tau = kendall_exact(ds, x, y)
+        # n (complete-pair row count) rides along from kendall_exact's
+        # own aggregate — no second dataset scan
+        tau, n = kendall_exact(ds, x, y, return_stats=True)
     elif method == "sample":
         total = ds.count()
         n = min(total, sample_rows)
@@ -484,15 +477,34 @@ def spearman_matrix(ds: rd.Dataset, columns: list[str] | None = None,
             v = np.asarray(pc.cast(batch.column(c), pa.float64()))
             ss = sorted_samples[c]
             if len(ss) == 0:
-                out[c] = np.zeros(len(v))
+                out[c] = np.where(np.isnan(v), np.nan, 0.0)
             else:
                 lo = np.searchsorted(ss, v, side="left")
                 hi = np.searchsorted(ss, v, side="right")
-                out[c] = (lo + hi) / 2.0  # mid-rank for ties
+                r = (lo + hi) / 2.0  # mid-rank for ties
+                # nulls must stay NaN (not the finite max rank
+                # searchsorted assigns them) so pearson_matrix's
+                # pairwise-complete filter excludes the pair
+                r[np.isnan(v)] = np.nan
+                out[c] = r
         return pa.table({c: pa.array(r) for c, r in out.items()})
 
     ranked = ds.map_batches(to_ranks, batch_format="pyarrow")
     return pearson_matrix(ranked, cols)
+
+
+def _tau_a(vx: np.ndarray, vy: np.ndarray) -> float:
+    """Sample tau-a via the sign outer product — THE single quadratic
+    kernel behind :func:`kendall` and :func:`kendall_matrix` (only ever
+    applied to bounded samples; exact full-data tau-b lives in
+    :func:`nailray.ops.rank.kendall_exact`)."""
+    n = len(vx)
+    if n < 2:
+        return float("nan")
+    sx = np.sign(vx[:, None] - vx[None, :])
+    sy = np.sign(vy[:, None] - vy[None, :])
+    conc = (sx * sy)[np.triu_indices(n, 1)]
+    return float(conc.sum() / (n * (n - 1) / 2))
 
 
 def kendall_matrix(ds: rd.Dataset, columns: list[str] | None = None,
@@ -510,16 +522,8 @@ def kendall_matrix(ds: rd.Dataset, columns: list[str] | None = None,
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             pair = df[[a, b]].dropna()
-            vx = pair[a].to_numpy(np.float64)
-            vy = pair[b].to_numpy(np.float64)
-            n = len(vx)
-            if n < 2:
-                tau = float("nan")
-            else:
-                sx = np.sign(vx[:, None] - vx[None, :])
-                sy = np.sign(vy[:, None] - vy[None, :])
-                conc = (sx * sy)[np.triu_indices(n, 1)]
-                tau = float(conc.sum() / (n * (n - 1) / 2))
+            tau = _tau_a(pair[a].to_numpy(np.float64),
+                         pair[b].to_numpy(np.float64))
             mat.loc[a, b] = mat.loc[b, a] = tau
     return mat
 
@@ -532,15 +536,7 @@ def kendall(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000, seed: int =
     frac = min(1.0, sample_rows / max(total, 1))
     sub = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     df = sub.select_columns([x, y]).to_pandas().dropna().head(sample_rows)
-    vx, vy = df[x].to_numpy(np.float64), df[y].to_numpy(np.float64)
-    n = len(vx)
-    if n < 2:
-        return float("nan")
-    sx = np.sign(vx[:, None] - vx[None, :])
-    sy = np.sign(vy[:, None] - vy[None, :])
-    conc = (sx * sy)[np.triu_indices(n, 1)]
-    npairs = n * (n - 1) / 2  # tau-a
-    return float(conc.sum() / npairs)
+    return _tau_a(df[x].to_numpy(np.float64), df[y].to_numpy(np.float64))
 
 
 # --------------------------------------------------------------------------

@@ -188,7 +188,8 @@ def _bucket_bounds(values_ds: rd.Dataset, col: str, n_buckets: int) -> np.ndarra
 
 
 def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
-                  num_partitions: int | None = None) -> float:
+                  num_partitions: int | None = None,
+                  return_stats: bool = False) -> float | tuple[float, int]:
     """Exact Kendall tau-b, fully distributed — the scale answer to the
     reference's O(n²) self-CROSS-JOIN tau (src/utils/stats.rs:386-410).
 
@@ -213,7 +214,11 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
     counts). Pairs with a null in either column are dropped first.
 
     Driver state: two bounds arrays (≤ n_buckets floats), the bucket
-    contingency matrix, and a handful of scalars — never a row set."""
+    contingency matrix, and a handful of scalars — never a row set.
+
+    ``return_stats=True`` returns ``(tau, n_complete_pairs)`` — n is
+    already computed internally, so callers needing it (p-values) must
+    not pay a second dataset scan."""
     import functools
     import math
 
@@ -230,7 +235,7 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                         num_partitions=num_partitions).materialize()
     m_distinct = pairs.count()
     if m_distinct == 0:
-        return float("nan")
+        return (float("nan"), 0) if return_stats else float("nan")
     nb = max(4, min(n_buckets, m_distinct // 2048 + 1))
 
     # n and tie-pair sums
@@ -242,13 +247,13 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
     for b in gx.iter_batches(batch_format="pyarrow"):
         n += int(pc.sum(b.column("c")).as_py() or 0)
     if n < 2:
-        return float("nan")
+        return (float("nan"), n) if return_stats else float("nan")
     n0 = n * (n - 1) / 2.0
     n1 = _pair_sum(gx, "c")
     n2 = _pair_sum(gy, "c")
     denom = math.sqrt((n0 - n1) * (n0 - n2))
     if denom == 0:
-        return float("nan")
+        return (float("nan"), n) if return_stats else float("nan")
 
     bx_bounds = _bucket_bounds(gx, "x", nb)
     by_bounds = _bucket_bounds(gy, "y", nb)
@@ -302,7 +307,8 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                           mdf["__by"].to_numpy(np.float64),
                           mdf["cnt"].to_numpy(np.int64))
     cd_total = _sum_cd(term_a_ds) + _sum_cd(term_b_ds) + float(term_c)
-    return cd_total / denom
+    tau = cd_total / denom
+    return (tau, n) if return_stats else tau
 
 
 def spearman_exact(ds: rd.Dataset, x: str, y: str,

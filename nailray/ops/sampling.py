@@ -73,14 +73,19 @@ def mix_sources(
     key_arr = pa.array(keys, pa.string())
 
     def fn(b: pa.Table) -> pa.Table:
-        v = np.asarray(pc.cast(b.column(icol), pa.int64())).astype(np.uint64)
+        ids = b.column(icol)
+        # null ids: NaN would hash to platform-dependent garbage — force
+        # the SQL semantics instead (NULL comparison → row dropped)
+        valid = np.asarray(pc.is_valid(ids))
+        v = np.asarray(pc.fill_null(pc.cast(ids, pa.int64()), 0)) \
+            .astype(np.uint64)
         h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
         idx = pc.fill_null(
             pc.index_in(pc.cast(b.column(gcol), pa.string()), key_arr),
             len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
         num = nums[idx]
-        return b.filter(pa.array(h * np.uint64(1_000_000)
-                                 < num * np.uint64(HASH_MOD)))
+        return b.filter(pa.array((h * np.uint64(1_000_000)
+                                  < num * np.uint64(HASH_MOD)) & valid))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -48,6 +48,22 @@ def partition_count(num_partitions: int | None = None) -> int:
         return 32
 
 
+def default_exchange() -> str:
+    """THE auto policy for grouped-exchange strategy, shared by
+    :func:`group_map` and :func:`nailray.encode.pipeline.encode_dataset`
+    (one definition so a policy change — e.g. counting only alive
+    nodes — can't miss a site): ``"direct"`` raw-task routing on a
+    single-node cluster, Ray's ``"sort"`` streaming shuffle otherwise
+    (driver metadata O(P), spills under pressure — the multi-node /
+    100 TB path)."""
+    try:
+        import ray
+
+        return "direct" if len(ray.nodes()) <= 1 else "sort"
+    except Exception:
+        return "sort"
+
+
 def hash_partition(df: pd.DataFrame, cols: list[str], n_parts: int) -> np.ndarray:
     """Deterministic per-row partition ids from the given key columns
     (stable across processes/runs — pandas' fixed-key sip hash, unlike
@@ -131,10 +147,7 @@ def group_map(ds, part_col: str, fn, n_parts: int,
     import ray.data as rd
 
     if exchange is None:
-        try:
-            exchange = "direct" if len(ray.nodes()) <= 1 else "sort"
-        except Exception:
-            exchange = "sort"
+        exchange = default_exchange()
 
     if exchange == "sort":
         return ds.groupby(part_col).map_groups(

@@ -247,21 +247,14 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text",
     trim); exotic control-character whitespace may normalize
     differently than Python's ``re`` did — the fingerprint is a
     self-consistent identity, not a cross-library contract."""
-    from ..encode.codecs.base import strings_to_buffer
+    from ..encode.codecs.base import digest_column
 
     def fn(batch: pa.Table) -> pa.Table:
         col = pc.fill_null(batch.column(text_col), "")
         norm = pc.replace_substring_regex(
             pc.utf8_trim_whitespace(pc.utf8_lower(col)), r"\s+", " ")
-        norm = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        data, lengths = strings_to_buffer(norm)
-        mv = memoryview(data)
-        ends = np.cumsum(lengths)
-        starts = ends - lengths
-        b2b = hashlib.blake2b
-        vals = [b2b(mv[s:e], digest_size=8).hexdigest()
-                for s, e in zip(starts.tolist(), ends.tolist())]
-        return _upsert_column(batch, out_col, pa.array(vals))
+        return _upsert_column(batch, out_col,
+                              digest_column(norm, "blake2b", digest_size=8))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -302,12 +295,12 @@ def unigram_logprob(ds: rd.Dataset, text_col: str = "text",
     token count folds from per-block scalars. Pass 2 scores each batch
     fully vectorized: one ``pc.index_in`` against the broadcast vocab +
     ``np.bincount`` segment means. ``cache_input`` follows the two-pass
-    auto policy (:func:`~nailray.textops.dedup._resolve_cache_input`)."""
+    auto policy (:func:`nailray.io.resolve_cache_input`)."""
     import ray
 
     from ..ops import sorting
     from ..shuffle import grouped_agg
-    from .dedup import _resolve_cache_input
+    from ..io import resolve_cache_input as _resolve_cache_input
 
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
@@ -373,10 +366,10 @@ def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
     ``cache_input="auto"`` default re-reads plain file-backed inputs
     from storage (nothing pinned in the object store — the scale
     default) and materializes only derived pipelines
-    (:func:`~nailray.textops.dedup._resolve_cache_input`);
+    (:func:`nailray.io.resolve_cache_input`);
     True/False force either behavior.
     """
-    from .dedup import _resolve_cache_input
+    from ..io import resolve_cache_input as _resolve_cache_input
 
     terms = list(query_terms)
     _tokens = whitespace_tokens

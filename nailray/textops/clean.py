@@ -103,10 +103,15 @@ def normalize_text(
     collapse_whitespace: bool = True,
 ) -> rd.Dataset:
     """Canonicalize ``text_col``: unicode-normalize (NFC/NFKC/NFD/NFKD),
-    optionally lowercase, collapse whitespace runs to single spaces and
-    trim. Kernel order is normalize → lower → collapse → trim, and the
-    SQL oracle composes nfc_normalize/lower/regexp_replace/trim in the
-    same order. Per-batch Arrow kernels only — zero-copy, no shuffle."""
+    optionally lowercase, collapse ASCII-whitespace runs (RE2 ``\\s``)
+    to single spaces and trim the resulting edge spaces. Whitespace
+    handling is deliberately ASCII-only END TO END — Unicode spaces
+    (NBSP, ideographic) pass through untouched on both edges and
+    interior, exactly like the DuckDB oracle's ``regexp_replace`` +
+    ``trim`` — so the two sides can't diverge on exotic whitespace.
+    Kernel order is normalize → lower → collapse → trim, and the SQL
+    oracle composes nfc_normalize/lower/regexp_replace/trim in the
+    same order. Per-batch kernels only — no shuffle."""
 
     def fn(batch: pa.Table) -> pa.Table:
         out = _normalize_strings(batch.column(text_col), form)
@@ -115,7 +120,10 @@ def normalize_text(
         if collapse_whitespace:
             out = pc.replace_substring_regex(out, pattern=r"\s+",
                                              replacement=" ")
-            out = pc.utf8_trim_whitespace(out)
+            # ASCII space only: the collapse already folded any edge
+            # ASCII-ws run into one ' '; trimming Unicode whitespace
+            # here would diverge from DuckDB's trim()
+            out = pc.utf8_trim(out, characters=" ")
         return _upsert_column(batch, text_col, out)
 
     return ds.map_batches(fn, batch_format="pyarrow")

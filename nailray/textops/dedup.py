@@ -27,23 +27,11 @@ _PRIME = (1 << 61) - 1
 
 
 def _sha256_arr(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-row sha256 hex digests straight off the Arrow data buffer.
-    Digesting is inherently per-value, but everything around it is
-    zero-copy: no ``to_pylist``, no per-string ``encode`` — each digest
-    reads a ``memoryview`` slice of the batch's concatenated utf-8
-    buffer (hash values identical to ``sha256(text.encode())``; nulls
-    hash as ``""``)."""
-    from ..encode.codecs.base import strings_to_buffer
+    """Per-row sha256 hex digests (zero-copy buffer slicing; see
+    :func:`nailray.encode.codecs.base.digest_column`)."""
+    from ..encode.codecs.base import digest_column
 
-    col = pc.fill_null(col, "")
-    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    data, lengths = strings_to_buffer(col)
-    mv = memoryview(data)
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    sha = hashlib.sha256
-    return pa.array([sha(mv[s:e]).hexdigest()
-                     for s, e in zip(starts.tolist(), ends.tolist())])
+    return digest_column(col, "sha256")
 
 
 def add_content_hash(ds: rd.Dataset, text_col: str, out_col: str = "content_sha256") -> rd.Dataset:
@@ -374,7 +362,15 @@ def _label_checksum(labels: rd.Dataset) -> tuple[int, int]:
     fixpoint (a false positive needs the round's total decrease to be
     ≡ 0 mod 2^64). One tiny row per block reaches the driver."""
     def partial(b: pa.Table) -> pa.Table:
-        v = np.asarray(b.column("label"), np.int64).view(np.uint64)
+        col = b.column("label")
+        if pa.types.is_integer(col.type):
+            v = np.asarray(col.cast(pa.int64())).view(np.uint64)
+        else:
+            # string/binary node ids: per-row uint64 content hash — any
+            # label change moves the wrapping sum (collision risk is the
+            # same order as the mod-2^64 note above)
+            v = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False).to_numpy(np.uint64)
         with np.errstate(over="ignore"):
             s = int(v.sum(dtype=np.uint64))
         return pa.table({"s": pa.array([s], pa.uint64()),
@@ -968,15 +964,11 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _resolve_cache_input(ds: rd.Dataset, cache_input) -> bool:
-    """Scale-safe default for two-pass operators: ``"auto"`` re-reads a
-    plain file-backed input from storage (nothing pinned in the object
-    store — the 100 TB default) and materializes only DERIVED inputs,
-    whose upstream pipeline would otherwise re-execute per pass."""
-    if cache_input == "auto":
-        from ..io import is_plain_file_read
+    """Shim for :func:`nailray.io.resolve_cache_input` (the policy
+    lives beside ``is_plain_file_read``, its only dependency)."""
+    from ..io import resolve_cache_input
 
-        return not is_plain_file_read(ds)
-    return bool(cache_input)
+    return resolve_cache_input(ds, cache_input)
 
 
 def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
@@ -1001,7 +993,7 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     :func:`exact_dedup_winners`).
 
     The input is consumed TWICE (stats pass + rewrite pass). The
-    ``cache_input="auto"`` default (see :func:`_resolve_cache_input`)
+    ``cache_input="auto"`` default (see :func:`nailray.io.resolve_cache_input`)
     re-reads plain file-backed inputs from storage and materializes
     only derived pipelines; True/False force either behavior."""
     import ray
@@ -1079,7 +1071,7 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
     (the :func:`exact_dedup_winners` exchange).
 
     The input is consumed TWICE (stats pass + rewrite pass). The
-    ``cache_input="auto"`` default (see :func:`_resolve_cache_input`)
+    ``cache_input="auto"`` default (see :func:`nailray.io.resolve_cache_input`)
     re-reads plain file-backed inputs from storage and materializes
     only derived pipelines; True/False force either behavior."""
     import ray

@@ -134,3 +134,22 @@ def test_xlsx_lite_shared_strings(tmp_path):
         z.writestr("xl/worksheets/sheet1.xml", sheet)
         z.writestr("xl/sharedStrings.xml", shared)
     assert xlsx_lite.read_rows(p) == [["h1", "h2"], [7, "h1"]]
+
+
+def test_to_rgb_handles_gray_and_rgba():
+    """Regression: real_decode resize must survive grayscale / RGBA
+    decodes (PIL paths), not just 3-channel numpy BMP/PPM."""
+    import numpy as np
+
+    from nailray.multimodal import encode_bmp, resize_nearest, to_rgb
+
+    gray = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+    rgba = np.zeros((3, 4, 4), np.uint8)
+    rgba[..., 3] = 255
+    for img in (gray, gray[:, :, None], rgba):
+        rgb = to_rgb(img)
+        assert rgb.shape == (3, 4, 3) and rgb.dtype == np.uint8
+        out = encode_bmp(resize_nearest(rgb, 2, 2))
+        assert out[:2] == b"BM"
+    assert (to_rgb(gray)[..., 0] == gray).all()
+    assert (to_rgb(rgba) == rgba[..., :3]).all()

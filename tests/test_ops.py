@@ -920,3 +920,27 @@ def test_anti_join_shuffle_strategy(sf_dir):
     import pytest
     with pytest.raises(ValueError):
         cmb.anti_join(orders, seg, "o_custkey", "c_custkey", strategy="nope")
+
+
+def test_spearman_matrix_nulls_pairwise_complete():
+    """Regression: null values must be EXCLUDED from rank correlation
+    (they were assigned the finite max rank, biasing rho)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.ops.aggregates import spearman_matrix
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    a = rng.standard_normal(n)
+    b = a + 0.1 * rng.standard_normal(n)
+    mask = rng.random(n) < 0.2
+    b_null = pa.array(np.where(mask, np.nan, b), pa.float64(),
+                      mask=mask)
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": b_null}))
+    got = spearman_matrix(ds, ["a", "b"]).loc["a", "b"]
+    ref = pd.DataFrame({"a": a, "b": np.where(mask, np.nan, b)}) \
+        .dropna().corr(method="spearman").loc["a", "b"]
+    assert abs(got - ref) < 0.02, (got, ref)

@@ -786,3 +786,33 @@ def test_mix_sources_rates_and_determinism():
     out3 = mix_sources(rd.from_arrow(tbl), "source", {"web": 0.0}, "doc_id",
                        seed=11, default_rate=1.0).to_pandas()
     assert (out3["source"] == "books").all()
+
+
+def test_connected_component_labels_string_ids():
+    """Regression: the multi-round exchange's convergence checksum must
+    handle string node ids (only the int path existed; string-id
+    corpora crashed on the distributed default past the single-task
+    threshold)."""
+    names = [f"url{i:03d}" for i in range(30)]
+    edges = pa.table({"id_a": pa.array(names[1:], pa.string()),
+                      "id_b": pa.array(names[:-1], pa.string())})
+    for stme in (0, 10**6):  # multi-round exchange AND single-task paths
+        lab = dedup.connected_component_labels(
+            rd.from_arrow(edges).repartition(3), single_task_max_edges=stme)
+        df = to_arrow(lab).to_pandas()
+        assert len(df) == 30
+        assert (df["label"] == "url000").all()
+
+
+def test_mix_sources_null_ids_dropped():
+    """Null ids must drop deterministically (SQL NULL-comparison
+    semantics), not hash NaN garbage."""
+    from nailray.ops.sampling import mix_sources
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, None, 3, None], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+    })
+    out = mix_sources(rd.from_arrow(tbl), "source", {"a": 1.0, "b": 1.0},
+                      "doc_id", seed=3).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
