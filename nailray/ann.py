@@ -90,10 +90,7 @@ def add_lsh_bucket(ds: rd.Dataset, dim: int, embedding_col: str = "embedding",
             m = _batch_matrix(batch, embedding_col)
             return batch.append_column("lsh_bucket", pa.array(self.lsh.bucket(m)))
 
-    from .shuffle import actor_pool_size
-
-    return ds.map_batches(Bucketer, batch_format="pyarrow",
-                          concurrency=actor_pool_size(None))
+    return ds.map_batches(Bucketer(), batch_format="pyarrow")
 
 
 def build_ivf_centroids(ds: rd.Dataset, embedding_col: str = "embedding",
@@ -138,10 +135,7 @@ def add_ivf_bucket(ds: rd.Dataset, centroids: np.ndarray,
             return batch.append_column(
                 "ivf_bucket", pa.array(np.argmax(m @ self.cent.T, axis=1).astype(np.int32)))
 
-    from .shuffle import actor_pool_size
-
-    return ds.map_batches(Assigner, batch_format="pyarrow",
-                          concurrency=actor_pool_size(None))
+    return ds.map_batches(Assigner(), batch_format="pyarrow")
 
 
 def topk_cosine_ivf(ds_bucketed: rd.Dataset, centroids: np.ndarray,

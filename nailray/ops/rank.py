@@ -238,11 +238,19 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
         return (float("nan"), 0) if return_stats else float("nan")
     nb = max(4, min(n_buckets, m_distinct // 2048 + 1))
 
-    # n and tie-pair sums
-    gx = grouped_agg(pairs, ["x"], {"c": ("cnt", "sum")},
-                     num_partitions=num_partitions).materialize()
-    gy = grouped_agg(pairs, ["y"], {"c": ("cnt", "sum")},
-                     num_partitions=num_partitions).materialize()
+    # n and tie-pair sums — the two marginal aggregates are independent,
+    # so their exchanges run overlapped (same driver-barrier hiding as
+    # spearman_exact's two rank maps)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _fx = _ex.submit(lambda: grouped_agg(
+            pairs, ["x"], {"c": ("cnt", "sum")},
+            num_partitions=num_partitions).materialize())
+        _fy = _ex.submit(lambda: grouped_agg(
+            pairs, ["y"], {"c": ("cnt", "sum")},
+            num_partitions=num_partitions).materialize())
+        gx, gy = _fx.result(), _fy.result()
     n = 0
     for b in gx.iter_batches(batch_format="pyarrow"):
         n += int(pc.sum(b.column("c")).as_py() or 0)
@@ -275,23 +283,6 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                           np.asarray(g.column("cnt")))
         return pa.table({"cd": pa.array([float(cd)], pa.float64())})
 
-    # term A: exact within each x-bucket
-    term_a_ds = group_map(bucketed, "__bx",
-                          functools.partial(cd_kernel, xcol="x", ycol="y"), nbx)
-    # term B: same y-bucket, different x-bucket (x at bucket granularity);
-    # collapse (bx, y) first so the sweep sees one row per (bx, y)
-    by_pairs = grouped_agg(bucketed, ["__bx", "__by", "y"],
-                           {"cnt": ("cnt", "sum")},
-                           num_partitions=num_partitions)
-
-    def bx_as_float(t: pa.Table) -> pa.Table:
-        return t.set_column(t.column_names.index("__bx"), "__bx",
-                            pc.cast(t.column("__bx"), pa.float64()))
-
-    term_b_ds = group_map(by_pairs.map_batches(bx_as_float, batch_format="pyarrow"),
-                          "__by",
-                          functools.partial(cd_kernel, xcol="__bx", ycol="y"), nby)
-
     def _sum_cd(d: rd.Dataset) -> float:
         t = 0.0
         for b in d.iter_batches(batch_format="pyarrow"):
@@ -299,14 +290,46 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                 t += float(pc.sum(b.column("cd")).as_py() or 0.0)
         return t
 
+    # term A: exact within each x-bucket
+    def _term_a() -> float:
+        return _sum_cd(group_map(
+            bucketed, "__bx",
+            functools.partial(cd_kernel, xcol="x", ycol="y"), nbx))
+
+    # term B: same y-bucket, different x-bucket (x at bucket
+    # granularity); collapse (bx, y) first so the sweep sees one row
+    # per (bx, y)
+    def _term_b() -> float:
+        by_pairs = grouped_agg(bucketed, ["__bx", "__by", "y"],
+                               {"cnt": ("cnt", "sum")},
+                               num_partitions=num_partitions)
+
+        def bx_as_float(t: pa.Table) -> pa.Table:
+            return t.set_column(t.column_names.index("__bx"), "__bx",
+                                pc.cast(t.column("__bx"), pa.float64()))
+
+        return _sum_cd(group_map(
+            by_pairs.map_batches(bx_as_float, batch_format="pyarrow"),
+            "__by", functools.partial(cd_kernel, xcol="__bx", ycol="y"), nby))
+
     # term C: both bucket indices differ — tiny contingency matrix
-    mat = grouped_agg(bucketed, ["__bx", "__by"], {"cnt": ("cnt", "sum")},
-                      num_partitions=num_partitions)
-    mdf = mat.to_pandas()
-    term_c = _weighted_cd(mdf["__bx"].to_numpy(np.float64),
-                          mdf["__by"].to_numpy(np.float64),
-                          mdf["cnt"].to_numpy(np.int64))
-    cd_total = _sum_cd(term_a_ds) + _sum_cd(term_b_ds) + float(term_c)
+    def _term_c() -> float:
+        mat = grouped_agg(bucketed, ["__bx", "__by"],
+                          {"cnt": ("cnt", "sum")},
+                          num_partitions=num_partitions)
+        mdf = mat.to_pandas()
+        return float(_weighted_cd(mdf["__bx"].to_numpy(np.float64),
+                                  mdf["__by"].to_numpy(np.float64),
+                                  mdf["cnt"].to_numpy(np.int64)))
+
+    # the three C−D terms are independent reductions over the shared
+    # materialized `bucketed` — run their exchanges overlapped (the
+    # direct group_map path materializes on call, so sequential calls
+    # would serialize three driver barriers)
+    with ThreadPoolExecutor(3) as _ex:
+        _fa, _fb, _fc = (_ex.submit(_term_a), _ex.submit(_term_b),
+                         _ex.submit(_term_c))
+        cd_total = _fa.result() + _fb.result() + _fc.result()
     tau = cd_total / denom
     return (tau, n) if return_stats else tau
 

@@ -203,15 +203,13 @@ class MinHasher:
 def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 5, seed: int = 42,
                        concurrency=None) -> rd.Dataset:
-    from ..shuffle import actor_pool_size
-
-    concurrency = actor_pool_size(concurrency)
+    # stateless-task stage: the perm-param state is two tiny arrays, so
+    # the instance ships with the UDF and plain tasks reuse warm default
+    # workers (measured 2.5 -> 0.8 s at sf0.1 vs a fresh actor pool; see
+    # analysis.token_counts). Pools stay for expensive per-worker state.
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col, num_perm, shingle_k, seed),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+        MinHasher(text_col, id_col, num_perm, shingle_k, seed),
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 def _pair_partitions(num_partitions: int | None) -> int:
@@ -735,11 +733,9 @@ class SimHasher:
 
 def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash",
                 concurrency=None) -> rd.Dataset:
-    from ..shuffle import actor_pool_size
-
-    return ds.map_batches(SimHasher, fn_constructor_args=(text_col, out_col),
-                          batch_format="pyarrow",
-                          concurrency=actor_pool_size(concurrency))
+    # stateless-task stage (tiny compiled state; see minhash_signatures)
+    return ds.map_batches(SimHasher(text_col, out_col),
+                          batch_format="pyarrow", concurrency=concurrency)
 
 
 def _simhash_pairs_partition(g: pd.DataFrame, max_hamming: int,
@@ -890,10 +886,7 @@ def embedding_near_duplicates(
 
     from ..shuffle import group_map
 
-    from ..shuffle import actor_pool_size
-
-    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow",
-                              concurrency=actor_pool_size(None))
+    bucketed = ds.map_batches(Bucketer(), batch_format="pyarrow")
     return group_map(
         bucketed, "part",
         functools.partial(_embedding_pairs_partition, id_col=id_col,
