@@ -633,6 +633,41 @@ def q_mix_sources(sf):
                        "doc_id", seed=7)
 
 
+def q_explode_lines(sf):
+    # structural explode: one row per document line (vectorized
+    # split_pattern/list_flatten, not per-row flat_map)
+    from nailray.textops.clean import explode_lines
+
+    return explode_lines(_t(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def q_filter_domains(sf):
+    # C4-style URL blocklist filtering over a derived corpus: plant a
+    # deterministic URL per doc (domain cycles with doc_id % 3), drop
+    # docs whose domain is blocked; oracle replays the derivation
+    import pyarrow.compute as _pc
+
+    from nailray.textops.clean import extract_domain, filter_domains
+
+    ds = _t(sf, "documents").select_columns(["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        m = _pc.cast(_pc.subtract(
+            b.column("doc_id"),
+            _pc.multiply(_pc.divide(b.column("doc_id"), 3), 3)), pa.int64())
+        dom = _pc.if_else(_pc.equal(m, 0), "spam.example",
+                          _pc.if_else(_pc.equal(m, 1), "ok.example",
+                                      "good.org"))
+        planted = _pc.binary_join_element_wise(
+            b.column("text"), " http://", dom, "/p/",
+            _pc.cast(b.column("doc_id"), pa.string()), "")
+        return b.set_column(b.schema.get_field_index("text"), "text", planted)
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = filter_domains(planted, {"spam.example"})
+    return extract_domain(out).select_columns(["doc_id", "domain"])
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1124,7 +1159,8 @@ _QUERY_PRIORITY = [
     # r1/r2 — names are STABLE across rounds (VERDICT r2 #9); only the
     # dict ordering changes so a deterministic driver sample confirms
     # the least-covered queries first
-    "redact_pii", "normalize_text", "mix_sources",
+    "redact_pii", "normalize_text", "mix_sources", "explode_lines",
+    "filter_domains",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1198,6 +1234,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "normalize_text": q_normalize_text,
         "mix_sources": q_mix_sources,
+        "explode_lines": q_explode_lines,
+        "filter_domains": q_filter_domains,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1668,6 +1706,19 @@ def oracle_sql() -> dict[str, str]:
             f"((doc_id * {HASH_MULT} + 7) % {HASH_MOD}) * 1000000 < "
             f"(CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 500000 "
             f"WHEN 'src2' THEN 0 ELSE 1000000 END) * {HASH_MOD}"),
+        "explode_lines": (
+            "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) "
+            "AS line_no, unnest(string_split(text, chr(10))) AS line "
+            "FROM documents"),
+        "filter_domains": (
+            "WITH t AS (SELECT doc_id, text || ' http://' || "
+            "(CASE doc_id % 3 WHEN 0 THEN 'spam.example' WHEN 1 THEN "
+            "'ok.example' ELSE 'good.org' END) || '/p/' || doc_id AS text "
+            "FROM documents) "
+            "SELECT doc_id, lower(regexp_extract(text, "
+            "'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM t "
+            "WHERE lower(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1)) "
+            "NOT IN ('spam.example')"),
         "quantiles_price": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

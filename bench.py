@@ -383,6 +383,21 @@ def run_queries() -> dict[str, float]:
         normalize_text(nio.read_parquet(f"{SF_DIR}/documents.parquet",
                                         columns=["doc_id", "text"])).count()
 
+    @timed("explode_lines")
+    def _explode():
+        from nailray.textops.clean import explode_lines
+
+        explode_lines(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                       columns=["doc_id", "text"])).count()
+
+    @timed("filter_domains")
+    def _domains():
+        from nailray.textops.clean import filter_domains
+
+        filter_domains(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                        columns=["doc_id", "text"]),
+                       {"spam.example"}).count()
+
     @timed("mix_sources")
     def _mix():
         from nailray.ops.sampling import mix_sources

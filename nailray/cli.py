@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-column", required=True)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--default-rate", type=float, default=1.0)
+    sp = add("explode-lines", help="one output row per document line")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp = add("filter-domains", help="drop docs whose first URL domain is blocklisted")
+    sp.add_argument("--blocked", required=True, help="comma-separated domains")
+    sp.add_argument("--text-col", default="text")
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -456,6 +462,16 @@ def main(argv: list[str] | None = None) -> int:
         _output(sampling.mix_sources(ds, args.group_col, rates,
                                      args.id_column, seed=args.seed,
                                      default_rate=args.default_rate), args)
+    elif cmd == "explode-lines":
+        from .textops.clean import explode_lines
+
+        _output(explode_lines(ds, text_col=args.text_col,
+                              id_col=args.id_col), args)
+    elif cmd == "filter-domains":
+        from .textops.clean import filter_domains
+
+        blocked = {d for d in args.blocked.split(",") if d}
+        _output(filter_domains(ds, blocked, text_col=args.text_col), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import unicodedata
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -67,6 +68,77 @@ def redact_pii(
                 out, pattern=PII_PATTERNS[kind],
                 replacement=token.format(kind=kind))
         return _upsert_column(batch, text_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# first URL in a document → its host part. RE2 named group (Arrow needs
+# named groups; the SQL oracle uses the same pattern with group index 1)
+URL_DOMAIN_RE = r"https?://(?P<domain>[A-Za-z0-9.-]+)"
+
+
+def extract_domain(ds: rd.Dataset, text_col: str = "text",
+                   out_col: str = "domain") -> rd.Dataset:
+    """Append the first URL's domain per document (lowercased; ``""``
+    when the document has no URL — matching DuckDB ``regexp_extract``'s
+    no-match result so the oracle can be exact). One `pc.extract_regex`
+    per batch, zero-copy, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = pc.struct_field(
+            pc.extract_regex(pc.fill_null(batch.column(text_col), ""),
+                             URL_DOMAIN_RE), "domain")
+        return _upsert_column(batch, out_col,
+                              pc.utf8_lower(pc.fill_null(d, "")))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_domains(ds: rd.Dataset, blocked: list[str] | set[str],
+                   text_col: str = "text") -> rd.Dataset:
+    """Drop documents whose first URL's domain is on the blocklist —
+    the C4-style URL filtering pass. The blocklist is normalized to
+    lowercase once and ships with the UDF (broadcast-once semantics);
+    per batch it's one extract + one `pc.is_in`. Documents with no URL
+    always survive."""
+    blocked_arr = pa.array(sorted({b.lower() for b in blocked}), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = pc.struct_field(
+            pc.extract_regex(pc.fill_null(batch.column(text_col), ""),
+                             URL_DOMAIN_RE), "domain")
+        d = pc.utf8_lower(pc.fill_null(d, ""))
+        return batch.filter(pc.invert(pc.is_in(d, value_set=blocked_arr)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def explode_lines(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  line_col: str = "line") -> rd.Dataset:
+    """Explode documents into one row per line: ``(id, line_no, line)``
+    with 1-based ``line_no`` — the structural pass before line-level
+    scoring/filtering pipelines. Vectorized explode inside map_batches
+    (`split_pattern` → `list_flatten` + `list_parent_indices`; NOT a
+    per-row ``flat_map``), so output blocks stay Arrow-contiguous and
+    the stage streams. A null/empty document yields one empty line,
+    same as DuckDB's ``string_split`` on ``''`` (the oracle's shape)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(text_col), "")
+        parts = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts)
+        lens = np.asarray(pc.list_value_length(parts)).astype(np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        line_no = (np.arange(starts[-1], dtype=np.int64)
+                   - np.repeat(starts[:-1], lens) + 1)
+        return pa.table({
+            id_col: pc.take(batch.column(id_col), parents),
+            "line_no": pa.array(line_no, pa.int64()),
+            line_col: flat,
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

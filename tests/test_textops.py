@@ -816,3 +816,35 @@ def test_mix_sources_null_ids_dropped():
     out = mix_sources(rd.from_arrow(tbl), "source", {"a": 1.0, "b": 1.0},
                       "doc_id", seed=3).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_explode_lines_planted():
+    from nailray.textops.clean import explode_lines
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a\nb\nc", "only", ""], pa.string()),
+    })
+    out = explode_lines(rd.from_arrow(docs)).to_pandas() \
+        .sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    assert list(out["line"]) == ["a", "b", "c", "only", ""]
+    assert list(out["line_no"]) == [1, 2, 3, 1, 1]
+
+
+def test_filter_domains_and_extract():
+    from nailray.textops.clean import extract_domain, filter_domains
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "see http://Spam.Example/x now",
+            "fine https://good.org/page",
+            "no links here",
+            "both http://spam.example/a and http://good.org/b",  # first URL decides
+        ], pa.string()),
+    })
+    dom = extract_domain(rd.from_arrow(docs)).to_pandas().set_index("doc_id")["domain"]
+    assert dom[1] == "spam.example" and dom[2] == "good.org" and dom[3] == ""
+    kept = sorted(filter_domains(rd.from_arrow(docs), {"SPAM.example"})
+                  .to_pandas()["doc_id"])
+    assert kept == [2, 3]  # 1 and 4 blocked; no-URL doc survives
