@@ -170,8 +170,8 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
     path, not just the 3-channel numpy decoders."""
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.shape[2] == 1:
-        img = np.repeat(img, 3, axis=2)
+    if img.shape[2] <= 2:  # grayscale or LA (gray+alpha): replicate luma
+        img = np.repeat(img[:, :, :1], 3, axis=2)
     elif img.shape[2] > 3:
         img = img[:, :, :3]
     return np.ascontiguousarray(img[:, :, :3], np.uint8)
@@ -189,7 +189,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from PIL import Image  # noqa: F401
         import io as _io
 
-        return np.asarray(Image.open(_io.BytesIO(payload)))
+        # convert at the decode layer: palette images decode to INDEX
+        # arrays and 16-bit grayscale to uint16 — both silently wrong
+        # if replicated into RGB downstream; PIL's RGB conversion
+        # resolves palette lookups and depth at once
+        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
             "non-BMP/PPM image decoding requires PIL/opencv, not available "

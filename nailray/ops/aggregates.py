@@ -405,10 +405,15 @@ def _cdf_rank_fn(ds: rd.Dataset, col: str, per_batch_sample: int = 4096):
 
     def rank(vals: np.ndarray) -> np.ndarray:
         if len(sorted_sample) == 0:
-            return np.zeros(len(vals))
+            return np.where(np.isnan(vals), np.nan, 0.0)
         lo = np.searchsorted(sorted_sample, vals, side="left")
         hi = np.searchsorted(sorted_sample, vals, side="right")
-        return (lo + hi) / 2.0  # mid-rank for ties
+        r = (lo + hi) / 2.0  # mid-rank for ties
+        # nulls stay NaN (not the finite max rank searchsorted gives
+        # them) so the pairwise-complete Pearson filter excludes them —
+        # same fix as spearman_matrix's to_ranks
+        r[np.isnan(vals)] = np.nan
+        return r
 
     return rank
 

@@ -18,14 +18,25 @@ HASH_MULT = 2654435761  # Knuth multiplicative hash, fits in uint32 domain
 HASH_MOD = 1 << 32
 
 
+def _hash_u32(ids: pa.ChunkedArray | pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hash mod 2^32, validity) for an id column. Null ids fill with 0
+    BEFORE the numpy cast — a null-bearing int column converts to
+    float64-with-NaN and ``NaN.astype(uint64)`` is platform-dependent
+    garbage; callers AND the validity in so null-id rows drop
+    deterministically (SQL NULL-comparison semantics)."""
+    valid = np.asarray(pc.is_valid(ids))
+    v = np.asarray(pc.fill_null(pc.cast(ids, pa.int64()), 0)).astype(np.uint64)
+    return (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD), valid
+
+
 def _hash_mask(ids: pa.ChunkedArray, seed: int, keep_num: int, keep_den: int) -> pa.Array:
     """keep iff ((id*HASH_MULT + seed) mod 2^32) * den < num * 2^32.
 
     SQL equivalent: ((id * 2654435761 + seed) % 4294967296) * den < num * 4294967296
     """
-    v = np.asarray(pc.cast(ids, pa.int64())).astype(np.uint64)
-    h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
-    return pa.array(h * np.uint64(keep_den) < np.uint64(keep_num) * np.uint64(HASH_MOD))
+    h, valid = _hash_u32(ids, seed)
+    return pa.array((h * np.uint64(keep_den)
+                     < np.uint64(keep_num) * np.uint64(HASH_MOD)) & valid)
 
 
 def sample_hash(ds: rd.Dataset, id_column: str, fraction: float, seed: int = 42) -> rd.Dataset:
@@ -73,13 +84,8 @@ def mix_sources(
     key_arr = pa.array(keys, pa.string())
 
     def fn(b: pa.Table) -> pa.Table:
-        ids = b.column(icol)
-        # null ids: NaN would hash to platform-dependent garbage — force
-        # the SQL semantics instead (NULL comparison → row dropped)
-        valid = np.asarray(pc.is_valid(ids))
-        v = np.asarray(pc.fill_null(pc.cast(ids, pa.int64()), 0)) \
-            .astype(np.uint64)
-        h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        # null ids drop deterministically (SQL semantics) via _hash_u32
+        h, valid = _hash_u32(b.column(icol), seed)
         idx = pc.fill_null(
             pc.index_in(pc.cast(b.column(gcol), pa.string()), key_arr),
             len(keys)).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -126,11 +132,10 @@ def sample_stratified(
     frac = {k: alloc[k] / counts[k] for k in counts}
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(pc.cast(batch.column(id_column), pa.int64())).astype(np.uint64)
-        h = (ids * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        h, valid = _hash_u32(batch.column(id_column), seed)
         cats = batch.column(col).to_pylist()
         thresh = np.fromiter((frac.get(c, 0.0) for c in cats), np.float64, len(cats))
-        return batch.filter(pa.array(h < thresh * HASH_MOD))
+        return batch.filter(pa.array((h < thresh * HASH_MOD) & valid))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -150,9 +155,9 @@ def split_hash(
         lo, hi = bounds[i], bounds[i + 1]
 
         def fn(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            ids = np.asarray(pc.cast(batch.column(col), pa.int64())).astype(np.uint64)
-            h = ((ids * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)).astype(np.float64) / HASH_MOD
-            return batch.filter(pa.array((h >= lo) & (h < hi)))
+            h_u, valid = _hash_u32(batch.column(col), seed)
+            h = h_u.astype(np.float64) / HASH_MOD
+            return batch.filter(pa.array((h >= lo) & (h < hi) & valid))
 
         outs.append(ds.map_batches(fn, batch_format="pyarrow"))
     return outs
@@ -191,8 +196,7 @@ def sample_per_group(ds: rd.Dataset, group_keys: list[str] | str, n: int,
     col = resolve_column(ds.schema().names, id_column)
 
     def add_order(b: pa.Table) -> pa.Table:
-        v = np.asarray(pc.cast(b.column(col), pa.int64())).astype(np.uint64)
-        h = (v * np.uint64(HASH_MULT) + np.uint64(seed)) % np.uint64(HASH_MOD)
+        h, _ = _hash_u32(b.column(col), seed)  # order key; null ids hash as 0
         return b.append_column("__h", pa.array(h.astype(np.int64)))
 
     with_h = ds.map_batches(add_order, batch_format="pyarrow")

@@ -48,6 +48,17 @@ def partition_count(num_partitions: int | None = None) -> int:
         return 32
 
 
+def task_concurrency(concurrency):
+    """Translate an actor-pool concurrency spec to the task-stage form:
+    a ``(min, max)`` tuple (the form these functions accepted when they
+    ran actor pools) caps concurrent tasks at ``max``; ints and None
+    pass through. Keeps the public ``concurrency=`` argument backward
+    compatible across the pool→task conversion."""
+    if isinstance(concurrency, tuple):
+        return concurrency[1]
+    return concurrency
+
+
 def default_exchange() -> str:
     """THE auto policy for grouped-exchange strategy, shared by
     :func:`group_map` and :func:`nailray.encode.pipeline.encode_dataset`

@@ -1,6 +1,9 @@
 """Text analysis stages: token counting, quality scoring, language id,
-document fingerprinting. Vectorized (pandas str kernels / numpy) inside
-map_batches; stateful pattern compilation lives in actor __init__."""
+document fingerprinting. Vectorized (Arrow RE2 / pandas C kernels /
+numpy) inside map_batches. Pattern/stopword state compiles once in
+__init__ ON THE DRIVER; instances ship with the UDF and run as plain
+tasks on warm workers (2-3x faster per invocation than spinning an
+actor pool for such cheap state)."""
 
 from __future__ import annotations
 
@@ -34,7 +37,8 @@ def _upsert_column(batch: pa.Table, name: str, col) -> pa.Table:
 
 
 class TextAnalyzer:
-    """Actor-pool stage: compiled regexes + stopword tables built once.
+    """Task-stage callable: compiled regexes + stopword tables built
+    once (driver-side __init__, worker-cached via UDF serialization).
 
     The count metrics run as Arrow RE2 kernels over the zero-copy text
     column — the document payload never converts to Python objects (the
@@ -74,8 +78,10 @@ def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd
     2.5 → 0.9 s at sf0.1 vs a fresh actor pool, which re-pays actor
     startup on every invocation. Actor pools remain the pattern for
     EXPENSIVE per-worker state (model weights, multimodal decoders)."""
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(TextAnalyzer(text_col), batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=task_concurrency(concurrency))
 
 
 class QualityAnalyzer(TextAnalyzer):
@@ -108,8 +114,10 @@ class QualityAnalyzer(TextAnalyzer):
 
 def quality_scores(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
     # stateless-task stage — see token_counts for the measured rationale
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(QualityAnalyzer(text_col), batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=task_concurrency(concurrency))
 
 
 class LangId:
@@ -145,8 +153,10 @@ class LangId:
 
 def language_id(ds: rd.Dataset, text_col: str = "text", concurrency=None) -> rd.Dataset:
     # stateless-task stage — see token_counts for the measured rationale
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(LangId(text_col), batch_format="pyarrow",
-                          concurrency=concurrency)
+                          concurrency=task_concurrency(concurrency))
 
 
 def token_topk(ds: rd.Dataset, text_col: str = "text", k: int = 100,

@@ -27,7 +27,8 @@ _CHUNK = 512
 
 
 class Decontaminator:
-    """Actor-pool stage: snippet patterns compiled once per actor."""
+    """Task-stage callable: snippet patterns compiled once on the
+    driver, shipped with the UDF (deserialized once per warm worker)."""
 
     def __init__(self, snippets: list[str], text_col: str = "text",
                  out_col: str = "contaminated"):
@@ -60,8 +61,11 @@ def flag_contaminated(ds: rd.Dataset, snippets: list[str],
     # the driver, ship once with the UDF, and deserialize once per
     # worker -- same amortization as actor __init__ without pool
     # startup (measured 2.4 -> 0.7 s at sf0.1).
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(Decontaminator(list(snippets), text_col, out_col),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=task_concurrency(concurrency))
 
 
 def decontaminate(ds: rd.Dataset, snippets: list[str],

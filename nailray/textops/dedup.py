@@ -131,7 +131,8 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params generated once per actor."""
+    """Task-stage callable: permutation params generated once on the
+    driver, shipped with the UDF (worker-cached)."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
                  shingle_k: int = 5, seed: int = 42):
@@ -207,9 +208,11 @@ def minhash_signatures(ds: rd.Dataset, text_col: str, id_col: str,
     # the instance ships with the UDF and plain tasks reuse warm default
     # workers (measured 2.5 -> 0.8 s at sf0.1 vs a fresh actor pool; see
     # analysis.token_counts). Pools stay for expensive per-worker state.
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(
         MinHasher(text_col, id_col, num_perm, shingle_k, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=task_concurrency(concurrency))
 
 
 def _pair_partitions(num_partitions: int | None) -> int:
@@ -684,9 +687,12 @@ def simhash64(text: str) -> int:
 
 
 class SimHasher:
-    """Actor-pool simhash stage: token→hash memo persists across batches
-    (web text repeats tokens heavily), bit-votes summed per document via
-    one ``np.add.reduceat`` — same values as :func:`simhash64`."""
+    """Task-stage callable: the token→hash memo lives on the instance,
+    which Ray deserializes once per worker and reuses across that
+    worker's tasks — so the memo persists across batches (web text
+    repeats tokens heavily) exactly as actor state did. Bit-votes are
+    summed per document via one ``np.add.reduceat`` — same values as
+    :func:`simhash64`."""
 
     def __init__(self, text_col: str, out_col: str = "simhash"):
         self.text_col = text_col
@@ -702,7 +708,7 @@ class SimHasher:
                 h = memo[tok] = int.from_bytes(
                     hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
             out[i] = h
-        if len(memo) > 4_000_000:  # bound actor heap on adversarial vocab
+        if len(memo) > 4_000_000:  # bound worker heap on adversarial vocab
             memo.clear()
         return out
 
@@ -734,8 +740,11 @@ class SimHasher:
 def add_simhash(ds: rd.Dataset, text_col: str, out_col: str = "simhash",
                 concurrency=None) -> rd.Dataset:
     # stateless-task stage (tiny compiled state; see minhash_signatures)
+    from ..shuffle import task_concurrency
+
     return ds.map_batches(SimHasher(text_col, out_col),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=task_concurrency(concurrency))
 
 
 def _simhash_pairs_partition(g: pd.DataFrame, max_hamming: int,

@@ -944,3 +944,28 @@ def test_spearman_matrix_nulls_pairwise_complete():
     ref = pd.DataFrame({"a": a, "b": np.where(mask, np.nan, b)}) \
         .dropna().corr(method="spearman").loc["a", "b"]
     assert abs(got - ref) < 0.02, (got, ref)
+
+
+def test_hash_sampling_null_ids_deterministic():
+    """sample_hash/split_hash must drop null-id rows deterministically
+    (SQL NULL semantics), not hash NaN garbage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.ops.sampling import sample_hash, split_hash
+
+    t = pa.table({"id": pa.array([1, None, 3, 4], pa.int64())})
+    kept = sorted(sample_hash(rd.from_arrow(t), "id", 1.0).to_pandas()["id"])
+    assert kept == [1, 3, 4]
+    parts = split_hash(rd.from_arrow(t), [0.5, 0.5], "id")
+    assert sum(p.count() for p in parts) == 3
+
+
+def test_task_stage_accepts_tuple_concurrency(sf_dir):
+    """The pool->task conversion must keep the (min, max) concurrency
+    form the stage functions accepted as actor pools."""
+    from nailray.io import read_parquet
+    from nailray.textops.analysis import token_counts
+
+    ds = read_parquet(f"{sf_dir}/documents.parquet")
+    assert token_counts(ds, concurrency=(1, 2)).count() > 0
