@@ -1,14 +1,18 @@
-"""Text cleaning stages: PII redaction and unicode/whitespace
-normalization. Pure Arrow RE2 / unicode kernels inside map_batches —
-the document payload stays zero-copy in the object store and never
-converts to Python objects; no shuffle, no driver state.
+"""Corpus hygiene and structure stages: PII redaction,
+unicode/whitespace normalization, URL-domain extraction/blocklist
+filtering, and line explode. Arrow RE2 / unicode kernels inside
+map_batches — the document payload stays zero-copy in the object store
+(only Unicode normalization crosses to Python, in one C-level
+`unicodedata` pass); no shuffle, no driver state.
 
-These are pre-training corpus hygiene passes (C4/CCNet-style): strip
-personally-identifiable spans before tokenization, and canonicalize
-text (NFC, case, whitespace) so downstream dedup/hashing sees one
-spelling per logical string. Both are SQL-expressible (DuckDB
-regexp_replace / nfc_normalize use the same RE2 / Unicode semantics
-as the Arrow kernels) so they carry exact oracles.
+These are pre-training corpus passes (C4/CCNet-style): strip
+personally-identifiable spans before tokenization, canonicalize text
+(NFC, case, whitespace) so downstream dedup/hashing sees one spelling
+per logical string, drop documents from blocklisted domains, and
+explode documents into per-line rows for line-level scoring. All are
+SQL-expressible (DuckDB regexp_* / nfc_normalize / string_split use
+the same RE2 / Unicode semantics as the kernels here) so every
+operator carries an exact oracle.
 """
 
 from __future__ import annotations
