@@ -668,6 +668,15 @@ def q_filter_domains(sf):
     return extract_domain(out).select_columns(["doc_id", "domain"])
 
 
+def q_weighted_sample(sf):
+    # Efraimidis-Spirakis weighted sample without replacement: 200
+    # orders biased by o_totalprice, deterministic hash-uniform keys
+    from nailray.ops.sampling import weighted_sample
+
+    ds = _t(sf, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    return weighted_sample(ds, 200, "o_totalprice", "o_orderkey", seed=11)
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1160,7 +1169,7 @@ _QUERY_PRIORITY = [
     # dict ordering changes so a deterministic driver sample confirms
     # the least-covered queries first
     "redact_pii", "normalize_text", "mix_sources", "explode_lines",
-    "filter_domains",
+    "filter_domains", "weighted_sample",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1236,6 +1245,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "mix_sources": q_mix_sources,
         "explode_lines": q_explode_lines,
         "filter_domains": q_filter_domains,
+        "weighted_sample": q_weighted_sample,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1710,6 +1720,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) "
             "AS line_no, unnest(string_split(text, chr(10))) AS line "
             "FROM documents"),
+        "weighted_sample": (
+            # A-ES key ln(u)/w with the same hash-uniform u; top-200
+            f"SELECT o_orderkey, o_totalprice FROM orders "
+            f"WHERE o_orderkey IS NOT NULL AND o_totalprice > 0 "
+            f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
+            f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey "
+            f"LIMIT 200"),
         "filter_domains": (
             "WITH t AS (SELECT doc_id, text || ' http://' || "
             "(CASE doc_id % 3 WHEN 0 THEN 'spam.example' WHEN 1 THEN "

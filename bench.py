@@ -398,6 +398,15 @@ def run_queries() -> dict[str, float]:
                                         columns=["doc_id", "text"]),
                        {"spam.example"}).count()
 
+    @timed("weighted_sample")
+    def _wsample():
+        from nailray.ops.sampling import weighted_sample
+
+        weighted_sample(
+            nio.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"]),
+            200, "o_totalprice", "o_orderkey", seed=11).count()
+
     @timed("mix_sources")
     def _mix():
         from nailray.ops.sampling import mix_sources

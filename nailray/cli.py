@@ -175,6 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("filter-domains", help="drop docs whose first URL domain is blocklisted")
     sp.add_argument("--blocked", required=True, help="comma-separated domains")
     sp.add_argument("--text-col", default="text")
+    sp = add("weighted-sample", help="A-ES weighted sample without replacement")
+    sp.add_argument("-n", type=int, required=True)
+    sp.add_argument("--weight-col", required=True)
+    sp.add_argument("--id-column", required=True)
+    sp.add_argument("--seed", type=int, default=42)
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -472,6 +477,9 @@ def main(argv: list[str] | None = None) -> int:
 
         blocked = {d for d in args.blocked.split(",") if d}
         _output(filter_domains(ds, blocked, text_col=args.text_col), args)
+    elif cmd == "weighted-sample":
+        _output(sampling.weighted_sample(ds, args.n, args.weight_col,
+                                         args.id_column, seed=args.seed), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

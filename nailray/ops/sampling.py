@@ -96,6 +96,43 @@ def mix_sources(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(ds: rd.Dataset, n: int, weight_col: str,
+                    id_column: str, seed: int = 42,
+                    keep_key: bool = False) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, 2006): each row gets key ``ln(u)/w`` with ``u`` a
+    deterministic hash-uniform of its id (``(hash+0.5)/2^32`` — never
+    0) and ``w`` its weight; the global top-``n`` keys are an exact
+    weighted sample without replacement. The quality-weighted corpus
+    downsample ("keep 1M docs, biased by quality score") in one pass.
+
+    Deterministic: the same (id, weight) rows are selected regardless
+    of block layout or cluster size, and the key is SQL-replicable so
+    the oracle is exact. Rows with null ids, null weights or ``w <= 0``
+    are excluded (SQL-comparison semantics). Scale shape: one
+    map_batches computes keys, then the partial top-k reduction — at
+    most ``n`` rows per block reach the final merge; no shuffle."""
+    from .sorting import topk
+
+    names = ds.schema().names
+    wcol = resolve_column(names, weight_col)
+    icol = resolve_column(names, id_column)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h, valid = _hash_u32(b.column(icol), seed)
+        u = (h.astype(np.float64) + 0.5) / HASH_MOD
+        w = np.asarray(pc.cast(pc.fill_null(b.column(wcol), 0.0),
+                               pa.float64()))
+        ok = valid & np.isfinite(w) & (w > 0)
+        key = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
+        return b.append_column("__aes_key", pa.array(key)) \
+                .filter(pa.array(ok))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = topk(keyed, ["__aes_key", icol], n, descending=[True, False])
+    return out if keep_key else out.drop_columns(["__aes_key"])
+
+
 def sample_random(ds: rd.Dataset, n: int, total: int | None = None, seed: int = 42) -> rd.Dataset:
     """~n uniform rows without replacement (seeded, distributed)."""
     total = total if total is not None else ds.count()

@@ -92,6 +92,8 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "--top-k", "10", "-o", f"{out}/bm25"],
         ["lm-score", f"{sf_dir}/documents.parquet", "--top-vocab", "200",
          "-o", f"{out}/lmscore"],
+        ["weighted-sample", orders, "-n", "50", "--weight-col", "o_totalprice",
+         "--id-column", "o_orderkey", "-o", f"{out}/wsample"],
         ["explode-lines", f"{sf_dir}/documents.parquet", "-o", f"{out}/lines"],
         ["filter-domains", f"{sf_dir}/documents.parquet", "--blocked",
          "spam.example", "-o", f"{out}/domfiltered"],

@@ -969,3 +969,27 @@ def test_task_stage_accepts_tuple_concurrency(sf_dir):
 
     ds = read_parquet(f"{sf_dir}/documents.parquet")
     assert token_counts(ds, concurrency=(1, 2)).count() > 0
+
+
+def test_weighted_sample_bias_and_determinism():
+    """A-ES weighted sampling: heavy-weight rows must be strongly
+    over-represented, the row set must be block-layout independent, and
+    null/zero-weight rows excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.ops.sampling import weighted_sample
+
+    n = 10000
+    w = np.where(np.arange(n) < 500, 100.0, 1.0)  # 500 heavy rows
+    w[0] = 0.0                                     # excluded
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    out = weighted_sample(rd.from_arrow(t), 500, "w", "id", seed=3).to_pandas()
+    assert len(out) == 500 and 0 not in set(out["id"])
+    heavy = (out["id"] < 500).sum()
+    assert heavy > 300, heavy  # ~99% weight mass on the heavy rows
+    out2 = weighted_sample(rd.from_arrow(t).repartition(9), 500, "w", "id",
+                           seed=3).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
