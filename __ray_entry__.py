@@ -757,13 +757,16 @@ def q_ann_topk(sf):
 
 
 def q_multimodal_stats(sf):
-    # REAL multimodal kernel end-to-end (rows-only driver check: binary
-    # decode is not SQL-expressible): deterministic BMP payloads seeded
-    # per media_id → nearest resize (real pixel kernel) → per-channel
-    # stats features; output is the decoded geometry + rounded means
+    # REAL multimodal kernel end-to-end WITH AN EXACT SQL ORACLE: the
+    # closed-form pattern payloads make every decoded statistic a
+    # symbolic function of media_id, so the BMP decode → nearest
+    # resize (real pixel kernel) → channel-stats pipeline is checked
+    # value-identical against SQL that recomputes the pattern, the
+    # resize index math and the means (incl. the float32 feature
+    # quantization, mirrored as CAST(.. AS REAL))
     from nailray import multimodal
 
-    t = multimodal.synthesize_bmp_table(64, seed=13)
+    t = multimodal.synthesize_bmp_table_pattern(64)
     ds = rd.from_arrow(t).repartition(4)
     rz = multimodal.resize_images(ds, 16, 12, batch_size=16, real_decode=True)
     fs = multimodal.image_stats(rz, batch_size=16)
@@ -1289,8 +1292,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "stratified_sample": q_stratified_sample,
-        "multimodal_stats": q_multimodal_stats,
         "encode_corpus": q_encode_corpus,
+        # real-binary pipeline with a closed-form EXACT oracle
+        "multimodal_stats": q_multimodal_stats,
     }
 
 
@@ -1720,6 +1724,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) "
             "AS line_no, unnest(string_split(text, chr(10))) AS line "
             "FROM documents"),
+        "multimodal_stats": (
+            # symbolic replay of the closed-form BMP pattern, the
+            # nearest-resize index math and the channel-0 mean (incl.
+            # the float32 feature quantization via CAST(.. AS REAL))
+            "WITH ids AS (SELECT range AS media_id FROM range(0, 64)), "
+            "dims AS (SELECT media_id, 4 + (media_id % 29) AS w, "
+            "4 + ((media_id*7) % 31) AS h FROM ids), "
+            "px AS (SELECT d.media_id, "
+            "LEAST(CAST(FLOOR(((tj.range + 0.5) * d.w) / 16) AS BIGINT), "
+            "d.w - 1) AS xs, "
+            "LEAST(CAST(FLOOR(((ti.range + 0.5) * d.h) / 12) AS BIGINT), "
+            "d.h - 1) AS ys "
+            "FROM dims d, range(0, 16) tj, range(0, 12) ti) "
+            "SELECT media_id, CAST(16 AS INTEGER) AS width, "
+            "CAST(12 AS INTEGER) AS height, "
+            "ROUND(CAST(CAST(AVG(CAST((xs + 7*ys + 11*media_id) % 256 "
+            "AS DOUBLE)) AS REAL) AS DOUBLE), 3) AS mean_r "
+            "FROM px GROUP BY media_id"),
         "weighted_sample": (
             # A-ES key ln(u)/w with the same hash-uniform u; top-200
             f"SELECT o_orderkey, o_totalprice FROM orders "

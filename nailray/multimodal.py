@@ -376,6 +376,32 @@ def synthesize_bmp_table(n: int, seed: int = 42) -> pa.Table:
     })
 
 
+def synthesize_bmp_table_pattern(n: int) -> pa.Table:
+    """Closed-form REAL-BMP media rows: ``w = 4 + id % 29``,
+    ``h = 4 + (7·id) % 31``, pixel ``(y, x, c) = (x + 7y + 11·id +
+    97·c) % 256``. Unlike :func:`synthesize_bmp_table` (PRNG pixels),
+    every decoded statistic here is a closed form of ``media_id`` —
+    so the real binary decode → resize → stats pipeline can carry an
+    EXACT SQL oracle (the oracle recomputes the pattern, the
+    nearest-resize index math and the channel means symbolically)."""
+    payloads, ws, hs = [], [], []
+    for mid in range(n):
+        w, h = 4 + mid % 29, 4 + (7 * mid) % 31
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((x + 7 * y + 11 * mid + 97 * c) % 256).astype(np.uint8)
+        payloads.append(encode_bmp(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n),
+        "mime": pa.array(["image/bmp"] * n),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+    })
+
+
 def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
     """Video frame sampling stand-in: keeps every n-th media row
     deterministically (by media_id)."""
