@@ -398,6 +398,15 @@ def run_queries() -> dict[str, float]:
                                         columns=["doc_id", "text"]),
                        {"spam.example"}).count()
 
+    @timed("tdigest_quantiles")
+    def _tdigest():
+        from nailray.sketch import approx_quantiles_tdigest
+
+        approx_quantiles_tdigest(
+            nio.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_extendedprice"]),
+            "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
     @timed("weighted_sample")
     def _wsample():
         from nailray.ops.sampling import weighted_sample

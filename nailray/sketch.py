@@ -275,3 +275,129 @@ def build_bloom(ds: rd.Dataset, column: str, expected_keys: int | None = None,
             np.bitwise_or(merged.bits,
                           np.frombuffer(payload, np.uint8), out=merged.bits)
     return merged
+
+
+# --------------------------------------------------------------------------
+# t-digest (Dunning & Ertl 2019, merging variant) — mergeable quantile
+# sketch: the one-pass streaming complement to ops.quantile.exact_quantiles
+# --------------------------------------------------------------------------
+
+class TDigest:
+    """Merging t-digest with the k1 (arcsine) scale function: centroid
+    sizes are bounded tightest at the tails, so extreme quantiles stay
+    sharp. State is two parallel arrays (means, weights) capped at
+    ~2·delta centroids — a few KB regardless of input size, mergeable
+    associatively (per-block partials OR-merge like the other sketches
+    here; the driver folds one tiny digest per block)."""
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = int(delta)
+        self.means = np.empty(0) if means is None else means
+        self.weights = np.empty(0) if weights is None else weights
+
+    # -- construction ------------------------------------------------
+    @classmethod
+    def of(cls, values: np.ndarray, delta: int = 200) -> "TDigest":
+        d = cls(delta)
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            v = np.sort(v)
+            d.means, d.weights = d._compress(v, np.ones(len(v)))
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if not len(other.means):
+            return self
+        if not len(self.means):
+            self.means, self.weights = other.means, other.weights
+            return self
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(m, kind="stable")
+        self.means, self.weights = self._compress(m[order], w[order])
+        return self
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray):
+        """One merging pass over sorted (mean, weight) pairs: greedily
+        absorb neighbors while the k1-scale size bound allows."""
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_before = 0.0
+
+        def k(q):  # k1 scale: delta/(2π)·asin(2q−1)
+            return self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+        for i in range(1, len(means)):
+            q0 = w_before / total
+            q2 = (w_before + cur_w + weights[i]) / total
+            if k(min(q2, 1.0)) - k(max(q0, 0.0)) <= 1.0:
+                cur_m += (means[i] - cur_m) * weights[i] / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m); out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m); out_w.append(cur_w)
+        return np.asarray(out_m), np.asarray(out_w)
+
+    # -- queries -------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        """Value estimate at quantile q via linear interpolation between
+        centroid midpoints (singleton centroids are exact points)."""
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        target = q * total
+        # cumulative weight at centroid midpoints
+        cum = np.cumsum(w) - w / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = np.searchsorted(cum, target) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).astype("<f8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, payload: bytes, delta: int = 200) -> "TDigest":
+        arr = np.frombuffer(payload, "<f8")
+        n = len(arr) // 2
+        return cls(delta, arr[:n].copy(), arr[n:].copy())
+
+
+def approx_quantiles_tdigest(ds: rd.Dataset, column: str,
+                             quantiles: list[float],
+                             delta: int = 200) -> dict[float, float]:
+    """One-pass mergeable approximate quantiles: each block folds to a
+    ~delta-centroid t-digest (a few KB), the driver merges one digest
+    per block — O(blocks·delta) driver work, no shuffle, no second
+    pass. For exact answers (multi-pass) use
+    :func:`nailray.ops.quantile.exact_quantiles`; this is the
+    streaming/continuous-monitoring variant (rank error ~O(1/delta),
+    tightest at the tails under the k1 scale)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        v = np.asarray(_pc.cast(batch.column(column).drop_null(), pa.float64()))
+        d = TDigest.of(v, delta)
+        return pa.table({"td": pa.array([d.to_bytes()], pa.large_binary())})
+
+    merged = TDigest(delta)
+    for b in ds.select_columns([column]) \
+               .map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if "td" not in b.column_names:
+            continue
+        for payload in b.column("td").to_pylist():
+            merged = merged.merge(TDigest.from_bytes(payload, delta))
+    return {q: merged.quantile(q) for q in quantiles}

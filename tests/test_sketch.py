@@ -69,3 +69,59 @@ def test_heavy_hitters_all_null_block():
     ds = rd.from_arrow([t1, t2])
     hh = sketch.heavy_hitters(ds, "k", k=1)
     assert list(hh["k"]) == [7] and list(hh["count"]) == [50]
+
+
+def test_tdigest_rank_error_bound():
+    """Merged per-block digests must estimate quantiles within a tight
+    rank error on skewed and discrete data (k1 scale, delta=200)."""
+    import numpy as np
+
+    from nailray.sketch import TDigest
+
+    rng = np.random.default_rng(0)
+    for data in (rng.lognormal(0, 2, 100000),
+                 rng.integers(0, 500, 100000).astype(float)):
+        d = TDigest(200)
+        for block in np.array_split(data, 23):
+            d = d.merge(TDigest.of(block, 200))
+        s = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = d.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.005, (q, est, true_rank)
+        assert len(d.means) < 3 * 200  # bounded state
+
+
+def test_tdigest_bytes_roundtrip_and_empty():
+    import numpy as np
+
+    from nailray.sketch import TDigest
+
+    d = TDigest.of(np.arange(1000, dtype=float), 100)
+    d2 = TDigest.from_bytes(d.to_bytes(), 100)
+    assert np.allclose(d.means, d2.means) and np.allclose(d.weights, d2.weights)
+    assert np.isnan(TDigest(100).quantile(0.5))
+    # NaNs excluded at build
+    d3 = TDigest.of(np.array([np.nan, 1.0, np.nan]), 100)
+    assert d3.quantile(0.5) == 1.0
+
+
+def test_approx_quantiles_tdigest_dataset(sf_dir):
+    """The Ray path (per-block partials, driver merge) must agree with
+    the exact quantiles within the sketch's rank tolerance."""
+    import duckdb
+
+    from nailray.io import read_parquet
+    from nailray.sketch import approx_quantiles_tdigest
+
+    got = approx_quantiles_tdigest(
+        read_parquet(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_extendedprice"]),
+        "l_extendedprice", [0.1, 0.5, 0.9])
+    con = duckdb.connect()
+    for q, est in got.items():
+        lo, hi = con.execute(
+            f"SELECT quantile_cont(l_extendedprice, {max(0.0, q - 0.01)}), "
+            f"quantile_cont(l_extendedprice, {min(1.0, q + 0.01)}) FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')").fetchone()
+        assert lo <= est <= hi, (q, est, lo, hi)
