@@ -677,6 +677,16 @@ def q_weighted_sample(sf):
     return weighted_sample(ds, 200, "o_totalprice", "o_orderkey", seed=11)
 
 
+def q_weighted_sample_group(sf):
+    # per-customer weighted cap: 2 orders per customer, biased by price
+    from nailray.ops.sampling import weighted_sample_per_group
+
+    ds = _t(sf, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"])
+    return weighted_sample_per_group(ds, ["o_custkey"], 2, "o_totalprice",
+                                     "o_orderkey", seed=11)
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1172,7 +1182,7 @@ _QUERY_PRIORITY = [
     # dict ordering changes so a deterministic driver sample confirms
     # the least-covered queries first
     "redact_pii", "normalize_text", "mix_sources", "explode_lines",
-    "filter_domains", "weighted_sample",
+    "filter_domains", "weighted_sample", "weighted_sample_group",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1249,6 +1259,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "explode_lines": q_explode_lines,
         "filter_domains": q_filter_domains,
         "weighted_sample": q_weighted_sample,
+        "weighted_sample_group": q_weighted_sample_group,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1749,6 +1760,12 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
             f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey "
             f"LIMIT 200"),
+        "weighted_sample_group": (
+            f"SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            f"WHERE o_orderkey IS NOT NULL AND o_totalprice > 0 "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
+            f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey) <= 2"),
         "filter_domains": (
             "WITH t AS (SELECT doc_id, text || ' http://' || "
             "(CASE doc_id % 3 WHEN 0 THEN 'spam.example' WHEN 1 THEN "

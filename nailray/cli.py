@@ -180,6 +180,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-col", required=True)
     sp.add_argument("--id-column", required=True)
     sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--group-by", default=None,
+                    help="comma-separated keys: sample n per group instead")
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -478,8 +480,14 @@ def main(argv: list[str] | None = None) -> int:
         blocked = {d for d in args.blocked.split(",") if d}
         _output(filter_domains(ds, blocked, text_col=args.text_col), args)
     elif cmd == "weighted-sample":
-        _output(sampling.weighted_sample(ds, args.n, args.weight_col,
-                                         args.id_column, seed=args.seed), args)
+        if args.group_by:
+            keys = [k for k in args.group_by.split(",") if k]
+            _output(sampling.weighted_sample_per_group(
+                ds, keys, args.n, args.weight_col, args.id_column,
+                seed=args.seed), args)
+        else:
+            _output(sampling.weighted_sample(ds, args.n, args.weight_col,
+                                             args.id_column, seed=args.seed), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

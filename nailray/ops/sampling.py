@@ -133,6 +133,39 @@ def weighted_sample(ds: rd.Dataset, n: int, weight_col: str,
     return out if keep_key else out.drop_columns(["__aes_key"])
 
 
+def weighted_sample_per_group(ds: rd.Dataset, group_keys: list[str] | str,
+                              n: int, weight_col: str, id_column: str,
+                              seed: int = 42) -> rd.Dataset:
+    """Per-group weighted sampling without replacement: keep ``n`` rows
+    per group, selected by the same A-ES key as
+    :func:`weighted_sample` — the "cap each domain at n docs, biased by
+    quality score" pass. Rides the grouped top-k two-level reduction
+    (≤ n rows per (block, group) enter the exchange). Deterministic and
+    SQL-replicable (``ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    ln(u)/w DESC, id) <= n``); rows with null ids or ``w <= 0`` are
+    excluded."""
+    from .sorting import topk_per_group
+
+    names = ds.schema().names
+    wcol = resolve_column(names, weight_col)
+    icol = resolve_column(names, id_column)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h, valid = _hash_u32(b.column(icol), seed)
+        u = (h.astype(np.float64) + 0.5) / HASH_MOD
+        w = np.asarray(pc.cast(pc.fill_null(b.column(wcol), 0.0),
+                               pa.float64()))
+        ok = valid & np.isfinite(w) & (w > 0)
+        key = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
+        return b.append_column("__aes_key", pa.array(key)) \
+                .filter(pa.array(ok))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = topk_per_group(keyed, group_keys, ["__aes_key", icol], n,
+                         descending=[True, False])
+    return out.drop_columns(["__aes_key"])
+
+
 def sample_random(ds: rd.Dataset, n: int, total: int | None = None, seed: int = 42) -> rd.Dataset:
     """~n uniform rows without replacement (seeded, distributed)."""
     total = total if total is not None else ds.count()

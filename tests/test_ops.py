@@ -993,3 +993,25 @@ def test_weighted_sample_bias_and_determinism():
     out2 = weighted_sample(rd.from_arrow(t).repartition(9), 500, "w", "id",
                            seed=3).to_pandas()
     assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def test_weighted_sample_per_group_cap_and_bias():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.ops.sampling import weighted_sample_per_group
+
+    n = 6000
+    g = np.arange(n) % 3
+    w = np.where(np.arange(n) % 100 == 0, 1000.0, 1.0)  # heavy every 100th
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    out = weighted_sample_per_group(
+        rd.from_arrow(t).repartition(5), ["g"], 10, "w", "id",
+        seed=2).to_pandas()
+    sizes = out.groupby("g").size()
+    assert (sizes == 10).all()
+    heavy_frac = (out["id"] % 100 == 0).mean()
+    assert heavy_frac > 0.5, heavy_frac  # 1% of rows hold ~91% of weight
