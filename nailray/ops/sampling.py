@@ -96,6 +96,20 @@ def mix_sources(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _aes_key_batch(b: pa.Table, icol: str, wcol: str, seed: int) -> pa.Table:
+    """THE A-ES key derivation shared by :func:`weighted_sample` and
+    :func:`weighted_sample_per_group` (one definition so the SQL-oracle
+    contract can't silently diverge): key = ln(u)/w with
+    u = (hash_u32(id)+0.5)/2^32; rows with null ids, null weights or
+    w <= 0 are filtered out."""
+    h, valid = _hash_u32(b.column(icol), seed)
+    u = (h.astype(np.float64) + 0.5) / HASH_MOD
+    w = np.asarray(pc.cast(pc.fill_null(b.column(wcol), 0.0), pa.float64()))
+    ok = valid & np.isfinite(w) & (w > 0)
+    key = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
+    return b.append_column("__aes_key", pa.array(key)).filter(pa.array(ok))
+
+
 def weighted_sample(ds: rd.Dataset, n: int, weight_col: str,
                     id_column: str, seed: int = 42,
                     keep_key: bool = False) -> rd.Dataset:
@@ -118,17 +132,11 @@ def weighted_sample(ds: rd.Dataset, n: int, weight_col: str,
     wcol = resolve_column(names, weight_col)
     icol = resolve_column(names, id_column)
 
-    def add_key(b: pa.Table) -> pa.Table:
-        h, valid = _hash_u32(b.column(icol), seed)
-        u = (h.astype(np.float64) + 0.5) / HASH_MOD
-        w = np.asarray(pc.cast(pc.fill_null(b.column(wcol), 0.0),
-                               pa.float64()))
-        ok = valid & np.isfinite(w) & (w > 0)
-        key = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
-        return b.append_column("__aes_key", pa.array(key)) \
-                .filter(pa.array(ok))
+    import functools
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    keyed = ds.map_batches(
+        functools.partial(_aes_key_batch, icol=icol, wcol=wcol, seed=seed),
+        batch_format="pyarrow")
     out = topk(keyed, ["__aes_key", icol], n, descending=[True, False])
     return out if keep_key else out.drop_columns(["__aes_key"])
 
@@ -150,17 +158,11 @@ def weighted_sample_per_group(ds: rd.Dataset, group_keys: list[str] | str,
     wcol = resolve_column(names, weight_col)
     icol = resolve_column(names, id_column)
 
-    def add_key(b: pa.Table) -> pa.Table:
-        h, valid = _hash_u32(b.column(icol), seed)
-        u = (h.astype(np.float64) + 0.5) / HASH_MOD
-        w = np.asarray(pc.cast(pc.fill_null(b.column(wcol), 0.0),
-                               pa.float64()))
-        ok = valid & np.isfinite(w) & (w > 0)
-        key = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
-        return b.append_column("__aes_key", pa.array(key)) \
-                .filter(pa.array(ok))
+    import functools
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    keyed = ds.map_batches(
+        functools.partial(_aes_key_batch, icol=icol, wcol=wcol, seed=seed),
+        batch_format="pyarrow")
     out = topk_per_group(keyed, group_keys, ["__aes_key", icol], n,
                          descending=[True, False])
     return out.drop_columns(["__aes_key"])

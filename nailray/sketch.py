@@ -286,9 +286,10 @@ class TDigest:
     """Merging t-digest with the k1 (arcsine) scale function: centroid
     sizes are bounded tightest at the tails, so extreme quantiles stay
     sharp. State is two parallel arrays (means, weights) capped at
-    ~2·delta centroids — a few KB regardless of input size, mergeable
-    associatively (per-block partials OR-merge like the other sketches
-    here; the driver folds one tiny digest per block)."""
+    ~delta/2 + 2 centroids (one per unit k-cell) — a few KB regardless
+    of input size, mergeable associatively (per-block partials fold
+    like the other sketches here; the driver merges one tiny digest
+    per block)."""
 
     def __init__(self, delta: int = 200,
                  means: np.ndarray | None = None,
@@ -321,33 +322,33 @@ class TDigest:
         return self
 
     def _compress(self, means: np.ndarray, weights: np.ndarray):
-        """One merging pass over sorted (mean, weight) pairs: greedily
-        absorb neighbors while the k1-scale size bound allows."""
+        """One VECTORIZED pass over sorted (mean, weight) pairs: each
+        input centroid is assigned to the unit k-cell its right-edge
+        quantile falls in under the k1 scale, and cells fold with one
+        ``np.add.reduceat`` — no Python loop (the greedy scalar
+        variant ran ~200k rows/s/core; this is one numpy pass). Cells
+        are unit k-intervals, so cluster sizes honor the same
+        tail-tight bound; the cell count — hence the state — is
+        bounded by ~delta/2 + 2 regardless of input size."""
         total = weights.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
-        w_before = 0.0
-
-        def k(q):  # k1 scale: delta/(2π)·asin(2q−1)
-            return self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)
-
-        for i in range(1, len(means)):
-            q0 = w_before / total
-            q2 = (w_before + cur_w + weights[i]) / total
-            if k(min(q2, 1.0)) - k(max(q0, 0.0)) <= 1.0:
-                cur_m += (means[i] - cur_m) * weights[i] / (cur_w + weights[i])
-                cur_w += weights[i]
-            else:
-                out_m.append(cur_m); out_w.append(cur_w)
-                w_before += cur_w
-                cur_m, cur_w = means[i], weights[i]
-        out_m.append(cur_m); out_w.append(cur_w)
-        return np.asarray(out_m), np.asarray(out_w)
+        qr = np.cumsum(weights) / total
+        k = self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * qr - 1, -1, 1))
+        cell = np.floor(k).astype(np.int64)
+        is_new = np.empty(len(cell), bool)
+        is_new[0] = True
+        np.not_equal(cell[1:], cell[:-1], out=is_new[1:])
+        starts = np.flatnonzero(is_new)
+        wsum = np.add.reduceat(weights, starts)
+        msum = np.add.reduceat(means * weights, starts)
+        return msum / wsum, wsum
 
     # -- queries -------------------------------------------------------
     def quantile(self, q: float) -> float:
         """Value estimate at quantile q via linear interpolation between
-        centroid midpoints (singleton centroids are exact points)."""
+        centroid midpoints; queries beyond the extreme midpoints clamp
+        to the boundary centroid means (no singleton special-case —
+        tail accuracy comes from the k1 scale keeping tail cells
+        near-singleton)."""
         if not len(self.means):
             return float("nan")
         if len(self.means) == 1:
@@ -394,7 +395,8 @@ def approx_quantiles_tdigest(ds: rd.Dataset, column: str,
 
     merged = TDigest(delta)
     for b in ds.select_columns([column]) \
-               .map_batches(partial, batch_format="pyarrow") \
+               .map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
                .iter_batches(batch_format="pyarrow"):
         if "td" not in b.column_names:
             continue
