@@ -101,3 +101,47 @@ def test_bm25_matches_bruteforce(tc):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9
+
+
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=20))
+@settings(max_examples=25, deadline=None)
+def test_normalize_text_idempotent(texts):
+    """normalize(normalize(x)) == normalize(x) — canonical forms are
+    fixed points (NFC, lower, ASCII-ws collapse, trim)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.clean import normalize_text
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    once = normalize_text(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    t2 = pa.table({"doc_id": pa.array(range(len(once)), pa.int64()),
+                   "text": pa.array(once, pa.string())})
+    twice = normalize_text(rd.from_arrow(t2)).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    assert once == twice
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60), min_size=1, max_size=12))
+@settings(max_examples=25, deadline=None)
+def test_redact_pii_leaves_no_matches(texts):
+    """After redaction, no PII pattern matches remain in any document
+    (the replacement tokens themselves must not re-trigger a kind)."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.clean import PII_PATTERNS, redact_pii
+
+    kinds = ("email", "ipv4", "ssn")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = redact_pii(rd.from_arrow(t), kinds=kinds).to_pandas()
+    for txt in out["text"]:
+        for kind in kinds:
+            assert not re.search(PII_PATTERNS[kind], txt), (kind, txt)
