@@ -687,6 +687,41 @@ def q_weighted_sample_group(sf):
                                      "o_orderkey", seed=11)
 
 
+def q_hygiene_corpus(sf):
+    # the composed corpus-hygiene pipeline: plant PII + URL → normalize
+    # (NFC/lower/ws) → redact emails → drop blocklisted domains → mix
+    # sources. Each stage is independently oracled; this checks the
+    # COMPOSITION end-to-end against one nested SQL expression.
+    import pyarrow.compute as _pc
+
+    from nailray.ops.sampling import mix_sources
+    from nailray.textops.clean import (filter_domains, normalize_text,
+                                       redact_pii)
+
+    ds = _t(sf, "documents").select_columns(["doc_id", "source", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = _pc.cast(b.column("doc_id"), pa.string())
+        m = _pc.cast(_pc.subtract(
+            b.column("doc_id"),
+            _pc.multiply(_pc.divide(b.column("doc_id"), 3), 3)), pa.int64())
+        dom = _pc.if_else(_pc.equal(m, 0), "spam.example",
+                          _pc.if_else(_pc.equal(m, 1), "ok.example",
+                                      "good.org"))
+        planted = _pc.binary_join_element_wise(
+            b.column("text"), " User", did, "@Example.com  http://", dom,
+            "/p/", did, "")
+        return b.set_column(b.schema.get_field_index("text"), "text", planted)
+
+    out = ds.map_batches(plant, batch_format="pyarrow")
+    out = normalize_text(out)
+    out = redact_pii(out, kinds=("email",), count=False)
+    out = filter_domains(out, {"spam.example"})
+    out = mix_sources(out, "source", {"src0": 0.5, "src1": 0.0}, "doc_id",
+                      seed=7)
+    return out.select_columns(["doc_id", "text"])
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1183,6 +1218,7 @@ _QUERY_PRIORITY = [
     # the least-covered queries first
     "redact_pii", "normalize_text", "mix_sources", "explode_lines",
     "filter_domains", "weighted_sample", "weighted_sample_group",
+    "hygiene_corpus",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1260,6 +1296,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "filter_domains": q_filter_domains,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_group": q_weighted_sample_group,
+        "hygiene_corpus": q_hygiene_corpus,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1760,6 +1797,24 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
             f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey "
             f"LIMIT 200"),
+        "hygiene_corpus": (
+            # one nested expression composing the four hygiene stages in
+            # the same order as the Ray pipeline
+            "WITH t AS (SELECT doc_id, source, text || ' User' || doc_id || "
+            "'@Example.com  http://' || (CASE doc_id % 3 WHEN 0 THEN "
+            "'spam.example' WHEN 1 THEN 'ok.example' ELSE 'good.org' END) "
+            "|| '/p/' || doc_id AS text FROM documents), "
+            "n AS (SELECT doc_id, source, trim(regexp_replace(lower("
+            "nfc_normalize(text)), '\\s+', ' ', 'g')) AS text FROM t), "
+            "r AS (SELECT doc_id, source, regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', "
+            "'g') AS text FROM n), "
+            "d AS (SELECT * FROM r WHERE lower(regexp_extract(text, "
+            "'https?://([A-Za-z0-9.-]+)', 1)) NOT IN ('spam.example')) "
+            f"SELECT doc_id, text FROM d WHERE "
+            f"((doc_id * {HASH_MULT} + 7) % {HASH_MOD}) * 1000000 < "
+            f"(CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 0 "
+            f"ELSE 1000000 END) * {HASH_MOD}"),
         "weighted_sample_group": (
             f"SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
             f"WHERE o_orderkey IS NOT NULL AND o_totalprice > 0 "
