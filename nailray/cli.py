@@ -115,7 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("append"); sp.add_argument("--others", required=True); sp.add_argument("--ignore-schema", action="store_true")
     sp = add("stats"); sp.add_argument("-c", "--columns"); sp.add_argument("--stats-type", default="basic", choices=["basic", "exhaustive"])
     sp = add("frequency"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--limit", type=int)
-    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"]); sp.add_argument("--p-values", action="store_true", help="per-pair t-test and Fisher-z p-values (pearson only)")
+    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"]); sp.add_argument("--p-values", action="store_true", help="per-pair t-test and Fisher-z p-values (pearson only)"); sp.add_argument("--exact", action="store_true", help="with kendall --p-values: exact distributed tau-b over ALL complete pairs")
+    sp = add("quantiles", help="per-column quantiles (exact multi-pass, or --sketch t-digest one-pass)")
+    sp.add_argument("-c", "--column", required=True)
+    sp.add_argument("--q", default="0.1,0.25,0.5,0.75,0.9,0.99")
+    sp.add_argument("--sketch", action="store_true")
+    sp.add_argument("--delta", type=int, default=200)
     sp = add("outliers"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="zscore", choices=["zscore", "iqr", "modified-zscore", "isolation"]); sp.add_argument("--factor", type=float, default=3.0); sp.add_argument("--remove", action="store_true")
     sp = add("binning"); sp.add_argument("-c", "--column", required=True); sp.add_argument("--bins", type=int, default=10); sp.add_argument("--method", default="equal-width", choices=["equal-width", "equal-frequency"]); sp.add_argument("--drop-original", action="store_true")
     sp = add("pivot"); sp.add_argument("--index", required=True); sp.add_argument("--pivot", required=True); sp.add_argument("--values", required=True); sp.add_argument("--agg", default="sum", choices=["sum", "mean", "count", "min", "max"])
@@ -346,8 +351,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.method == "pearson":
             print(aggregates.pearson_matrix(ds, cols).to_string())
         elif args.p_values:
-            fn = (aggregates.spearman_with_p if args.method == "spearman"
-                  else aggregates.kendall_with_p)
+            if args.method == "kendall" and args.exact:
+                import functools
+
+                fn = functools.partial(aggregates.kendall_with_p,
+                                       method="exact")
+            else:
+                fn = (aggregates.spearman_with_p if args.method == "spearman"
+                      else aggregates.kendall_with_p)
             c = cols or aggregates._numeric_cols(aggregates._schema(ds))
             for i, a in enumerate(c):
                 for b in c[i + 1:]:
@@ -360,6 +371,19 @@ def main(argv: list[str] | None = None) -> int:
             fn = (aggregates.spearman_matrix if args.method == "spearman"
                   else aggregates.kendall_matrix)
             print(fn(ds, cols).to_string())
+    elif cmd == "quantiles":
+        qs = [float(x) for x in args.q.split(",") if x]
+        if args.sketch:
+            from .sketch import approx_quantiles_tdigest
+
+            got = approx_quantiles_tdigest(ds, args.column, qs,
+                                           delta=args.delta)
+            for q in qs:
+                print(q, round(got[q], 6))
+        else:
+            from .ops.quantile import exact_quantiles
+
+            print(exact_quantiles(ds, args.column, qs).to_string(index=False))
     elif cmd == "outliers":
         out = aggregates.outliers(ds, args.columns.split(","), method=args.method,
                                   factor=args.factor,

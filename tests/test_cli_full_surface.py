@@ -73,6 +73,11 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "--method", "spearman"],
         ["correlations", li, "-c", "l_quantity,l_extendedprice",
          "--method", "kendall"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice",
+         "--method", "kendall", "--p-values", "--exact"],
+        ["quantiles", li, "-c", "l_extendedprice", "--q", "0.25,0.5,0.9"],
+        ["quantiles", li, "-c", "l_extendedprice", "--q", "0.25,0.5,0.9",
+         "--sketch"],
         ["outliers", li, "-c", "l_extendedprice", "--method", "iqr", "--factor", "1.5"],
         ["binning", orders, "-c", "o_totalprice", "--bins", "4"],
         ["pivot", orders, "--index", "o_orderstatus", "--pivot", "o_orderpriority",
