@@ -1809,8 +1809,11 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, source, regexp_replace(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', "
             "'g') AS text FROM n), "
-            "d AS (SELECT * FROM r WHERE lower(regexp_extract(text, "
-            "'https?://([A-Za-z0-9.-]+)', 1)) NOT IN ('spam.example')) "
+            # COALESCE: a NULL text row has no URL and must SURVIVE the
+            # blocklist, matching filter_domains' fill_null('') semantics
+            "d AS (SELECT * FROM r WHERE COALESCE(lower(regexp_extract("
+            "text, 'https?://([A-Za-z0-9.-]+)', 1)), '') "
+            "NOT IN ('spam.example')) "
             f"SELECT doc_id, text FROM d WHERE "
             f"((doc_id * {HASH_MULT} + 7) % {HASH_MOD}) * 1000000 < "
             f"(CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 0 "

@@ -344,6 +344,10 @@ def main(argv: list[str] | None = None) -> int:
         print(aggregates.frequency(ds, args.columns.split(","), args.limit).to_string(index=False))
     elif cmd == "correlations":
         cols = args.columns.split(",") if args.columns else None
+        if args.exact and not (args.method == "kendall" and args.p_values):
+            raise SystemExit("--exact requires --method kendall --p-values "
+                             "(exact matrix mode is not implemented; the "
+                             "matrix path uses the seeded sample)")
         if args.method == "pearson" and args.p_values:
             for (a, b), r in aggregates.pearson_with_p_all(ds, cols).items():
                 print(a, b, round(r["r"], 6), "p_t", round(r["p_value"], 6),
@@ -373,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
             print(fn(ds, cols).to_string())
     elif cmd == "quantiles":
         qs = [float(x) for x in args.q.split(",") if x]
+        if any(not 0.0 <= q <= 1.0 for q in qs):
+            raise SystemExit(f"quantiles must be in [0, 1]: {qs}")
         if args.sketch:
             from .sketch import approx_quantiles_tdigest
 
