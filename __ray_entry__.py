@@ -722,6 +722,15 @@ def q_hygiene_corpus(sf):
     return out.select_columns(["doc_id", "text"])
 
 
+def q_bpe_pair_counts(sf):
+    # BPE round 0: top adjacent-character pairs over the distinct-word
+    # frequency table (the full iterative trainer is bpe_train,
+    # verified merge-sequence-identical vs a sequential reference)
+    from nailray.textops.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_t(sf, "documents"), "text", k=20)
+
+
 def q_pack_sequences(sf):
     # sequence packing, oracle-checked through its INVARIANTS: the pack
     # ASSIGNMENT is algorithmic (partition-prefixed ids), but the
@@ -1218,7 +1227,7 @@ _QUERY_PRIORITY = [
     # the least-covered queries first
     "redact_pii", "normalize_text", "mix_sources", "explode_lines",
     "filter_domains", "weighted_sample", "weighted_sample_group",
-    "hygiene_corpus",
+    "hygiene_corpus", "bpe_pair_counts",
     "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
     "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
@@ -1297,6 +1306,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "weighted_sample_group": q_weighted_sample_group,
         "hygiene_corpus": q_hygiene_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -1797,6 +1807,17 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
             f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey "
             f"LIMIT 200"),
+        "bpe_pair_counts": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x != '')) AS word "
+            "FROM documents), "
+            "wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok "
+            "GROUP BY word), "
+            "pairs AS (SELECT substring(word, i, 1) AS a, "
+            "substring(word, i + 1, 1) AS b, cnt FROM wc, "
+            "unnest(generate_series(1, len(word) - 1)) AS g(i)) "
+            "SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs "
+            "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20"),
         "hygiene_corpus": (
             # one nested expression composing the four hygiene stages in
             # the same order as the Ray pipeline

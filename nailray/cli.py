@@ -187,6 +187,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--group-by", default=None,
                     help="comma-separated keys: sample n per group instead")
+    sp = add("bpe-train", help="train a BPE merge table over the corpus")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=50)
+    sp.add_argument("--min-count", type=int, default=2)
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
@@ -518,6 +522,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _output(sampling.weighted_sample(ds, args.n, args.weight_col,
                                              args.id_column, seed=args.seed), args)
+    elif cmd == "bpe-train":
+        from .textops.bpe import bpe_train
+
+        for i, (a, b, cnt) in enumerate(
+                bpe_train(ds, text_col=args.text_col, n_merges=args.merges,
+                          min_count=args.min_count)):
+            print(i, a, b, cnt)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

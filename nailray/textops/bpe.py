@@ -1,0 +1,241 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+Classic BPE (Sennrich et al. 2016) trains on the DISTINCT-WORD
+frequency table, not the raw corpus — so the iterated state here is a
+Dataset of ``(symbols: list<string>, cnt)`` rows, one per distinct
+word (Zipf-small next to the corpus; still sharded, never collected).
+Each merge round is:
+
+1. pair counts: per-block vectorized adjacent-pair extraction over the
+   flattened symbol buffer → ``grouped_agg`` sum (the only exchange —
+   one row per (block, distinct pair) moves);
+2. winner: partial top-1 by (count DESC, pair ASC) — one row to the
+   driver (the merge table is the ONLY driver state, n_merges rows);
+3. apply: one vectorized pass rewrites the symbol lists (run-aware
+   non-overlapping left-to-right merge, the same semantics as the
+   sequential reference) and re-materializes the word table.
+
+Rounds are O(n_merges) narrow exchanges; nothing per-word ever lands
+on the driver. Equivalence with a sequential reference implementation
+(identical merge SEQUENCE, not just the final vocab) is asserted in
+tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def words_with_counts(ds: rd.Dataset, text_col: str = "text",
+                      num_partitions: int | None = None) -> rd.Dataset:
+    """Distinct-word frequency table ``(word, cnt)`` — whitespace
+    tokenization shared with :func:`~.analysis.whitespace_tokens`'
+    identity (split on ``\\s+``, empty tokens dropped)."""
+    from ..shuffle import grouped_agg
+    from .analysis import whitespace_tokens
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = whitespace_tokens(b.column(text_col))
+        vc = pc.value_counts(flat)
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]) \
+                 .map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, ["word"], {"cnt": ("cnt", "sum")},
+                       num_partitions=num_partitions)
+
+
+def _explode_chars(b: pa.Table) -> pa.Table:
+    """(word, cnt) → (symbols=list<codepoint>, cnt). ASCII words (the
+    common case after whitespace tokenization of web text) split via a
+    zero-copy byte-buffer view ('S1' → 'U1', one numpy pass); words
+    with multi-byte codepoints fall back to a per-word Python split —
+    this runs ONCE per training job over the distinct-word table."""
+    w = pc.fill_null(b.column("word"), "")
+    w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+    n = len(w)
+    lens_np = np.asarray(pc.utf8_length(w)).astype(np.int64)
+
+    from ..encode.codecs.base import strings_to_buffer
+
+    data, byte_lens = strings_to_buffer(w)
+    if (byte_lens == lens_np).all():  # pure ASCII: one char == one byte
+        chars = pa.array(data.view("S1").astype("U1"), pa.string())
+    else:
+        chars = pa.array([c for word in w.to_pylist() for c in word],
+                         pa.string())
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(lens_np, out=starts[1:])
+    sym = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), chars)
+    return pa.table({"symbols": sym, "cnt": b.column("cnt")})
+
+
+def _pair_counts(b: pa.Table) -> pa.Table:
+    """Adjacent-symbol pair counts for one block (weighted by word
+    count), fully vectorized over the flattened symbol buffer."""
+    col = b.column("symbols")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(col)
+    parents = np.asarray(pc.list_parent_indices(col)).astype(np.int64)
+    nf = len(flat)
+    if nf < 2:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    same = parents[1:] == parents[:-1]
+    cnt = np.asarray(b.column("cnt")).astype(np.int64)[parents[:-1]]
+    a = flat.slice(0, nf - 1).filter(pa.array(same))
+    bb = flat.slice(1, nf - 1).filter(pa.array(same))
+    w = cnt[same]
+    # pre-combine within the block: one row per distinct (a, b)
+    import pandas as pd
+
+    df = pd.DataFrame({"a": np.asarray(a).astype(object),
+                       "b": np.asarray(bb).astype(object), "cnt": w})
+    g = df.groupby(["a", "b"], as_index=False, sort=False)["cnt"].sum()
+    return pa.table({"a": pa.array(g["a"], pa.string()),
+                     "b": pa.array(g["b"], pa.string()),
+                     "cnt": pa.array(g["cnt"], pa.int64())})
+
+
+def _apply_merge(b: pa.Table, left: str, right: str) -> pa.Table:
+    """Rewrite symbol lists merging non-overlapping left-to-right
+    occurrences of (left, right) — vectorized run resolution: in a run
+    of consecutive matches (e.g. 'aaaa' under merge ('a','a')), keep
+    every other match starting from the run head, exactly like the
+    sequential scan."""
+    col = b.column("symbols")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(col)
+    parents = np.asarray(pc.list_parent_indices(col)).astype(np.int64)
+    nf = len(flat)
+    n_rows = len(col)
+    if nf < 2:
+        return b
+    same = parents[1:] == parents[:-1]
+    m = (np.asarray(pc.equal(flat.slice(0, nf - 1), left)).astype(bool)
+         & np.asarray(pc.equal(flat.slice(1, nf - 1), right)).astype(bool)
+         & same)
+    if not m.any():
+        return b
+    # left-to-right non-overlap: position within each run of consecutive
+    # matches; keep even positions
+    idx = np.arange(nf - 1)
+    run_start = m & ~np.concatenate([[False], m[:-1]])
+    last_start = np.maximum.accumulate(np.where(run_start, idx, -1))
+    keep_merge = m & ((idx - last_start) % 2 == 0)
+    # within a run, a kept merge at i consumes i+1, so the NEXT kept
+    # candidate must be i+2 — even positions achieve exactly that
+    merged_at = np.flatnonzero(keep_merge)
+    drop = np.zeros(nf, bool)
+    drop[merged_at + 1] = True
+    is_merged = np.zeros(nf, bool)
+    is_merged[merged_at] = True
+    new_flat = pc.if_else(pa.array(is_merged), pa.scalar(left + right),
+                          flat).filter(pa.array(~drop))
+    new_parents = parents[~drop]
+    counts = np.bincount(new_parents, minlength=n_rows)
+    offsets = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    sym = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                   new_flat.combine_chunks()
+                                   if isinstance(new_flat, pa.ChunkedArray)
+                                   else new_flat)
+    return pa.table({"symbols": sym, "cnt": b.column("cnt")})
+
+
+def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
+              min_count: int = 2,
+              num_partitions: int | None = None) -> list[tuple[str, str, int]]:
+    """Train a BPE merge table over the corpus: returns
+    ``[(left, right, count), ...]`` in merge order (deterministic
+    tie-break: count DESC, then (left, right) ascending — same rule as
+    the sequential reference). Stops early when the best pair's count
+    falls below ``min_count``.
+
+    Scale shape per round: one pre-combined pair-count exchange over
+    the distinct-word table + a partial top-1; the word table stays a
+    materialized Dataset between rounds (symbols shrink as merges
+    apply). Driver state = the merge table (n_merges rows)."""
+    import functools
+
+    from ..shuffle import grouped_agg
+    from ..ops.sorting import topk
+
+    words = words_with_counts(ds, text_col, num_partitions=num_partitions)
+    table = words.map_batches(_explode_chars,
+                              batch_format="pyarrow").materialize()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts = grouped_agg(
+            table.map_batches(_pair_counts, batch_format="pyarrow"),
+            ["a", "b"], {"cnt": ("cnt", "sum")},
+            num_partitions=num_partitions)
+        top = topk(counts, ["cnt", "a", "b"], 1,
+                   descending=[True, False, False]).take_all()
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((left, right, cnt))
+        table = table.map_batches(
+            functools.partial(_apply_merge, left=left, right=right),
+            batch_format="pyarrow").materialize()
+    return merges
+
+
+def bpe_pair_counts(ds: rd.Dataset, text_col: str = "text", k: int = 20,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """Top-``k`` adjacent-CHARACTER pairs over the distinct-word
+    frequency table (count DESC, pair ASC) — round 0 of BPE training as
+    a standalone oracled query (the full iterative trainer is
+    :func:`bpe_train`; its later rounds depend on applied merges and
+    are checked against the sequential reference instead)."""
+    from ..ops.sorting import topk
+    from ..shuffle import grouped_agg
+
+    words = words_with_counts(ds, text_col, num_partitions=num_partitions)
+    pairs = words.map_batches(_explode_chars, batch_format="pyarrow") \
+                 .map_batches(_pair_counts, batch_format="pyarrow")
+    counts = grouped_agg(pairs, ["a", "b"], {"cnt": ("cnt", "sum")},
+                         num_partitions=num_partitions)
+    return topk(counts, ["cnt", "a", "b"], k, descending=[True, False, False])
+
+
+def bpe_train_reference(word_counts: dict[str, int], n_merges: int = 50,
+                        min_count: int = 2) -> list[tuple[str, str, int]]:
+    """Sequential reference implementation (the classic dict-based BPE
+    loop) used to assert the distributed trainer's merge sequence is
+    IDENTICAL — same tie-break (count DESC, pair ASC)."""
+    words = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pairs[sym[i], sym[i + 1]] = pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        new_words: dict[tuple, int] = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + c
+        words = new_words
+    return merges

@@ -107,6 +107,7 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["mix", f"{sf_dir}/documents.parquet", "--group-col", "source",
          "--rates", "src0=0.2,src1=0.5", "--id-column", "doc_id",
          "-o", f"{out}/mixed"],
+        ["bpe-train", f"{sf_dir}/documents.parquet", "--merges", "3"],
         ["pack", f"{sf_dir}/documents.parquet", "--budget", "2048",
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
