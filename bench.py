@@ -398,6 +398,14 @@ def run_queries() -> dict[str, float]:
                                         columns=["doc_id", "text"]),
                        {"spam.example"}).count()
 
+    @timed("bpe_train_5")
+    def _bpe():
+        from nailray.textops.bpe import bpe_train
+
+        bpe_train(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["text"]),
+                  "text", n_merges=5)
+
     @timed("tdigest_quantiles")
     def _tdigest():
         from nailray.sketch import approx_quantiles_tdigest
