@@ -523,12 +523,24 @@ def main(argv: list[str] | None = None) -> int:
             _output(sampling.weighted_sample(ds, args.n, args.weight_col,
                                              args.id_column, seed=args.seed), args)
     elif cmd == "bpe-train":
+        import pyarrow as pa
+        import ray.data as rd
+
         from .textops.bpe import bpe_train
 
-        for i, (a, b, cnt) in enumerate(
-                bpe_train(ds, text_col=args.text_col, n_merges=args.merges,
-                          min_count=args.min_count)):
-            print(i, a, b, cnt)
+        merges = bpe_train(ds, text_col=args.text_col, n_merges=args.merges,
+                           min_count=args.min_count)
+        if args.output:
+            t = pa.table({
+                "merge_idx": pa.array(range(len(merges)), pa.int64()),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+                "cnt": pa.array([m[2] for m in merges], pa.int64()),
+            })
+            _output(rd.from_arrow(t), args)
+        else:
+            for i, (a, b, cnt) in enumerate(merges):
+                print(i, a, b, cnt)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 

@@ -63,7 +63,10 @@ def _explode_chars(b: pa.Table) -> pa.Table:
     from ..encode.codecs.base import strings_to_buffer
 
     data, byte_lens = strings_to_buffer(w)
-    if (byte_lens == lens_np).all():  # pure ASCII: one char == one byte
+    # fast path requires one char == one byte AND no NUL bytes (numpy
+    # 'S1'→'U1' silently maps b'\\x00' to '', which would corrupt the
+    # symbol stream and break merge-sequence identity)
+    if (byte_lens == lens_np).all() and not (data == 0).any():
         chars = pa.array(data.view("S1").astype("U1"), pa.string())
     else:
         chars = pa.array([c for word in w.to_pylist() for c in word],
@@ -75,8 +78,9 @@ def _explode_chars(b: pa.Table) -> pa.Table:
 
 
 def _pair_counts(b: pa.Table) -> pa.Table:
-    """Adjacent-symbol pair counts for one block (weighted by word
-    count), fully vectorized over the flattened symbol buffer."""
+    """Adjacent-symbol pair rows for one block — one (a, b, word_cnt)
+    row per pair occurrence, fully vectorized over the flattened symbol
+    buffer; the downstream grouped_agg partial pre-combines per block."""
     col = b.column("symbols")
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = pc.list_flatten(col)
@@ -90,16 +94,11 @@ def _pair_counts(b: pa.Table) -> pa.Table:
     cnt = np.asarray(b.column("cnt")).astype(np.int64)[parents[:-1]]
     a = flat.slice(0, nf - 1).filter(pa.array(same))
     bb = flat.slice(1, nf - 1).filter(pa.array(same))
-    w = cnt[same]
-    # pre-combine within the block: one row per distinct (a, b)
-    import pandas as pd
-
-    df = pd.DataFrame({"a": np.asarray(a).astype(object),
-                       "b": np.asarray(bb).astype(object), "cnt": w})
-    g = df.groupby(["a", "b"], as_index=False, sort=False)["cnt"].sum()
-    return pa.table({"a": pa.array(g["a"], pa.string()),
-                     "b": pa.array(g["b"], pa.string()),
-                     "cnt": pa.array(g["cnt"], pa.int64())})
+    # raw (a, b, cnt) rows — grouped_agg's partial stage pre-combines
+    # per block anyway (Ray fuses the two map stages into one task), so
+    # a groupby here would just group the same stream twice
+    return pa.table({"a": a, "b": bb,
+                     "cnt": pa.array(cnt[same], pa.int64())})
 
 
 def _apply_merge(b: pa.Table, left: str, right: str) -> pa.Table:
@@ -170,6 +169,8 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
     table = words.map_batches(_explode_chars,
                               batch_format="pyarrow").materialize()
     merges: list[tuple[str, str, int]] = []
+    if table.count() == 0:  # empty corpus: no schema for topk to sort
+        return merges
     for _ in range(n_merges):
         counts = grouped_agg(
             table.map_batches(_pair_counts, batch_format="pyarrow"),
@@ -197,7 +198,13 @@ def bpe_pair_counts(ds: rd.Dataset, text_col: str = "text", k: int = 20,
     from ..ops.sorting import topk
     from ..shuffle import grouped_agg
 
-    words = words_with_counts(ds, text_col, num_partitions=num_partitions)
+    words = words_with_counts(ds, text_col,
+                              num_partitions=num_partitions).materialize()
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if words.count() == 0:  # empty corpus: no schema for topk to sort
+        return rd.from_arrow(empty)
     pairs = words.map_batches(_explode_chars, batch_format="pyarrow") \
                  .map_batches(_pair_counts, batch_format="pyarrow")
     counts = grouped_agg(pairs, ["a", "b"], {"cnt": ("cnt", "sum")},

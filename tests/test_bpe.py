@@ -69,3 +69,14 @@ def test_words_with_counts_and_pair_query(sf_dir):
     assert total == ref
     top = bpe_pair_counts(ds, k=5).to_pandas()
     assert len(top) == 5 and (top["cnt"].diff().dropna() <= 0).all()
+
+
+def test_bpe_empty_corpus_and_nul_bytes():
+    # empty corpus → empty merge table, no crash
+    assert bpe_train(_ds([""], parts=1), "text", n_merges=3) == []
+    # NUL byte in a word must NOT take the ASCII byte-view fast path
+    # (S1→U1 maps b'\x00' to '', corrupting symbols)
+    texts = ["a\x00b a\x00b a\x00b xy xy"]
+    got = bpe_train(_ds(texts, parts=1), "text", n_merges=2)
+    ref = bpe_train_reference(_wc(texts), n_merges=2)
+    assert got == ref
