@@ -1221,16 +1221,21 @@ def entry() -> Any:
 
 
 _QUERY_PRIORITY = [
-    # new or changed this round, then queries with no driver row in
-    # r1/r2 — names are STABLE across rounds (VERDICT r2 #9); only the
-    # dict ordering changes so a deterministic driver sample confirms
-    # the least-covered queries first
-    "redact_pii", "normalize_text", "mix_sources", "explode_lines",
-    "filter_domains", "weighted_sample", "weighted_sample_group",
-    "hygiene_corpus", "bpe_pair_counts",
-    "kendall_exact", "multimodal_stats", "pack_sequences", "unigram_logprob",
+    # Names are STABLE across rounds (VERDICT r2 #9); only the dict
+    # ordering changes so a deterministic driver sample confirms the
+    # least-covered queries first.  Head of list (VERDICT r3 #2): the
+    # only four registry entries with no driver-green row in r1/r2/r3.
+    "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
+    # new or changed this round
+    "kendall_matrix_exact", "spearman_matrix_exact", "bpe_pair_counts",
+    "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
+    "multimodal_stats", "hygiene_corpus",
+    # r3 wave, keep warm
+    "redact_pii", "mix_sources", "filter_domains",
+    "weighted_sample", "weighted_sample_group",
+    "kendall_exact", "pack_sequences", "unigram_logprob",
     "minhash_dedup_docs", "sliding_windows", "langid_docs",
-    "fingerprint_docs", "dedup_lines", "dedup_spans", "bm25_scores",
+    "fingerprint_docs", "bm25_scores",
     "exact_dedup_docs", "clean_corpus",
     "merge_full", "asof_join_hourly", "lookback_features", "rank_orders",
     "running_total", "lag_events", "dense_rank_lineitem",
@@ -1779,8 +1784,12 @@ def oracle_sql() -> dict[str, str]:
             f"(CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 500000 "
             f"WHEN 'src2' THEN 0 ELSE 1000000 END) * {HASH_MOD}"),
         "explode_lines": (
-            "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) "
-            "AS line_no, unnest(string_split(text, chr(10))) AS line "
+            # COALESCE matches the impl's fill_null(text, ''): a NULL doc
+            # yields one empty-line row instead of unnest dropping it
+            "SELECT doc_id, "
+            "generate_subscripts(string_split(COALESCE(text, ''), chr(10)), 1) "
+            "AS line_no, "
+            "unnest(string_split(COALESCE(text, ''), chr(10))) AS line "
             "FROM documents"),
         "multimodal_stats": (
             # symbolic replay of the closed-form BMP pattern, the

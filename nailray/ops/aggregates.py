@@ -360,17 +360,42 @@ def spearman_with_p(ds: rd.Dataset, x: str, y: str,
 
 def kendall_with_p(ds: rd.Dataset, x: str, y: str, sample_rows: int = 2000,
                    seed: int = 42, method: str = "sample") -> dict:
-    """Kendall tau with the normal-approximation p-value
-    (z = 3τ·√(n(n−1)) / √(2(2n+5))). ``method="sample"`` (default):
-    tau-a on a seeded sample, n = sampled rows. ``method="exact"``:
-    exact distributed tau-b over ALL complete pairs
-    (:func:`nailray.ops.rank.kendall_exact`), n = complete-pair count."""
+    """Kendall tau with a normal-approximation p-value.
+
+    ``method="sample"`` (default): tau-a on a seeded sample, n = sampled
+    rows, no-ties variance z = 3τ·√(n(n−1)) / √(2(2n+5)).
+    ``method="exact"``: exact distributed tau-b over ALL complete pairs
+    (:func:`nailray.ops.rank.kendall_exact`), n = complete-pair count,
+    and the TIE-CORRECTED variance of the S = C−D statistic (Kendall
+    1945 — the variance tau-b itself exists for):
+
+        var(S) = (v0 − vt − vu)/18 + v1 + v2
+        v0 = n(n−1)(2n+5);  vt/vu = Σ t(t−1)(2t+5) per variable
+        v1 = Σt(t−1)·Σu(u−1) / (2n(n−1))
+        v2 = Σt(t−1)(t−2)·Σu(u−1)(u−2) / (9n(n−1)(n−2))
+
+    with z = S/√var(S). With zero ties this reduces exactly to the
+    sample formula. The tie moments ride along from kendall_exact's own
+    aggregates — no extra dataset scan."""
     if method == "exact":
         from .rank import kendall_exact
 
-        # n (complete-pair row count) rides along from kendall_exact's
-        # own aggregate — no second dataset scan
-        tau, n = kendall_exact(ds, x, y, return_stats=True)
+        st = kendall_exact(ds, x, y, return_stats=True)
+        tau, n = st["tau"], st["n"]
+        if n < 2 or math.isnan(tau):
+            return {"tau": tau, "n": n, "p_value": float("nan")}
+        tx1, tx2, tx3 = st["tie_x"]
+        ty1, ty2, ty3 = st["tie_y"]
+        v0 = float(n) * (n - 1) * (2 * n + 5)
+        var_s = (v0 - tx2 - ty2) / 18.0
+        var_s += (2.0 * tx1) * (2.0 * ty1) / (2.0 * n * (n - 1))
+        if n > 2:
+            var_s += tx3 * ty3 / (9.0 * n * (n - 1) * (n - 2))
+        if var_s <= 0:
+            return {"tau": tau, "n": n, "p_value": float("nan")}
+        z = st["s"] / math.sqrt(var_s)
+        return {"tau": tau, "n": n,
+                "p_value": math.erfc(abs(z) / math.sqrt(2.0))}
     elif method == "sample":
         total = ds.count()
         n = min(total, sample_rows)

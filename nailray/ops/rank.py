@@ -151,20 +151,35 @@ def _weighted_cd(x: np.ndarray, y: np.ndarray, c: np.ndarray) -> int:
     return cd
 
 
-def _pair_sum(counts_ds: rd.Dataset, col: str) -> float:
-    """Σ c·(c−1)/2 over a (…, col) count Dataset — the tie-pair total
-    for one variable (float64 partials: exact below 2^53, and tau is a
-    ratio so the relative error beyond that is negligible)."""
+def _tie_moments(counts_ds: rd.Dataset, col: str) -> tuple[float, float, float]:
+    """One pass over a (…, col) count Dataset → the three tie-group
+    moments the tau-b significance test needs (Kendall 1945 variance):
+    ``(Σ c(c−1)/2, Σ c(c−1)(2c+5), Σ c(c−1)(c−2))``. Float64 partials:
+    exact below 2^53, and both tau and z are ratios so relative error
+    beyond that is negligible."""
     def partial(b: pa.Table) -> pa.Table:
         v = np.asarray(pc.cast(b.column(col), pa.float64()))
-        return pa.table({"t": pa.array([float((v * (v - 1.0) / 2.0).sum())])})
+        cc1 = v * (v - 1.0)
+        return pa.table({
+            "t1": pa.array([float((cc1 / 2.0).sum())]),
+            "t2": pa.array([float((cc1 * (2.0 * v + 5.0)).sum())]),
+            "t3": pa.array([float((cc1 * (v - 2.0)).sum())]),
+        })
 
-    tot = 0.0
+    t1 = t2 = t3 = 0.0
     for b in counts_ds.map_batches(partial, batch_format="pyarrow") \
                       .iter_batches(batch_format="pyarrow"):
-        if "t" in b.column_names:
-            tot += float(pc.sum(b.column("t")).as_py() or 0.0)
-    return tot
+        if "t1" in b.column_names:
+            t1 += float(pc.sum(b.column("t1")).as_py() or 0.0)
+            t2 += float(pc.sum(b.column("t2")).as_py() or 0.0)
+            t3 += float(pc.sum(b.column("t3")).as_py() or 0.0)
+    return t1, t2, t3
+
+
+def _pair_sum(counts_ds: rd.Dataset, col: str) -> float:
+    """Σ c·(c−1)/2 over a (…, col) count Dataset — the tie-pair total
+    for one variable (see :func:`_tie_moments` for the full set)."""
+    return _tie_moments(counts_ds, col)[0]
 
 
 def _bucket_bounds(values_ds: rd.Dataset, col: str, n_buckets: int) -> np.ndarray:
@@ -216,13 +231,21 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
     Driver state: two bounds arrays (≤ n_buckets floats), the bucket
     contingency matrix, and a handful of scalars — never a row set.
 
-    ``return_stats=True`` returns ``(tau, n_complete_pairs)`` — n is
-    already computed internally, so callers needing it (p-values) must
-    not pay a second dataset scan."""
+    ``return_stats=True`` returns a dict ``{tau, n, s, tie_x, tie_y}``
+    — ``s`` the raw C−D sum and ``tie_x``/``tie_y`` the per-variable
+    tie-group moments ``(Σt(t−1)/2, Σt(t−1)(2t+5), Σt(t−1)(t−2))`` —
+    everything the tie-corrected tau-b significance test needs, all
+    computed from aggregates this function already runs (no second
+    dataset scan)."""
     import functools
     import math
 
     from ..shuffle import partition_count
+
+    def _stats(tau: float, n: int, s: float = 0.0,
+               tx: tuple = (0.0, 0.0, 0.0),
+               ty: tuple = (0.0, 0.0, 0.0)) -> dict:
+        return {"tau": tau, "n": n, "s": s, "tie_x": tx, "tie_y": ty}
 
     def complete(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(b.column(x)), pc.is_valid(b.column(y)))
@@ -235,7 +258,7 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                         num_partitions=num_partitions).materialize()
     m_distinct = pairs.count()
     if m_distinct == 0:
-        return (float("nan"), 0) if return_stats else float("nan")
+        return _stats(float("nan"), 0) if return_stats else float("nan")
     nb = max(4, min(n_buckets, m_distinct // 2048 + 1))
 
     # n and tie-pair sums — the two marginal aggregates are independent,
@@ -255,13 +278,15 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
     for b in gx.iter_batches(batch_format="pyarrow"):
         n += int(pc.sum(b.column("c")).as_py() or 0)
     if n < 2:
-        return (float("nan"), n) if return_stats else float("nan")
+        return _stats(float("nan"), n) if return_stats else float("nan")
     n0 = n * (n - 1) / 2.0
-    n1 = _pair_sum(gx, "c")
-    n2 = _pair_sum(gy, "c")
+    tie_x = _tie_moments(gx, "c")
+    tie_y = _tie_moments(gy, "c")
+    n1, n2 = tie_x[0], tie_y[0]
     denom = math.sqrt((n0 - n1) * (n0 - n2))
     if denom == 0:
-        return (float("nan"), n) if return_stats else float("nan")
+        return _stats(float("nan"), n, 0.0, tie_x, tie_y) \
+            if return_stats else float("nan")
 
     bx_bounds = _bucket_bounds(gx, "x", nb)
     by_bounds = _bucket_bounds(gy, "y", nb)
@@ -331,7 +356,8 @@ def kendall_exact(ds: rd.Dataset, x: str, y: str, n_buckets: int = 128,
                          _ex.submit(_term_c))
         cd_total = _fa.result() + _fb.result() + _fc.result()
     tau = cd_total / denom
-    return (tau, n) if return_stats else tau
+    return _stats(tau, n, float(cd_total), tie_x, tie_y) \
+        if return_stats else tau
 
 
 def spearman_exact(ds: rd.Dataset, x: str, y: str,

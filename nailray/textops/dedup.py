@@ -355,13 +355,17 @@ def lsh_candidate_pairs(sig_ds: rd.Dataset, id_col: str, num_perm: int = 64,
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
-def _label_checksum(labels: rd.Dataset) -> tuple[int, int]:
-    """(wrapping-mod-2^64 sum of labels, row count) — the per-round
-    convergence probe for :func:`connected_component_labels`. Labels
-    only ever DECREASE per node, so the true sum strictly decreases on
-    any change; an unchanged wrapping sum + count therefore means
-    fixpoint (a false positive needs the round's total decrease to be
-    ≡ 0 mod 2^64). One tiny row per block reaches the driver."""
+def _label_checksum(labels: rd.Dataset) -> tuple[int, int, int]:
+    """(wrapping-mod-2^64 sum, xor-fold, row count) of labels — the
+    per-round convergence probe for :func:`connected_component_labels`.
+    Labels only ever DECREASE per node, so the true sum strictly
+    decreases on any change; an unchanged wrapping sum + count means
+    fixpoint up to a sum collision (round's total decrease ≡ 0 mod
+    2^64). The second, INDEPENDENT xor-of-values fold means a silent
+    early stop needs two simultaneous collisions — for the string-id
+    path (where labels are hashed and the strictly-decreasing argument
+    is only probabilistic) this squares the already-negligible failure
+    odds. One tiny row per block reaches the driver."""
     def partial(b: pa.Table) -> pa.Table:
         col = b.column("label")
         if pa.types.is_integer(col.type):
@@ -374,17 +378,21 @@ def _label_checksum(labels: rd.Dataset) -> tuple[int, int]:
                 col.to_pandas(), index=False).to_numpy(np.uint64)
         with np.errstate(over="ignore"):
             s = int(v.sum(dtype=np.uint64))
+        x = int(np.bitwise_xor.reduce(v)) if len(v) else 0
         return pa.table({"s": pa.array([s], pa.uint64()),
+                         "x": pa.array([x], pa.uint64()),
                          "n": pa.array([len(v)], pa.int64())})
 
-    acc_s, acc_n = 0, 0
+    acc_s, acc_x, acc_n = 0, 0, 0
     for b in labels.map_batches(partial, batch_format="pyarrow") \
                    .iter_batches(batch_format="pyarrow"):
         if "s" not in b.column_names:  # UDF skipped on all-empty blocks
             continue
         acc_s = (acc_s + int(pc.sum(b.column("s")).as_py() or 0)) % (1 << 64)
+        for xv in b.column("x").to_pylist():
+            acc_x ^= int(xv or 0)
         acc_n += int(pc.sum(b.column("n")).as_py() or 0)
-    return acc_s, acc_n
+    return acc_s, acc_x, acc_n
 
 
 def _cc_single_task_impl(src_col: str, dst_col: str, *blocks):

@@ -533,6 +533,40 @@ def test_rank_correlation_p_values():
     assert aggregates.kendall_with_p(ds2, "x", "y", sample_rows=n)["p_value"] < 1e-6
 
 
+def test_kendall_exact_p_tie_corrected():
+    # heavy ties (the case tau-b exists for): check the tie-corrected
+    # z against an O(n^2) brute-force S + textbook variance computed
+    # independently here
+    import math
+
+    rng = np.random.default_rng(17)
+    n = 120
+    x = rng.integers(0, 6, n).astype(np.float64)
+    y = (x + rng.integers(0, 4, n)).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(5)
+    res = aggregates.kendall_with_p(ds, "x", "y", method="exact")
+
+    s = sum(np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+            for i in range(n) for j in range(i))
+    tx = np.unique(x, return_counts=True)[1].astype(np.float64)
+    ty = np.unique(y, return_counts=True)[1].astype(np.float64)
+    v0 = n * (n - 1) * (2 * n + 5)
+    vt = (tx * (tx - 1) * (2 * tx + 5)).sum()
+    vu = (ty * (ty - 1) * (2 * ty + 5)).sum()
+    v1 = (tx * (tx - 1)).sum() * (ty * (ty - 1)).sum() / (2 * n * (n - 1))
+    v2 = ((tx * (tx - 1) * (tx - 2)).sum() * (ty * (ty - 1) * (ty - 2)).sum()
+          / (9 * n * (n - 1) * (n - 2)))
+    var_s = (v0 - vt - vu) / 18 + v1 + v2
+    z = s / math.sqrt(var_s)
+    expect_p = math.erfc(abs(z) / math.sqrt(2.0))
+    n0 = n * (n - 1) / 2
+    expect_tau = s / math.sqrt((n0 - (tx * (tx - 1) / 2).sum())
+                               * (n0 - (ty * (ty - 1) / 2).sum()))
+    assert abs(res["tau"] - expect_tau) < 1e-12
+    assert abs(res["p_value"] - expect_p) < 1e-10
+    assert res["n"] == n
+
+
 def test_pearson_with_p():
     n = 40
     x = np.arange(n, dtype=np.float64)
