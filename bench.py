@@ -406,6 +406,16 @@ def run_queries() -> dict[str, float]:
                                    columns=["text"]),
                   "text", n_merges=5)
 
+    @timed("bpe_train_50")
+    def _bpe50():
+        # 10x the merges of bpe_train_5 — the batched incremental
+        # trainer should grow the wall FAR less than 10x
+        from nailray.textops.bpe import bpe_train
+
+        bpe_train(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["text"]),
+                  "text", n_merges=50)
+
     @timed("tdigest_quantiles")
     def _tdigest():
         from nailray.sketch import approx_quantiles_tdigest

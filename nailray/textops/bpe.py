@@ -101,12 +101,15 @@ def _pair_counts(b: pa.Table) -> pa.Table:
                      "cnt": pa.array(cnt[same], pa.int64())})
 
 
-def _apply_merge(b: pa.Table, left: str, right: str) -> pa.Table:
+def _apply_merge(b: pa.Table, left: str, right: str,
+                 return_affected: bool = False):
     """Rewrite symbol lists merging non-overlapping left-to-right
     occurrences of (left, right) — vectorized run resolution: in a run
     of consecutive matches (e.g. 'aaaa' under merge ('a','a')), keep
     every other match starting from the run head, exactly like the
-    sequential scan."""
+    sequential scan. With ``return_affected`` also returns the np array
+    of row indices whose symbol list changed (None if none did) — the
+    hook the incremental delta pass builds on."""
     col = b.column("symbols")
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = pc.list_flatten(col)
@@ -114,13 +117,13 @@ def _apply_merge(b: pa.Table, left: str, right: str) -> pa.Table:
     nf = len(flat)
     n_rows = len(col)
     if nf < 2:
-        return b
+        return (b, None) if return_affected else b
     same = parents[1:] == parents[:-1]
     m = (np.asarray(pc.equal(flat.slice(0, nf - 1), left)).astype(bool)
          & np.asarray(pc.equal(flat.slice(1, nf - 1), right)).astype(bool)
          & same)
     if not m.any():
-        return b
+        return (b, None) if return_affected else b
     # left-to-right non-overlap: position within each run of consecutive
     # matches; keep even positions
     idx = np.arange(nf - 1)
@@ -144,33 +147,262 @@ def _apply_merge(b: pa.Table, left: str, right: str) -> pa.Table:
                                    new_flat.combine_chunks()
                                    if isinstance(new_flat, pa.ChunkedArray)
                                    else new_flat)
-    return pa.table({"symbols": sym, "cnt": b.column("cnt")})
+    out = pa.table({"symbols": sym, "cnt": b.column("cnt")})
+    if return_affected:
+        return out, np.unique(parents[merged_at])
+    return out
+
+
+def _apply_merge_with_delta(b: pa.Table, left: str, right: str):
+    """One merge over a block plus the EXACT pair-count delta it causes:
+    ``(new_table, delta_table(a, b, cnt) | None)``. Only the words whose
+    symbol list actually changed are diffed (pair counts before vs after
+    over that small subset) — the vectorized form of Sennrich's
+    incremental update, where a merge touches only words containing the
+    pair."""
+    new_b, affected = _apply_merge(b, left, right, return_affected=True)
+    if affected is None:
+        return b, None
+    mask = np.zeros(b.num_rows, bool)
+    mask[affected] = True
+    am = pa.array(mask)
+    before = _pair_counts(b.filter(am))
+    neg = before.set_column(
+        before.column_names.index("cnt"), "cnt",
+        pc.negate(before.column("cnt")))
+    # Arrow group_by, NOT pandas: pandas' string-key hash truncates at
+    # the first NUL byte, silently folding e.g. ('a','\\x00') with
+    # ('a','\\x00b'); Arrow strings are length-prefixed
+    d = pa.concat_tables([_pair_counts(new_b.filter(am)), neg]) \
+          .group_by(["a", "b"]).aggregate([("cnt", "sum")])
+    d = d.filter(pc.not_equal(d.column("cnt_sum"), 0))
+    if d.num_rows == 0:
+        return new_b, None
+    return new_b, pa.table({"a": d.column("a"), "b": d.column("b"),
+                            "cnt": pc.cast(d.column("cnt_sum"), pa.int64())})
+
+
+_SYM_T = pa.list_(pa.string())
+
+
+def _batch_apply_kernel(b: pa.Table, merges: list[tuple[str, str]],
+                        want_deltas: bool) -> pa.Table:
+    """Apply ``merges`` SEQUENTIALLY to one block (per-word semantics
+    make local sequential application equal global sequential
+    application). With ``want_deltas`` the output is a tagged union:
+    word rows (symbols, cnt; step null) plus per-step pair-delta rows
+    (step, a, b, delta; symbols null) — one heavy pass produces both the
+    new table and the evidence the driver needs to validate the
+    speculative batch."""
+    tbl = (b.select(["symbols", "cnt"])
+           if b.column_names != ["symbols", "cnt"] else b)
+    parts: list[pa.Table] = []
+    for step, (l, r) in enumerate(merges):
+        if want_deltas:
+            tbl, delta = _apply_merge_with_delta(tbl, l, r)
+            if delta is not None:
+                parts.append(delta.append_column(
+                    "step", pa.array([step] * delta.num_rows, pa.int64())))
+        else:
+            tbl = _apply_merge(tbl, l, r)
+    if not want_deltas:
+        return tbl
+    n = tbl.num_rows
+    sym = tbl.column("symbols")
+    sym = sym.combine_chunks() if isinstance(sym, pa.ChunkedArray) else sym
+    words_u = pa.table({
+        "symbols": sym.cast(_SYM_T),
+        "cnt": pc.cast(tbl.column("cnt"), pa.int64()),
+        "step": pa.nulls(n, pa.int64()),
+        "a": pa.nulls(n, pa.string()),
+        "b": pa.nulls(n, pa.string()),
+        "delta": pa.nulls(n, pa.int64()),
+    })
+    if not parts:
+        return words_u
+    d = pa.concat_tables(parts)
+    m = d.num_rows
+    delta_u = pa.table({
+        "symbols": pa.nulls(m, _SYM_T),
+        "cnt": pa.nulls(m, pa.int64()),
+        "step": d.column("step"),
+        "a": d.column("a"),
+        "b": d.column("b"),
+        "delta": d.column("cnt"),
+    })
+    return pa.concat_tables([words_u, delta_u])
+
+
+def _union_words(t: pa.Table) -> pa.Table:
+    w = t.filter(pc.is_null(t.column("step")))
+    return pa.table({"symbols": w.column("symbols"), "cnt": w.column("cnt")})
+
+
+def _union_deltas(t: pa.Table) -> pa.Table:
+    d = t.filter(pc.is_valid(t.column("step")))
+    return pa.table({"step": d.column("step"), "a": d.column("a"),
+                     "b": d.column("b"), "delta": d.column("delta")})
+
+
+def _heap_best(counts: dict, heap: list):
+    """Exact argmax under (count DESC, pair ASC) via the lazy max-heap —
+    stale entries (count changed or pair deleted) are discarded on pop."""
+    import heapq
+
+    while heap:
+        c, a, b = heap[0]
+        if counts.get((a, b)) == -c:
+            return a, b
+        heapq.heappop(heap)
+    return None
+
+
+def _heap_top_k(counts: dict, heap: list, k: int) -> list[tuple[str, str, int]]:
+    import heapq
+
+    out, stash = [], []
+    while heap and len(out) < k:
+        c, a, b = heapq.heappop(heap)
+        if counts.get((a, b)) == -c:
+            out.append((a, b, -c))
+            stash.append((c, a, b))
+        # stale entries are dropped for good
+    for e in stash:
+        heapq.heappush(heap, e)
+    return out
 
 
 def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
-              min_count: int = 2,
-              num_partitions: int | None = None) -> list[tuple[str, str, int]]:
+              min_count: int = 2, num_partitions: int | None = None,
+              batch_merges: int = 16,
+              driver_pairs_budget: int = 5_000_000) -> list[tuple[str, str, int]]:
     """Train a BPE merge table over the corpus: returns
     ``[(left, right, count), ...]`` in merge order (deterministic
-    tie-break: count DESC, then (left, right) ascending — same rule as
-    the sequential reference). Stops early when the best pair's count
-    falls below ``min_count``.
+    tie-break: count DESC, then (left, right) ascending — the merge
+    SEQUENCE is identical to the sequential reference, asserted in
+    tests/test_bpe.py).  Stops early when the best pair's count falls
+    below ``min_count``.
 
-    Scale shape per round: one pre-combined pair-count exchange over
-    the distinct-word table + a partial top-1; the word table stays a
-    materialized Dataset between rounds (symbols shrink as merges
-    apply). Driver state = the merge table (n_merges rows)."""
+    Incremental + batched (the fix for full-recount-per-merge): pair
+    counts are exchanged ONCE, then held on the driver as a dict + lazy
+    max-heap (size = distinct adjacent-pair TYPES — alphabet² + O(new
+    pairs per merge), orders of magnitude below the distinct-word
+    table; guarded by ``driver_pairs_budget`` with fallback to the
+    per-round-recount path).  Each round speculatively picks the top-K
+    candidates from exact current counts and runs ONE distributed pass
+    that applies them sequentially per block while emitting exact
+    per-step pair-count deltas from only the affected words
+    (:func:`_apply_merge_with_delta`).  The driver then replays the
+    steps, checking each candidate is still the true argmax after the
+    previous steps' deltas — a full-valid batch costs ~2 Ray stages for
+    K merges; a misprediction (a newly created pair outranking the next
+    candidate) re-applies just the valid prefix from the kept old
+    table.  K adapts (doubles on full success, halves on misprediction)
+    so the per-merge stage cost is amortized ~K-fold while the merge
+    sequence stays EXACTLY sequential.
+
+    Scale shape: the word table stays a sharded, materialized Dataset;
+    per round one pre-combined delta exchange (O(affected words)) and a
+    few KB of delta rows to the driver."""
     import functools
+    import heapq
 
     from ..shuffle import grouped_agg
-    from ..ops.sorting import topk
 
     words = words_with_counts(ds, text_col, num_partitions=num_partitions)
     table = words.map_batches(_explode_chars,
                               batch_format="pyarrow").materialize()
     merges: list[tuple[str, str, int]] = []
-    if table.count() == 0:  # empty corpus: no schema for topk to sort
+    if table.count() == 0:
         return merges
+    counts_ds = grouped_agg(
+        table.map_batches(_pair_counts, batch_format="pyarrow"),
+        ["a", "b"], {"cnt": ("cnt", "sum")},
+        num_partitions=num_partitions).materialize()
+    if counts_ds.count() > driver_pairs_budget:
+        # pathological alphabet (pair-type table too big for the
+        # driver): fall back to the per-round recount + partial top-1
+        return _bpe_train_recount(table, n_merges, min_count,
+                                  num_partitions)
+    counts: dict[tuple[str, str], int] = {}
+    for blk in counts_ds.iter_batches(batch_format="pyarrow"):
+        for a, b, c in zip(blk.column("a").to_pylist(),
+                           blk.column("b").to_pylist(),
+                           blk.column("cnt").to_pylist()):
+            counts[(a, b)] = int(c)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    def fold_delta(rows) -> None:
+        for a, b, d in rows:
+            key = (a, b)
+            nc = counts.get(key, 0) + int(d)
+            if nc <= 0:
+                counts.pop(key, None)
+            else:
+                counts[key] = nc
+                heapq.heappush(heap, (-nc, a, b))
+
+    k = max(1, batch_merges)
+    while len(merges) < n_merges:
+        cands = _heap_top_k(counts, heap, min(k, n_merges - len(merges)))
+        cands = [(a, b) for a, b, c in cands if c >= min_count]
+        if not cands:
+            break
+        union = table.map_batches(
+            functools.partial(_batch_apply_kernel, merges=cands,
+                              want_deltas=True),
+            batch_format="pyarrow").materialize()
+        by_step: dict[int, list] = {}
+        for blk in union.map_batches(_union_deltas, batch_format="pyarrow") \
+                        .iter_batches(batch_format="pyarrow"):
+            for s, a, b, d in zip(blk.column("step").to_pylist(),
+                                  blk.column("a").to_pylist(),
+                                  blk.column("b").to_pylist(),
+                                  blk.column("delta").to_pylist()):
+                by_step.setdefault(int(s), []).append((a, b, d))
+        accepted, exhausted = 0, False
+        for i, (l, r) in enumerate(cands):
+            best = _heap_best(counts, heap)
+            if best is None or counts[best] < min_count:
+                exhausted = True
+                break
+            if best != (l, r):
+                break  # a created pair outranked this candidate
+            merges.append((l, r, counts[best]))
+            fold_delta(by_step.get(i, []))
+            accepted += 1
+        if exhausted:
+            return merges
+        if accepted == len(cands):
+            table = union.map_batches(_union_words,
+                                      batch_format="pyarrow")
+            k = min(k * 2, 64)
+        else:
+            # misprediction: re-apply only the validated prefix from
+            # the kept pre-batch table
+            if accepted:
+                table = table.map_batches(
+                    functools.partial(_batch_apply_kernel,
+                                      merges=cands[:accepted],
+                                      want_deltas=False),
+                    batch_format="pyarrow").materialize()
+            k = max(1, k // 2)
+    return merges
+
+
+def _bpe_train_recount(table: rd.Dataset, n_merges: int, min_count: int,
+                       num_partitions: int | None) -> list[tuple[str, str, int]]:
+    """Per-round full pair recount + partial top-1 — the pre-incremental
+    loop, kept as the fallback when the pair-type table exceeds the
+    driver budget. One exchange per merge; data-scale-safe (nothing
+    per-word on the driver) but with a fixed per-merge stage cost."""
+    import functools
+
+    from ..ops.sorting import topk
+    from ..shuffle import grouped_agg
+
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts = grouped_agg(
             table.map_batches(_pair_counts, batch_format="pyarrow"),

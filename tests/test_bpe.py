@@ -71,6 +71,41 @@ def test_words_with_counts_and_pair_query(sf_dir):
     assert len(top) == 5 and (top["cnt"].diff().dropna() <= 0).all()
 
 
+def test_bpe_long_sequence_random_corpus():
+    """Long merge sequence (50) over a random small-alphabet corpus —
+    the regime where the batched speculative trainer mispredicts often
+    (new pairs outrank later candidates) and the validated-prefix
+    rollback must keep the sequence EXACTLY sequential."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    alpha = list("abcde")
+    texts = [" ".join("".join(rng.choice(alpha, rng.integers(1, 9)))
+                      for _ in range(40)) for _ in range(12)]
+    got = bpe_train(_ds(texts, parts=4), "text", n_merges=50, min_count=1,
+                    batch_merges=8)
+    ref = bpe_train_reference(_wc(texts), n_merges=50, min_count=1)
+    assert got == ref
+
+
+def test_bpe_batch_one_equals_batch_many():
+    texts = ["low lower lowest low low", "new newer newest new",
+             "aaaa aaa banana bandana banana"]
+    a = bpe_train(_ds(texts), "text", n_merges=12, batch_merges=1)
+    b = bpe_train(_ds(texts), "text", n_merges=12, batch_merges=32)
+    ref = bpe_train_reference(_wc(texts), n_merges=12)
+    assert a == ref and b == ref
+
+
+def test_bpe_recount_fallback_path():
+    """driver_pairs_budget=0 forces the legacy per-round recount loop —
+    same merge sequence."""
+    texts = ["low lower lowest low low", "banana bandana banana"]
+    got = bpe_train(_ds(texts), "text", n_merges=8, driver_pairs_budget=0)
+    ref = bpe_train_reference(_wc(texts), n_merges=8)
+    assert got == ref
+
+
 def test_bpe_empty_corpus_and_nul_bytes():
     # empty corpus → empty merge table, no crash
     assert bpe_train(_ds([""], parts=1), "text", n_merges=3) == []
