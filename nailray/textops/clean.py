@@ -152,14 +152,24 @@ def _normalize_strings(col, form: str) -> pa.Array:
 
     `pc.utf8_normalize` in this Arrow build decomposes but does NOT
     recompose under NFC/NFKC (E + U+0301 stays two codepoints), so it
-    can't match DuckDB/ICU semantics. Instead: one `unicodedata`
-    C-level pass over a NUL-joined buffer (NUL is a starter that never
-    composes with a following mark, so normalization can't leak across
-    row boundaries), with an `is_normalized` quick-check that makes the
-    common already-normalized batch a no-op.
-    """
-    lst = col.to_pylist()
-    vals = ["" if v is None else v for v in lst]
+    can't match DuckDB/ICU semantics.
+
+    ASCII fast path: pure-ASCII rows are invariant under every
+    normalization form (ASCII codepoints are starters with no
+    decompositions), so only the non-ASCII MINORITY rows — vanishingly
+    few in code/web corpora — cross to Python (`unicodedata` C-level
+    pass over a NUL-joined buffer; NUL is a starter that never composes
+    with a following mark, so normalization can't leak across row
+    boundaries, with an `is_normalized` quick-check making
+    already-normalized batches a no-op), then scatter back with one
+    `replace_with_mask` kernel."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+    n_bad = pc.sum(pc.cast(non_ascii, pa.int64())).as_py() or 0
+    if n_bad == 0:
+        return pc.cast(col, pa.string())
+    sub = col.filter(non_ascii)  # all non-null by construction
+    vals = sub.to_pylist()
     joined = "\x00".join(vals)
     if unicodedata.is_normalized(form, joined):
         out = vals
@@ -167,8 +177,8 @@ def _normalize_strings(col, form: str) -> pa.Array:
         out = unicodedata.normalize(form, joined).split("\x00")
     else:  # some payload contains NUL itself — normalize per row
         out = [unicodedata.normalize(form, v) for v in vals]
-    return pa.array([o if v is not None else None
-                     for o, v in zip(out, lst)], pa.string())
+    return pc.replace_with_mask(pc.cast(col, pa.string()), non_ascii,
+                                pa.array(out, pa.string()))
 
 
 def normalize_text(

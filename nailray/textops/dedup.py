@@ -680,10 +680,18 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
 # --------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens (weighted bit-vote)."""
+    """64-bit simhash over whitespace tokens (weighted bit-vote).
+    Token identity = the shared :func:`~.analysis.whitespace_tokens`
+    split (RE2 ``\\s+``, empties dropped) so the per-doc reference and
+    the vectorized :class:`SimHasher` can never diverge."""
+    import re
+
     acc = np.zeros(64, np.int64)
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in (text or "").split():
+    # RE2's \s is exactly [\t\n\f\r ] (no \v, no Unicode spaces)
+    for tok in re.split(r"[\t\n\f\r ]+", text or ""):
+        if not tok:
+            continue
         h = np.uint64(int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
@@ -698,16 +706,22 @@ class SimHasher:
     """Task-stage callable: the token→hash memo lives on the instance,
     which Ray deserializes once per worker and reuses across that
     worker's tasks — so the memo persists across batches (web text
-    repeats tokens heavily) exactly as actor state did. Bit-votes are
-    summed per document via one ``np.add.reduceat`` — same values as
-    :func:`simhash64`."""
+    repeats tokens heavily) exactly as actor state did.
+
+    Fully vectorized: tokenization via the shared
+    :func:`~.analysis.whitespace_tokens` (one Arrow split + flatten —
+    no per-row Python), then dictionary-encode so only the DISTINCT
+    tokens of the batch hit the blake2b + memo loop (web text is
+    Zipfian: distinct ≪ total), hashes gathered back by a numpy take.
+    Bit-votes are summed per document via one ``np.add.reduceat`` —
+    same values as :func:`simhash64`."""
 
     def __init__(self, text_col: str, out_col: str = "simhash"):
         self.text_col = text_col
         self.out_col = out_col
         self.memo: dict[str, int] = {}
 
-    def _hash_tokens(self, tokens: list[str]) -> np.ndarray:
+    def _hash_distinct(self, tokens: list[str]) -> np.ndarray:
         memo = self.memo
         out = np.empty(len(tokens), np.uint64)
         for i, tok in enumerate(tokens):
@@ -721,24 +735,26 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        docs = [(t or "").split() for t in batch.column(self.text_col).to_pylist()]
-        counts = np.fromiter((len(d) for d in docs), np.int64, len(docs))
-        flat: list[str] = [tok for d in docs for tok in d]
-        hs = self._hash_tokens(flat)
+        from .analysis import whitespace_tokens
+
+        n_docs = batch.num_rows
+        flat, parents = whitespace_tokens(batch.column(self.text_col))
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
         shifts = np.arange(64, dtype=np.uint64)
-        # ±1 bit votes for every token at once, then per-doc segment sums
-        votes = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
-                 .astype(np.int64) * 2 - 1)
-        offsets = np.zeros(len(docs), np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        nonempty = counts > 0
-        acc = np.zeros((len(docs), 64), np.int64)
-        if nonempty.any() and len(flat):
-            # reduceat over NONEMPTY docs' offsets only: consecutive
-            # nonempty offsets bound each segment exactly (empty docs in
-            # between contribute no tokens), and every such offset is a
-            # valid index — no clamping, so a trailing empty doc can no
-            # longer steal the previous doc's last token vote
+        acc = np.zeros((n_docs, 64), np.int64)
+        if len(flat):
+            denc = flat.dictionary_encode()
+            dh = self._hash_distinct(denc.dictionary.to_pylist())
+            hs = dh[np.asarray(denc.indices).astype(np.int64)]
+            # ±1 bit votes for every token at once, then per-doc segment
+            # sums; parents is sorted, so consecutive distinct parent
+            # offsets bound each nonempty doc's token run exactly
+            votes = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+                     .astype(np.int64) * 2 - 1)
+            counts = np.bincount(parents, minlength=n_docs)
+            offsets = np.zeros(n_docs, np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            nonempty = counts > 0
             acc[nonempty] = np.add.reduceat(votes, offsets[nonempty], axis=0)
         bits = (acc > 0).astype(np.uint64)
         vals = (bits * (np.uint64(1) << shifts[None, :])).sum(axis=1, dtype=np.uint64)
@@ -981,9 +997,178 @@ def _resolve_cache_input(ds: rd.Dataset, cache_input) -> bool:
     return resolve_cache_input(ds, cache_input)
 
 
+def _hot_set_or_none(counts: rd.Dataset, value_col: str, min_count: int,
+                     budget_bytes: int):
+    """Shared hot-set policy for :func:`dedup_lines` / :func:`dedup_spans`:
+    filter counts to the over-threshold rows, materialize that (small)
+    Dataset, and EITHER return ``(driver_array, None)`` when it fits the
+    broadcast budget or ``(None, hot_ds)`` to route the caller onto the
+    hash-partitioned semi-join path — the driver never holds a hot set
+    bigger than ``budget_bytes``."""
+    def over_threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("count"), int(min_count)))
+
+    hot_ds = counts.map_batches(over_threshold,
+                                batch_format="pyarrow").materialize()
+    if hot_ds.size_bytes() > budget_bytes:
+        return None, hot_ds
+    blocks = [b.column(value_col).combine_chunks()
+              for b in hot_ds.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    hot = (pa.concat_arrays(blocks) if blocks
+           else pa.array([], pa.string()))
+    return hot, None
+
+
+def _hash16(col) -> pa.Array:
+    """16-byte blake2b hex digests of a string column — the compact
+    exchange key for the semi-join dedup paths (collision odds 2^-128,
+    the same standard as exact dedup's sha256)."""
+    from ..encode.codecs.base import digest_column
+
+    return digest_column(col, "blake2b", digest_size=16)
+
+
+def _part_col(tbl: pa.Table, key: str, n_parts: int) -> pa.Table:
+    """Append a deterministic ``__part`` from hash-partitioning ``key``
+    (pandas sip-hash via :func:`~nailray.shuffle.hash_partition` — the
+    same canonicalization every partitioned join uses)."""
+    from ..shuffle import hash_partition
+
+    df = tbl.select([key]).to_pandas()
+    return tbl.append_column(
+        "__part", pa.array(hash_partition(df, [key], n_parts), pa.int32()))
+
+
+def _doc_positions(ids) -> "pd.Index":
+    import pandas as pd
+
+    return pd.Index(ids.to_pandas())
+
+
+def _dedup_lines_semijoin(ds: rd.Dataset, text_col: str, id_col: str,
+                          hot_ds: rd.Dataset,
+                          num_partitions: int | None) -> rd.Dataset:
+    """The over-budget path of :func:`dedup_lines`: the hot-line set
+    never lands on the driver. Two exchanges replace the broadcast —
+
+    1. **match**: docs explode to ``(id, line_no, line_hash16)`` rows
+       (hashes only — line text never ships) unioned with the hot
+       lines' hashes, partitioned by the hash; each partition emits the
+       hit ``(id, line_no)`` pairs via one ``is_in``.
+    2. **rebuild**: docs (full text, ONCE) + hits partitioned by doc
+       id; each partition re-splits its docs and drops hit line
+       numbers, rebuilding with the same offsets/binary_join kernel as
+       the broadcast path.
+
+    Requires ``id_col`` to be unique (one text row per id). Exchange
+    volume: one hash row per corpus LINE plus the corpus text once —
+    O(corpus), the honest cost when the hot set exceeds worker heap."""
+    import functools
+
+    from ..shuffle import group_map, partition_count
+
+    n_parts = partition_count(num_partitions)
+    id_type = _schema_of(ds).field(id_col).type
+
+    def doc_line_hashes(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ls = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+        flat = pc.list_flatten(ls)
+        parents = np.asarray(pc.list_parent_indices(ls)).astype(np.int64)
+        lens = np.asarray(pc.list_value_length(ls)).astype(np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        line_no = (np.arange(starts[-1], dtype=np.int64)
+                   - np.repeat(starts[:-1], lens))
+        t = pa.table({
+            id_col: pc.take(batch.column(id_col), parents),
+            "line_no": pa.array(line_no, pa.int64()),
+            "lh": _hash16(flat),
+        })
+        return _part_col(t, "lh", n_parts)
+
+    def hot_hashes(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: pa.nulls(b.num_rows, id_type),
+            "line_no": pa.nulls(b.num_rows, pa.int64()),
+            "lh": _hash16(b.column("line")),
+        })
+        return _part_col(t, "lh", n_parts)
+
+    def match(g: pa.Table) -> pa.Table:
+        doc_rows = g.filter(pc.is_valid(g.column("line_no")))
+        hot = g.filter(pc.is_null(g.column("line_no"))) \
+               .column("lh").combine_chunks()
+        hit = doc_rows.filter(pc.is_in(doc_rows.column("lh"), value_set=hot))
+        return pa.table({id_col: hit.column(id_col),
+                         "line_no": hit.column("line_no")})
+
+    tagged = ds.select_columns([id_col, text_col]) \
+               .map_batches(doc_line_hashes, batch_format="pyarrow") \
+               .union(hot_ds.map_batches(hot_hashes, batch_format="pyarrow"))
+    hits = group_map(tagged, "__part", match, n_parts)
+
+    def docs_side(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b.column(id_col),
+            text_col: pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                                   ""),
+            "line_no": pa.nulls(b.num_rows, pa.int64()),
+        })
+        return _part_col(t, id_col, n_parts)
+
+    def hits_side(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b.column(id_col),
+            text_col: pa.nulls(b.num_rows, pa.string()),
+            "line_no": b.column("line_no"),
+        })
+        return _part_col(t, id_col, n_parts)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        docs = g.filter(pc.is_null(g.column("line_no")))
+        hit = g.filter(pc.is_valid(g.column("line_no")))
+        col = docs.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ls = pc.split_pattern(col, pattern="\n")
+        flat = pc.list_flatten(ls)
+        parents = np.asarray(pc.list_parent_indices(ls)).astype(np.int64)
+        lens = np.asarray(pc.list_value_length(ls)).astype(np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        line_no = (np.arange(starts[-1], dtype=np.int64)
+                   - np.repeat(starts[:-1], lens))
+        pos = _doc_positions(docs.column(id_col)) \
+            .get_indexer(hit.column(id_col).to_pandas())
+        hit_keys = (pos.astype(np.int64) << np.int64(32)) \
+            + np.asarray(hit.column("line_no")).astype(np.int64)
+        keys = (parents << np.int64(32)) + line_no
+        keep = ~np.isin(keys, hit_keys)
+        kept = flat.filter(pa.array(keep))
+        per_doc = np.bincount(parents[keep], minlength=docs.num_rows)
+        offsets = np.zeros(docs.num_rows + 1, np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        return pa.table({id_col: docs.column(id_col),
+                         text_col: pc.binary_join(rebuilt, "\n")})
+
+    tagged2 = ds.select_columns([id_col, text_col]) \
+                .map_batches(docs_side, batch_format="pyarrow") \
+                .union(hits.map_batches(hits_side, batch_format="pyarrow"))
+    return group_map(tagged2, "__part", rebuild, n_parts)
+
+
+def _schema_of(ds: rd.Dataset) -> pa.Schema:
+    s = ds.schema()
+    return s.base_schema if hasattr(s, "base_schema") else s
+
+
 def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                 min_count: int = 3, num_partitions: int | None = None,
-                cache_input: bool | str = "auto") -> rd.Dataset:
+                cache_input: bool | str = "auto",
+                hot_broadcast_bytes: int = 256 << 20) -> rd.Dataset:
     """Corpus-wide duplicate-line removal (the C4 / CCNet boilerplate
     pass): any line occurring in ``min_count`` or more documents-lines
     across the WHOLE corpus is stripped from every document; remaining
@@ -997,10 +1182,12 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     min_count times appears once in the hot set no matter how often it
     repeats) come back to the driver and broadcast via ``ray.put``.
     Pass 2 filters each batch fully vectorized: split → is_in(hot) →
-    rebuild list offsets → ``binary_join``. For a corpus where the hot
-    set itself is too big to broadcast, swap the broadcast for a
-    hash-partitioned semi-join on the line hash (same exchange as
-    :func:`exact_dedup_winners`).
+    rebuild list offsets → ``binary_join``. When the hot set exceeds
+    ``hot_broadcast_bytes`` (boilerplate-heavy crawls at low
+    ``min_count``) it NEVER lands on the driver: the op switches to the
+    hash-partitioned semi-join path (:func:`_dedup_lines_semijoin` —
+    line-hash match exchange + doc-partitioned rebuild; requires unique
+    ``id_col``).
 
     The input is consumed TWICE (stats pass + rewrite pass). The
     ``cache_input="auto"`` default (see :func:`nailray.io.resolve_cache_input`)
@@ -1025,15 +1212,11 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
                          .map_batches(line_partial, batch_format="pyarrow"),
                          ["line"], {"count": ("count", "sum")},
                          num_partitions=num_partitions)
-    def over_threshold(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("count"), int(min_count)))
-
-    hot_blocks = [b.column("line").combine_chunks()
-                  for b in counts.map_batches(over_threshold,
-                                              batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow") if b.num_rows]
-    hot = (pa.concat_arrays(hot_blocks) if hot_blocks
-           else pa.array([], pa.string()))
+    hot, hot_ds = _hot_set_or_none(counts, "line", min_count,
+                                   hot_broadcast_bytes)
+    if hot is None:
+        return _dedup_lines_semijoin(ds, text_col, id_col, hot_ds,
+                                     num_partitions)
     hot_ref = ray.put(hot)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -1056,10 +1239,127 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
+def _dedup_spans_semijoin(ds: rd.Dataset, k: int, text_col: str, id_col: str,
+                          hot_ds: rd.Dataset,
+                          num_partitions: int | None) -> rd.Dataset:
+    """Over-budget path of :func:`dedup_spans` — same two-exchange
+    shape as :func:`_dedup_lines_semijoin` but on word k-grams: (1)
+    docs emit ``(id, start_token_idx, kgram_hash16)`` unioned with hot
+    k-gram hashes, partitioned by the hash → hit ``(id, start)`` pairs;
+    (2) docs + hits partitioned by id, per-partition re-tokenize and
+    mark covered spans with the difference-array cumsum, rebuild with
+    single-space joins. Requires unique ``id_col``."""
+    from ..shuffle import group_map, partition_count
+    from .analysis import whitespace_tokens as _tokens
+
+    n_parts = partition_count(num_partitions)
+    id_type = _schema_of(ds).field(id_col).type
+
+    def _kg(flat: pa.Array, parents: np.ndarray):
+        n = len(flat)
+        if n < k:
+            return pa.array([], pa.string()), np.zeros(0, bool)
+        arrays = [flat.slice(i, n - k + 1) for i in range(k)]
+        kg = pc.binary_join_element_wise(*arrays, " ")
+        same_doc = parents[: n - k + 1] == parents[k - 1:]
+        return kg, same_doc
+
+    def doc_kgram_hashes(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokens(batch.column(text_col))
+        parents = parents.astype(np.int64)
+        kg, same_doc = _kg(flat, parents)
+        n = len(flat)
+        counts = np.bincount(parents, minlength=batch.num_rows)
+        doc_start = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum(counts, out=doc_start[1:])
+        # in-doc start index of each same-doc k-gram
+        pos = np.arange(max(0, n - k + 1), dtype=np.int64)
+        good = np.flatnonzero(same_doc)
+        starts_in_doc = pos[good] - doc_start[parents[good]]
+        t = pa.table({
+            id_col: pc.take(batch.column(id_col),
+                            pa.array(parents[good])),
+            "start": pa.array(starts_in_doc, pa.int64()),
+            "kh": _hash16(kg.filter(pa.array(same_doc))),
+        })
+        return _part_col(t, "kh", n_parts)
+
+    def hot_hashes(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: pa.nulls(b.num_rows, id_type),
+            "start": pa.nulls(b.num_rows, pa.int64()),
+            "kh": _hash16(b.column("kgram")),
+        })
+        return _part_col(t, "kh", n_parts)
+
+    def match(g: pa.Table) -> pa.Table:
+        doc_rows = g.filter(pc.is_valid(g.column("start")))
+        hot = g.filter(pc.is_null(g.column("start"))) \
+               .column("kh").combine_chunks()
+        hit = doc_rows.filter(pc.is_in(doc_rows.column("kh"), value_set=hot))
+        return pa.table({id_col: hit.column(id_col),
+                         "start": hit.column("start")})
+
+    tagged = ds.select_columns([id_col, text_col]) \
+               .map_batches(doc_kgram_hashes, batch_format="pyarrow") \
+               .union(hot_ds.map_batches(hot_hashes, batch_format="pyarrow"))
+    hits = group_map(tagged, "__part", match, n_parts)
+
+    def docs_side(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b.column(id_col),
+            text_col: pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                                   ""),
+            "start": pa.nulls(b.num_rows, pa.int64()),
+        })
+        return _part_col(t, id_col, n_parts)
+
+    def hits_side(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b.column(id_col),
+            text_col: pa.nulls(b.num_rows, pa.string()),
+            "start": b.column("start"),
+        })
+        return _part_col(t, id_col, n_parts)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        docs = g.filter(pc.is_null(g.column("start")))
+        hit = g.filter(pc.is_valid(g.column("start")))
+        flat, parents = _tokens(docs.column(text_col))
+        parents = parents.astype(np.int64)
+        n = len(flat)
+        counts = np.bincount(parents, minlength=docs.num_rows)
+        doc_start = np.zeros(docs.num_rows + 1, np.int64)
+        np.cumsum(counts, out=doc_start[1:])
+        covered = np.zeros(n + k, np.int64)
+        if hit.num_rows:
+            pos = _doc_positions(docs.column(id_col)) \
+                .get_indexer(hit.column(id_col).to_pandas())
+            flat_starts = doc_start[pos] \
+                + np.asarray(hit.column("start")).astype(np.int64)
+            np.add.at(covered, flat_starts, 1)
+            np.add.at(covered, flat_starts + k, -1)
+        keep_np = np.cumsum(covered[:n]) == 0 if n else np.zeros(0, bool)
+        kept = flat.filter(pa.array(keep_np))
+        per_doc = (np.bincount(parents[keep_np], minlength=docs.num_rows)
+                   if n else np.zeros(docs.num_rows, np.int64))
+        offsets = np.zeros(docs.num_rows + 1, np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        return pa.table({id_col: docs.column(id_col),
+                         text_col: pc.binary_join(rebuilt, " ")})
+
+    tagged2 = ds.select_columns([id_col, text_col]) \
+                .map_batches(docs_side, batch_format="pyarrow") \
+                .union(hits.map_batches(hits_side, batch_format="pyarrow"))
+    return group_map(tagged2, "__part", rebuild, n_parts)
+
+
 def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
                 text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None,
-                cache_input: bool | str = "auto") -> rd.Dataset:
+                cache_input: bool | str = "auto",
+                hot_broadcast_bytes: int = 256 << 20) -> rd.Dataset:
     """Duplicate n-gram SPAN removal — the word-granular variant of
     exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every token covered by
@@ -1076,9 +1376,10 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
     broadcast once via ``ray.put``. Pass 2 re-derives each batch's
     k-grams, marks hit spans with a difference-array cumsum (O(tokens)),
     and rebuilds documents with recomputed list offsets +
-    ``binary_join``. At corpus scales where the hot set outgrows a
-    broadcast, hash-partition the k-gram space and semi-join instead
-    (the :func:`exact_dedup_winners` exchange).
+    ``binary_join``. When the hot set exceeds ``hot_broadcast_bytes``
+    it never lands on the driver: the op switches to the
+    hash-partitioned semi-join path (:func:`_dedup_spans_semijoin`;
+    requires unique ``id_col``).
 
     The input is consumed TWICE (stats pass + rewrite pass). The
     ``cache_input="auto"`` default (see :func:`nailray.io.resolve_cache_input`)
@@ -1114,16 +1415,11 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
                          .map_batches(kgram_partial, batch_format="pyarrow"),
                          ["kgram"], {"count": ("count", "sum")},
                          num_partitions=num_partitions)
-
-    def over_threshold(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("count"), int(min_count)))
-
-    hot_blocks = [b.column("kgram").combine_chunks()
-                  for b in counts.map_batches(over_threshold,
-                                              batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow") if b.num_rows]
-    hot = (pa.concat_arrays(hot_blocks) if hot_blocks
-           else pa.array([], pa.string()))
+    hot, hot_ds = _hot_set_or_none(counts, "kgram", min_count,
+                                   hot_broadcast_bytes)
+    if hot is None:
+        return _dedup_spans_semijoin(ds, k, text_col, id_col, hot_ds,
+                                     num_partitions)
     hot_ref = ray.put(hot)
 
     def strip(batch: pa.Table) -> pa.Table:

@@ -178,6 +178,9 @@ def test_simhash_batched_equals_per_doc():
     simhash64 per document, incl. empty/whitespace-only docs."""
     rng = np.random.default_rng(3)
     texts = ["", "  ", "one", "a b c", "the quick brown fox " * 3]
+    # exotic whitespace: \v and NBSP are NOT separators under the shared
+    # RE2 tokenizer — both sides must treat them as token characters
+    texts += ["a\x0bb c", "x\xa0y z", "tab\tsep\nlines\r\fmix"]
     texts += [" ".join("tok%d" % rng.integers(0, 50)
                        for _ in range(int(rng.integers(0, 40))))
               for _ in range(40)]
@@ -678,6 +681,54 @@ def test_dedup_spans_planted():
     assert out[1] == "gamma"
     assert out[2] == "x y"
     assert out[3] == "unique words only"
+
+
+def test_dedup_lines_semijoin_matches_broadcast():
+    """hot_broadcast_bytes=0 forces the hash-partitioned semi-join path;
+    output must equal the broadcast path row for row (incl. a NULL-text
+    doc and a doc reduced to '')."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_lines
+
+    rng = np.random.default_rng(5)
+    texts = ["keep one\nDUP\nkeep two", "DUP", "solo\nDUP", None, ""]
+    texts += ["\n".join(f"l{rng.integers(0, 12)}" for _ in range(6))
+              for _ in range(40)]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(docs).repartition(3)
+    a = dedup_lines(ds, min_count=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_lines(ds, min_count=3, hot_broadcast_bytes=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(b) == len(texts)
+    assert a.equals(b)
+
+
+def test_dedup_spans_semijoin_matches_broadcast():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nailray.textops.dedup import dedup_spans
+
+    rng = np.random.default_rng(6)
+    texts = ["alpha beta gamma", "x alpha beta y", "unique words only",
+             "a b c tail", "a b c other", None, ""]
+    texts += [" ".join(f"w{rng.integers(0, 9)}" for _ in range(8))
+              for _ in range(40)]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(docs).repartition(3)
+    a = dedup_spans(ds, k=2, min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup_spans(ds, k=2, min_count=2, hot_broadcast_bytes=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(b) == len(texts)
+    assert a.equals(b)
 
 
 def test_dedup_spans_overlapping_coverage():
