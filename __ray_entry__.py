@@ -418,6 +418,109 @@ def q_kendall_exact(sf):
     return pa.table({"tau": pa.array([round(tau, 6)], pa.float64())})
 
 
+_MATRIX_COLS = ["value", "user_id", "event_id"]
+
+_MATRIX_BASE_SQL = (
+    "SELECT CAST(value AS DOUBLE) AS v, CAST(user_id AS DOUBLE) AS u, "
+    "CAST(event_id AS DOUBLE) AS e FROM events WHERE user_id < 30 "
+    "AND value IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL")
+
+_MATRIX_SQL_NAMES = {"value": "v", "user_id": "u", "event_id": "e"}
+
+
+def _matrix_pairs():
+    return [(a, b) for i, a in enumerate(_MATRIX_COLS)
+            for b in _MATRIX_COLS[i + 1:]]
+
+
+def _kendall_matrix_oracle_sql() -> str:
+    # per-pair exact tau-b: the kendall_exact oracle's O(n²) self-join
+    # replayed per unordered pair, UNION ALL'd in _matrix_long's order
+    arms = []
+    for a, b in _matrix_pairs():
+        x, y = _MATRIX_SQL_NAMES[a], _MATRIX_SQL_NAMES[b]
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND("
+            f"(SELECT CAST(SUM(CASE "
+            f"WHEN (t1.{x} > t2.{x} AND t1.{y} > t2.{y}) "
+            f"OR (t1.{x} < t2.{x} AND t1.{y} < t2.{y}) THEN 1 "
+            f"WHEN (t1.{x} > t2.{x} AND t1.{y} < t2.{y}) "
+            f"OR (t1.{x} < t2.{x} AND t1.{y} > t2.{y}) THEN -1 "
+            f"ELSE 0 END) AS DOUBLE) FROM i t1 JOIN i t2 ON t1.rn < t2.rn)"
+            f" / SQRT((nn.n0 - "
+            f"(SELECT SUM(c * (c - 1) / 2.0) FROM "
+            f"(SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM s GROUP BY {x})))"
+            f" * (nn.n0 - "
+            f"(SELECT SUM(c * (c - 1) / 2.0) FROM "
+            f"(SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM s GROUP BY {y}))))"
+            f", 6) AS stat FROM nn")
+    return (f"WITH s AS ({_MATRIX_BASE_SQL}), "
+            "i AS (SELECT v, u, e, ROW_NUMBER() OVER () AS rn FROM s), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) * "
+            "(CAST(COUNT(*) AS DOUBLE) - 1) / 2.0 AS n0 FROM s) "
+            + " UNION ALL ".join(arms))
+
+
+def _spearman_matrix_oracle_sql() -> str:
+    # exact Spearman = Pearson over exact average-tie ranks; corr() is
+    # scale-invariant so sample vs population normalization cancels
+    ranks = ", ".join(
+        f"RANK() OVER (ORDER BY {c}) + "
+        f"(COUNT(*) OVER (PARTITION BY {c}) - 1) / 2.0 AS r{c}"
+        for c in ("v", "u", "e"))
+    arms = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND(corr(r{_MATRIX_SQL_NAMES[a]}, r{_MATRIX_SQL_NAMES[b]}), 6) "
+        f"AS stat FROM r"
+        for a, b in _matrix_pairs()]
+    return (f"WITH s AS ({_MATRIX_BASE_SQL}), "
+            f"r AS (SELECT {ranks} FROM s) "
+            + " UNION ALL ".join(arms))
+
+
+def _matrix_subset(sf):
+    # bounded user subset (oracle's kendall pair join is O(n²)) with a
+    # listwise non-null filter so matrix semantics == per-pair semantics
+    def sub(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("user_id"), 30)
+        for c in _MATRIX_COLS:
+            m = pc.and_(m, pc.is_valid(b.column(c)))
+        return b.filter(m)
+
+    return (_t(sf, "events").select_columns(_MATRIX_COLS)
+            .map_batches(sub, batch_format="pyarrow"))
+
+
+def _matrix_long(mat, cols) -> pa.Table:
+    a_, b_, v_ = [], [], []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            a_.append(a)
+            b_.append(b)
+            v_.append(round(float(mat.loc[a, b]), 6))
+    return pa.table({"col_a": pa.array(a_, pa.string()),
+                     "col_b": pa.array(b_, pa.string()),
+                     "stat": pa.array(v_, pa.float64())})
+
+
+def q_kendall_matrix_exact(sf):
+    # exact tau-b MATRIX (aggregates.kendall_matrix_exact — per-pair
+    # bucket decomposition, symmetry-cached); long-form upper triangle
+    from nailray.ops.aggregates import kendall_matrix_exact
+
+    m = kendall_matrix_exact(_matrix_subset(sf), _MATRIX_COLS, n_buckets=16)
+    return _matrix_long(m, _MATRIX_COLS)
+
+
+def q_spearman_matrix_exact(sf):
+    # exact Spearman MATRIX on exact global average-tie ranks, one rank
+    # map per column shared across pairs
+    from nailray.ops.aggregates import spearman_matrix_exact
+
+    m = spearman_matrix_exact(_matrix_subset(sf), _MATRIX_COLS)
+    return _matrix_long(m, _MATRIX_COLS)
+
+
 def q_sort_nulls_first(sf):
     # null-bearing sort key (derived): v = value where value < 2, else NULL;
     # sort v NULLS FIRST with event_id tiebreak → total deterministic order
@@ -1294,6 +1397,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "global_rank": q_global_rank,
         "kendall_tau": q_kendall_tau,
         "kendall_exact": q_kendall_exact,
+        "kendall_matrix_exact": q_kendall_matrix_exact,
+        "spearman_matrix_exact": q_spearman_matrix_exact,
         "window_hourly": q_window_hourly,
         "token_counts": q_token_counts,
         "punct_ratio": q_punct_ratio,
@@ -1501,6 +1606,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM s GROUP BY y)) "
             "SELECT ROUND(p.cd / SQRT((p.n0 - tx.t) * (p.n0 - ty.t)), 6) AS tau "
             "FROM p, tx, ty"),
+        "kendall_matrix_exact": _kendall_matrix_oracle_sql(),
+        "spearman_matrix_exact": _spearman_matrix_oracle_sql(),
         "window_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, COUNT(*) AS n, "
             "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id, "

@@ -115,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("append"); sp.add_argument("--others", required=True); sp.add_argument("--ignore-schema", action="store_true")
     sp = add("stats"); sp.add_argument("-c", "--columns"); sp.add_argument("--stats-type", default="basic", choices=["basic", "exhaustive"])
     sp = add("frequency"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--limit", type=int)
-    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"]); sp.add_argument("--p-values", action="store_true", help="per-pair t-test and Fisher-z p-values (pearson only)"); sp.add_argument("--exact", action="store_true", help="with kendall --p-values: exact distributed tau-b over ALL complete pairs")
+    sp = add("correlations"); sp.add_argument("-c", "--columns"); sp.add_argument("--method", default="pearson", choices=["pearson", "spearman", "kendall"]); sp.add_argument("--p-values", action="store_true", help="per-pair t-test and Fisher-z p-values (pearson only)"); sp.add_argument("--exact", action="store_true", help="spearman/kendall: exact distributed estimators (exact global ranks / tau-b over ALL complete pairs) instead of the seeded sample, in both matrix and --p-values modes")
     sp = add("quantiles", help="per-column quantiles (exact multi-pass, or --sketch t-digest one-pass)")
     sp.add_argument("-c", "--column", required=True)
     sp.add_argument("--q", default="0.1,0.25,0.5,0.75,0.9,0.99")
@@ -348,10 +348,9 @@ def main(argv: list[str] | None = None) -> int:
         print(aggregates.frequency(ds, args.columns.split(","), args.limit).to_string(index=False))
     elif cmd == "correlations":
         cols = args.columns.split(",") if args.columns else None
-        if args.exact and not (args.method == "kendall" and args.p_values):
-            raise SystemExit("--exact requires --method kendall --p-values "
-                             "(exact matrix mode is not implemented; the "
-                             "matrix path uses the seeded sample)")
+        if args.exact and args.method == "pearson":
+            raise SystemExit("--exact applies to spearman/kendall "
+                             "(pearson is already exact)")
         if args.method == "pearson" and args.p_values:
             for (a, b), r in aggregates.pearson_with_p_all(ds, cols).items():
                 print(a, b, round(r["r"], 6), "p_t", round(r["p_value"], 6),
@@ -359,11 +358,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.method == "pearson":
             print(aggregates.pearson_matrix(ds, cols).to_string())
         elif args.p_values:
-            if args.method == "kendall" and args.exact:
+            if args.exact:
                 import functools
 
-                fn = functools.partial(aggregates.kendall_with_p,
-                                       method="exact")
+                fn = functools.partial(
+                    aggregates.spearman_with_p if args.method == "spearman"
+                    else aggregates.kendall_with_p, method="exact")
             else:
                 fn = (aggregates.spearman_with_p if args.method == "spearman"
                       else aggregates.kendall_with_p)
@@ -375,9 +375,17 @@ def main(argv: list[str] | None = None) -> int:
                     print(a, b, round(stat, 6), "p", round(r["p_value"], 6))
         else:
             # full matrix for every method (reference parity:
-            # src/utils/stats.rs:344-475 — symmetric matrix output)
-            fn = (aggregates.spearman_matrix if args.method == "spearman"
-                  else aggregates.kendall_matrix)
+            # src/utils/stats.rs:344-475 — symmetric matrix output);
+            # --exact swaps the sampled estimators for the exact
+            # distributed ones
+            if args.exact:
+                fn = (aggregates.spearman_matrix_exact
+                      if args.method == "spearman"
+                      else aggregates.kendall_matrix_exact)
+            else:
+                fn = (aggregates.spearman_matrix
+                      if args.method == "spearman"
+                      else aggregates.kendall_matrix)
             print(fn(ds, cols).to_string())
     elif cmd == "quantiles":
         qs = [float(x) for x in args.q.split(",") if x]

@@ -346,11 +346,20 @@ def _p_from_partial(d: dict) -> dict:
 
 
 def spearman_with_p(ds: rd.Dataset, x: str, y: str,
-                    per_batch_sample: int = 4096) -> dict:
+                    per_batch_sample: int = 4096,
+                    method: str = "sample") -> dict:
     """Spearman rho with the t-approximation p-value
-    (t = ρ·√((n−2)/(1−ρ²)), df = n−2 — the standard large-n test)."""
+    (t = ρ·√((n−2)/(1−ρ²)), df = n−2 — the standard large-n test).
+    ``method="exact"`` computes rho on exact distributed global ranks
+    (:func:`nailray.ops.rank.spearman_exact`) instead of the sampled
+    CDF ranks."""
     n = ds.count()
-    rho = spearman(ds, x, y, per_batch_sample)
+    if method == "exact":
+        from .rank import spearman_exact
+
+        rho = spearman_exact(ds, x, y)
+    else:
+        rho = spearman(ds, x, y, per_batch_sample)
     if n < 3 or math.isnan(rho) or abs(rho) >= 1.0:
         p = 0.0 if (not math.isnan(rho) and abs(rho) >= 1.0 and n >= 3) else float("nan")
         return {"rho": rho, "n": n, "p_value": p}
@@ -521,6 +530,68 @@ def spearman_matrix(ds: rd.Dataset, columns: list[str] | None = None,
 
     ranked = ds.map_batches(to_ranks, batch_format="pyarrow")
     return pearson_matrix(ranked, cols)
+
+
+def spearman_matrix_exact(ds: rd.Dataset, columns: list[str] | None = None,
+                          num_partitions: int | None = None) -> pd.DataFrame:
+    """All-pairs EXACT Spearman matrix (reference parity:
+    ``src/utils/stats.rs:344-475`` full-matrix mode, here on exact
+    global average-tie ranks instead of the sampled CDF).
+
+    The distinct-collapse is shared ACROSS pairs of the same column —
+    each column's exact rank map (:func:`~nailray.ops.rank.global_avg_rank`,
+    O(distinct) exchanges) is computed ONCE, overlapped in threads,
+    then attached with C left hash-joins; all C·(C−1)/2 Pearson cells
+    come from pearson_matrix's single ranked pass. Null handling is
+    pairwise-complete like the sampled matrix (a null keys a null rank
+    through the left join, which the Pearson filter drops per pair) —
+    per-pair :func:`~nailray.ops.rank.spearman_exact` instead re-ranks
+    over each pair's complete rows; identical when columns are
+    null-free."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .combine import merge
+    from .rank import global_avg_rank
+
+    cols = columns or _numeric_cols(_schema(ds))
+    base = ds.select_columns(cols).materialize()  # reused C+1 times
+    with ThreadPoolExecutor(max(2, min(8, len(cols)))) as ex:
+        futs = [(c, ex.submit(global_avg_rank, base, c, 256,
+                              num_partitions)) for c in cols]
+        maps = {c: f.result() for c, f in futs}
+    j = base
+    for c in cols:
+        j = merge(j, maps[c], c, c, how="left",
+                  num_partitions=num_partitions, right_prefix="")
+    m = pearson_matrix(j, [f"{c}__rank" for c in cols])
+    m.index = list(cols)
+    m.columns = list(cols)
+    return m
+
+
+def kendall_matrix_exact(ds: rd.Dataset, columns: list[str] | None = None,
+                         n_buckets: int = 128,
+                         num_partitions: int | None = None) -> pd.DataFrame:
+    """All-pairs EXACT Kendall tau-b matrix — each unordered pair runs
+    the distributed bucket-decomposition
+    (:func:`~nailray.ops.rank.kendall_exact`) once; symmetry fills the
+    mirror cell (the reference's symmetry caching,
+    ``src/utils/stats.rs:344-475``). Pairs run two-at-a-time in threads
+    so one pair's driver barriers overlap another's exchanges."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .rank import kendall_exact
+
+    cols = columns or _numeric_cols(_schema(ds))
+    base = ds.select_columns(cols).materialize()  # shared scan
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    mat = pd.DataFrame(np.eye(len(cols)), index=cols, columns=cols)
+    with ThreadPoolExecutor(2) as ex:
+        futs = [(a, b, ex.submit(kendall_exact, base, a, b, n_buckets,
+                                 num_partitions)) for a, b in pairs]
+        for a, b, f in futs:
+            mat.loc[a, b] = mat.loc[b, a] = f.result()
+    return mat
 
 
 def _tau_a(vx: np.ndarray, vy: np.ndarray) -> float:

@@ -75,6 +75,12 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "--method", "kendall"],
         ["correlations", li, "-c", "l_quantity,l_extendedprice",
          "--method", "kendall", "--p-values", "--exact"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice",
+         "--method", "kendall", "--exact"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice",
+         "--method", "spearman", "--exact"],
+        ["correlations", li, "-c", "l_quantity,l_extendedprice",
+         "--method", "spearman", "--p-values", "--exact"],
         ["quantiles", li, "-c", "l_extendedprice", "--q", "0.25,0.5,0.9"],
         ["quantiles", li, "-c", "l_extendedprice", "--q", "0.25,0.5,0.9",
          "--sketch"],

@@ -533,6 +533,44 @@ def test_rank_correlation_p_values():
     assert aggregates.kendall_with_p(ds2, "x", "y", sample_rows=n)["p_value"] < 1e-6
 
 
+def test_exact_correlation_matrices():
+    """kendall_matrix_exact / spearman_matrix_exact vs brute-force
+    tau-b and rank-Pearson on tied data."""
+    rng = np.random.default_rng(11)
+    n = 150
+    t = pa.table({
+        "a": rng.integers(0, 8, n).astype(np.float64),
+        "b": rng.integers(0, 5, n).astype(np.float64),
+        "c": rng.standard_normal(n),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    km = aggregates.kendall_matrix_exact(ds, ["a", "b", "c"], n_buckets=8)
+    sm = aggregates.spearman_matrix_exact(ds, ["a", "b", "c"])
+
+    def tau_b(x, y):
+        s = sum(np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+                for i in range(n) for j in range(i))
+        n0 = n * (n - 1) / 2
+        tx = np.unique(x, return_counts=True)[1].astype(np.float64)
+        ty = np.unique(y, return_counts=True)[1].astype(np.float64)
+        return s / np.sqrt((n0 - (tx * (tx - 1) / 2).sum())
+                           * (n0 - (ty * (ty - 1) / 2).sum()))
+
+    def avg_rank(x):
+        import pandas as pd
+
+        return pd.Series(x).rank(method="average").to_numpy()
+
+    cols = {c: np.asarray(t.column(c)) for c in ("a", "b", "c")}
+    for i, x in enumerate("abc"):
+        for y in "abc"[i + 1:]:
+            assert abs(km.loc[x, y] - tau_b(cols[x], cols[y])) < 1e-10
+            rho = np.corrcoef(avg_rank(cols[x]), avg_rank(cols[y]))[0, 1]
+            assert abs(sm.loc[x, y] - rho) < 1e-10
+            assert km.loc[x, y] == km.loc[y, x]
+            assert sm.loc[x, y] == sm.loc[y, x]
+
+
 def test_kendall_exact_p_tie_corrected():
     # heavy ties (the case tau-b exists for): check the tie-corrected
     # z against an O(n^2) brute-force S + textbook variance computed
