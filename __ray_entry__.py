@@ -913,19 +913,35 @@ def q_ann_topk(sf):
 
 
 
-def q_multimodal_stats(sf):
-    # REAL multimodal kernel end-to-end WITH AN EXACT SQL ORACLE: the
-    # closed-form pattern payloads make every decoded statistic a
-    # symbolic function of media_id, so the BMP decode → nearest
-    # resize (real pixel kernel) → channel-stats pipeline is checked
-    # value-identical against SQL that recomputes the pattern, the
-    # resize index math and the means (incl. the float32 feature
-    # quantization, mirrored as CAST(.. AS REAL))
+# symbolic replay of the closed-form pixel pattern, the nearest-resize
+# index math and the channel-0 mean (incl. the float32 feature
+# quantization via CAST(.. AS REAL)) — shared by the BMP and PNG
+# pattern-table queries, which decode to identical pixels
+_MM_STATS_SQL = (
+    "WITH ids AS (SELECT range AS media_id FROM range(0, 64)), "
+    "dims AS (SELECT media_id, 4 + (media_id % 29) AS w, "
+    "4 + ((media_id*7) % 31) AS h FROM ids), "
+    "px AS (SELECT d.media_id, "
+    "LEAST(CAST(FLOOR(((tj.range + 0.5) * d.w) / 16) AS BIGINT), "
+    "d.w - 1) AS xs, "
+    "LEAST(CAST(FLOOR(((ti.range + 0.5) * d.h) / 12) AS BIGINT), "
+    "d.h - 1) AS ys "
+    "FROM dims d, range(0, 16) tj, range(0, 12) ti) "
+    "SELECT media_id, CAST(16 AS INTEGER) AS width, "
+    "CAST(12 AS INTEGER) AS height, "
+    "ROUND(CAST(CAST(AVG(CAST((xs + 7*ys + 11*media_id) % 256 "
+    "AS DOUBLE)) AS REAL) AS DOUBLE), 3) AS mean_r "
+    "FROM px GROUP BY media_id")
+
+
+def _mm_stats_pipeline(t: pa.Table):
+    # shared decode → nearest-resize → channel-stats pipeline over a
+    # closed-form pattern table (BMP or PNG payloads)
     from nailray import multimodal
 
-    t = multimodal.synthesize_bmp_table_pattern(64)
     ds = rd.from_arrow(t).repartition(4)
-    rz = multimodal.resize_images(ds, 16, 12, batch_size=16, real_decode=True)
+    rz = multimodal.resize_images(ds, 16, 12, batch_size=16,
+                                  real_decode=True)
     fs = multimodal.image_stats(rz, batch_size=16)
 
     def project(b: pa.Table) -> pa.Table:
@@ -938,6 +954,26 @@ def q_multimodal_stats(sf):
                          "mean_r": means})
 
     return fs.map_batches(project, batch_format="pyarrow")
+
+
+def q_multimodal_stats_png(sf):
+    # the stdlib-zlib PNG decode path end-to-end against the SAME exact
+    # symbolic oracle as the BMP variant (identical decoded pixels)
+    from nailray import multimodal
+
+    return _mm_stats_pipeline(multimodal.synthesize_png_table_pattern(64))
+
+
+def q_multimodal_stats(sf):
+    # REAL multimodal kernel end-to-end WITH AN EXACT SQL ORACLE: the
+    # closed-form pattern payloads make every decoded statistic a
+    # symbolic function of media_id, so the BMP decode → nearest
+    # resize (real pixel kernel) → channel-stats pipeline is checked
+    # value-identical against SQL that recomputes the pattern, the
+    # resize index math and the means
+    from nailray import multimodal
+
+    return _mm_stats_pipeline(multimodal.synthesize_bmp_table_pattern(64))
 
 
 def q_select_rows(sf):
@@ -1330,7 +1366,8 @@ _QUERY_PRIORITY = [
     # only four registry entries with no driver-green row in r1/r2/r3.
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
     # new or changed this round
-    "kendall_matrix_exact", "spearman_matrix_exact", "bpe_pair_counts",
+    "kendall_matrix_exact", "spearman_matrix_exact",
+    "multimodal_stats_png", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
     # r3 wave, keep warm
@@ -1463,6 +1500,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "encode_corpus": q_encode_corpus,
         # real-binary pipeline with a closed-form EXACT oracle
         "multimodal_stats": q_multimodal_stats,
+        "multimodal_stats_png": q_multimodal_stats_png,
     }
 
 
@@ -1898,24 +1936,7 @@ def oracle_sql() -> dict[str, str]:
             "AS line_no, "
             "unnest(string_split(COALESCE(text, ''), chr(10))) AS line "
             "FROM documents"),
-        "multimodal_stats": (
-            # symbolic replay of the closed-form BMP pattern, the
-            # nearest-resize index math and the channel-0 mean (incl.
-            # the float32 feature quantization via CAST(.. AS REAL))
-            "WITH ids AS (SELECT range AS media_id FROM range(0, 64)), "
-            "dims AS (SELECT media_id, 4 + (media_id % 29) AS w, "
-            "4 + ((media_id*7) % 31) AS h FROM ids), "
-            "px AS (SELECT d.media_id, "
-            "LEAST(CAST(FLOOR(((tj.range + 0.5) * d.w) / 16) AS BIGINT), "
-            "d.w - 1) AS xs, "
-            "LEAST(CAST(FLOOR(((ti.range + 0.5) * d.h) / 12) AS BIGINT), "
-            "d.h - 1) AS ys "
-            "FROM dims d, range(0, 16) tj, range(0, 12) ti) "
-            "SELECT media_id, CAST(16 AS INTEGER) AS width, "
-            "CAST(12 AS INTEGER) AS height, "
-            "ROUND(CAST(CAST(AVG(CAST((xs + 7*ys + 11*media_id) % 256 "
-            "AS DOUBLE)) AS REAL) AS DOUBLE), 3) AS mean_r "
-            "FROM px GROUP BY media_id"),
+        "multimodal_stats": _MM_STATS_SQL,
         "weighted_sample": (
             # A-ES key ln(u)/w with the same hash-uniform u; top-200
             f"SELECT o_orderkey, o_totalprice FROM orders "
@@ -2018,4 +2039,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang "
             f"WHERE CAST((d.doc_id * {HASH_MULT} + 3) % {HASH_MOD} AS DOUBLE) "
             f"< (CAST(f.alloc AS DOUBLE) / f.cnt) * {HASH_MOD}"),
+        # the PNG pattern table carries the SAME closed-form pixels as
+        # the BMP one, so the symbolic oracle is shared verbatim
+        "multimodal_stats_png": _MM_STATS_SQL,
     }

@@ -122,6 +122,126 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3).copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """H×W×3 uint8 RGB → PNG bytes (stdlib zlib only: color type 2,
+    bit depth 8, filter 0 per scanline, non-interlaced, one IDAT)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects an HxWx3 uint8 array")
+    h, w = img.shape[:2]
+    scan = np.zeros((h, 1 + w * 3), np.uint8)  # leading 0 = filter None
+    scan[:, 1:] = img.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 pixel array via stdlib ``zlib`` alone (no PIL):
+    deflate-decompress the IDAT stream, undo the per-scanline filters
+    (None/Sub/Up/Average/Paeth), resolve PLTE palettes. Supports bit
+    depth 8, non-interlaced — the dominant real-image case; grayscale /
+    gray+alpha / RGB / palette / RGBA color types all decode (shape
+    H×W×channels; use :func:`to_rgb` to canonicalize). Up and Sub
+    unfilter vectorized (Sub is a mod-256 prefix sum over pixel
+    lanes); Average/Paeth sweep pixels with per-lane vector math."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"decode_png supports bit depth 8, non-interlaced only "
+            f"(got depth={depth}, interlace={interlace})")
+    if ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unknown PNG color type {ctype}")
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — a
+            # mod-256 prefix sum down each of the bpp byte lanes
+            cur = np.cumsum(line.reshape(w, bpp).astype(np.int64),
+                            axis=0).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif f == 3:  # Average: sequential in x, vector over lanes
+            cur = np.zeros(stride, np.uint8)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            ln2 = line.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, np.int64)
+            cr = cur.reshape(w, bpp)
+            for x in range(w):
+                left = (ln2[x] + (left + up[x]) // 2) & 0xFF
+                cr[x] = left
+        elif f == 4:  # Paeth: sequential in x, vector over lanes
+            cur = np.zeros(stride, np.uint8)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            ln2 = line.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            cr = cur.reshape(w, bpp)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
+                                 np.abs(p - ul))
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, up[x], ul))
+                left = (ln2[x] + pred) & 0xFF
+                cr[x] = left
+                ul = up[x]
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, bpp)
+    if ctype == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 PCM samples (n,) or (n, channels) → RIFF/WAVE bytes
     (stdlib ``wave``)."""
@@ -179,12 +299,15 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an H×W×3 uint8 RGB array. BMP (24-bit
-    BI_RGB) and PPM (P6) decode in-process with pure numpy; other
-    formats fall back to PIL when importable."""
+    BI_RGB), PPM (P6) and PNG (8-bit, stdlib zlib inflate + unfilter)
+    decode in-process with pure numpy; other formats fall back to PIL
+    when importable."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return to_rgb(decode_png(payload))
     try:
         from PIL import Image  # noqa: F401
         import io as _io
@@ -396,6 +519,28 @@ def synthesize_bmp_table_pattern(n: int) -> pa.Table:
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(["image"] * n),
         "mime": pa.array(["image/bmp"] * n),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+    })
+
+
+def synthesize_png_table_pattern(n: int) -> pa.Table:
+    """The :func:`synthesize_bmp_table_pattern` closed-form pixels,
+    PNG-encoded — same symbolic oracle applies, so the stdlib-zlib PNG
+    decode path gets the identical end-to-end exactness check."""
+    payloads, ws, hs = [], [], []
+    for mid in range(n):
+        w, h = 4 + mid % 29, 4 + (7 * mid) % 31
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((x + 7 * y + 11 * mid + 97 * c) % 256).astype(np.uint8)
+        payloads.append(encode_png(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n),
+        "mime": pa.array(["image/png"] * n),
         "payload": pa.array(payloads, pa.large_binary()),
         "width": pa.array(ws, pa.int32()),
         "height": pa.array(hs, pa.int32()),

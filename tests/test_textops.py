@@ -300,6 +300,112 @@ def test_multimodal_real_codecs_roundtrip():
     assert out2.shape == (400, 2) and (out2 == stereo).all()
 
 
+def test_png_roundtrip_and_decode_image():
+    """stdlib-zlib PNG codec: encode→decode bit-exact; decode_image
+    routes PNG payloads and canonicalizes to RGB."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    png = multimodal.encode_png(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (multimodal.decode_png(png) == img).all()
+    assert (multimodal.decode_image(png) == img).all()
+
+
+def _make_png(w, h, ctype, rows, plte=None):
+    """Hand-built PNG with explicit per-row filter bytes (rows =
+    list of (filter, FILTERED bytes)) — exercises each unfilter path
+    against independently computed expected pixels."""
+    import struct
+    import zlib
+
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = multimodal._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += multimodal._png_chunk(b"PLTE", bytes(plte))
+    chunks += multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+    chunks += multimodal._png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
+def test_png_all_filters_unfilter_exactly():
+    """One grayscale PNG per filter type, filtered bytes derived by
+    APPLYING the spec filter to known pixels — decode must return the
+    original pixels."""
+    # target pixels, 3 rows x 4 cols grayscale
+    px = np.array([[10, 20, 30, 40],
+                   [15, 25, 200, 250],
+                   [7, 130, 129, 128]], np.uint8)
+
+    def filt(row, prev, f):
+        out = []
+        for x in range(len(row)):
+            a = int(row[x - 1]) if x else 0   # left RECON
+            b = int(prev[x])                  # up RECON
+            c = int(prev[x - 1]) if x else 0  # upper-left RECON
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (int(row[x]) - a) % 256
+            elif f == 2:
+                v = (int(row[x]) - b) % 256
+            elif f == 3:
+                v = (int(row[x]) - (a + b) // 2) % 256
+            else:  # paeth
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                v = (int(row[x]) - pred) % 256
+            out.append(v)
+        return out
+
+    for f in range(5):
+        rows = []
+        prev = np.zeros(4, np.uint8)
+        for y in range(3):
+            rows.append((f, filt(px[y], prev, f)))
+            prev = px[y]
+        png = _make_png(4, 3, 0, rows)
+        got = multimodal.decode_png(png)
+        assert got.shape == (3, 4, 1), f
+        assert (got[:, :, 0] == px).all(), f"filter {f}"
+
+
+def test_png_palette_rgba_and_gray_paths():
+    # palette: indices -> PLTE colors
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # R, G, B entries
+    rows = [(0, [0, 1, 2]), (0, [2, 1, 0])]
+    img = multimodal.decode_png(_make_png(3, 2, 3, rows, plte=plte))
+    assert img.shape == (2, 3, 3)
+    assert (img[0] == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]).all()
+    # RGBA: decode keeps 4 channels; decode_image drops alpha
+    rgba_rows = [(0, [1, 2, 3, 9, 4, 5, 6, 9])]
+    raw = multimodal.decode_png(_make_png(2, 1, 6, rgba_rows))
+    assert raw.shape == (1, 2, 4)
+    rgb = multimodal.decode_image(_make_png(2, 1, 6, rgba_rows))
+    assert (rgb == [[[1, 2, 3], [4, 5, 6]]]).all()
+    # 16-bit depth must refuse, not corrupt
+    import struct as _s
+    import zlib as _z
+    bad_ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(b"IHDR", bad_ihdr)
+           + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00"))
+           + multimodal._png_chunk(b"IEND", b""))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_png(bad)
+
+
+def test_png_pattern_table_matches_bmp_pattern():
+    a = multimodal.synthesize_bmp_table_pattern(8)
+    b = multimodal.synthesize_png_table_pattern(8)
+    for i in range(8):
+        pa_ = multimodal.decode_image(a.column("payload")[i].as_py())
+        pb_ = multimodal.decode_image(b.column("payload")[i].as_py())
+        assert (pa_ == pb_).all()
+
+
 def test_multimodal_real_pipeline_end_to_end():
     """Real decode → resize → feature pipeline over Ray with planted BMP
     payloads: decoded output pixels and stats match numpy ground truth."""
