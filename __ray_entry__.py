@@ -581,6 +581,16 @@ def q_unigram_logprob(sf):
     return _round_cols(out, ["unigram_logprob"])
 
 
+def q_tfidf_docs(sf):
+    # sparse TF-IDF features over the corpus's own top-V vocabulary
+    # (exact SQL oracle below; vocabulary identity = token_topk's)
+    from nailray.textops.analysis import tfidf_scores
+
+    out = tfidf_scores(_t(sf, "documents"), "text", "doc_id",
+                       top_vocab=500)
+    return _round_cols(out, ["tfidf"])
+
+
 def q_repetition_docs(sf):
     from nailray.textops import analysis
 
@@ -1134,6 +1144,42 @@ def q_embedding_near_dup(sf):
     return nio.to_arrow(pairs).to_pandas()[["id_a", "id_b", "cosine"]]
 
 
+def q_kmeans_embeddings(sf):
+    # full-data distributed Lloyd's k-means (iterative — no SQL oracle;
+    # exact-vs-sequential-reference parity in tests/test_cluster.py)
+    from nailray.cluster import kmeans_embeddings
+
+    asg, _cent, _ = kmeans_embeddings(_t(sf, "embeddings"), k=8, n_iter=5)
+    return _round_cols(asg.select_columns(["vec_id", "cluster", "sim"]),
+                       ["sim"])
+
+
+def q_semantic_dedup(sf):
+    # derived corpus: embedding of (vec_id % 100) → 100 groups of
+    # byte-identical vectors (max cross-group cosine < 0.48), so
+    # SemDeDup at threshold .999 keeps EXACTLY the min-sha256-digest id
+    # of each group — an exact SQL oracle via DuckDB's sha256()
+    from nailray.cluster import semantic_dedup
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    reps = {int(i): v for i, v in zip(emb.column("vec_id").to_pylist()[:100],
+                                      emb.column("embedding").to_pylist()[:100])}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array([reps[int(i) % 100] for i in ids],
+                                  emb.column("embedding").type),
+        })
+
+    d = _t(sf, "embeddings").select_columns(["vec_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    out = semantic_dedup(d, k=8, threshold=0.999, n_iter=3)
+    return out.select_columns(["vec_id"])
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1367,7 +1413,8 @@ _QUERY_PRIORITY = [
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
-    "multimodal_stats_png", "bpe_pair_counts",
+    "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
+    "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
     # r3 wave, keep warm
@@ -1486,6 +1533,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": q_bm25_scores,
         "repetition_docs": q_repetition_docs,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_docs": q_tfidf_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semantic_dedup": q_semantic_dedup,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1860,6 +1910,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "semantic_dedup": (
+            "WITH g AS (SELECT vec_id, vec_id % 100 AS grp FROM embeddings) "
+            "SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER ("
+            "PARTITION BY grp ORDER BY "
+            "substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) AS rn "
+            "FROM g) WHERE rn = 1"),
+        "tfidf_docs": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "t2 AS (SELECT * FROM tok WHERE token != ''), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents), "
+            "dfx AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) "
+            "AS df FROM t2 GROUP BY token), "
+            "top AS (SELECT token, df FROM dfx ORDER BY df DESC, token "
+            "LIMIT 500), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM t2 GROUP BY doc_id, token) "
+            "SELECT tf.doc_id, tf.token, tf.tf, "
+            "ROUND(tf.tf * LN(n.nd / top.df), 6) AS tfidf "
+            "FROM tf JOIN top USING (token), n"),
         "unigram_logprob": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(text, '\\s+')) AS token "

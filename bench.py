@@ -478,6 +478,105 @@ def run_once() -> dict:
         ray.shutdown()
 
 
+TEXT_CORPUS_DIR = os.environ.get("NAILRAY_TEXT_CORPUS",
+                                 "/tmp/nailray_text_corpus")
+TEXT_CORPUS_ROWS = int(os.environ.get("NAILRAY_TEXT_ROWS", "300000"))
+
+
+def _text_corpus() -> str:
+    """Text-scaling corpus: 3x the encode bench corpus (~900 MB of
+    text) in its own directory. At 100k rows the per-stage fixed cost
+    (worker spawn, stage scheduling, driver folds) is ~30-40 % of the
+    1-CPU wall and the 1→4 pair reads ~0.65; at 300k rows the fixed
+    cost amortizes the way real per-node data volumes would (measured:
+    hygiene 0.89, unigram 0.80)."""
+    from nailray.corpus import write_corpus
+
+    return write_corpus(TEXT_CORPUS_DIR, n_rows=TEXT_CORPUS_ROWS, seed=42,
+                        avg_lines=CORPUS_AVG_LINES, n_files=64,
+                        row_group_size=8192, outlier_docs=4)
+
+
+def run_text_once() -> dict:
+    """One process, one Ray session: the two headline TEXT pipelines
+    (composed hygiene + unigram-LM scoring) over the text bench
+    corpus, best-of-2 — the ``--scaling-text`` subprocess unit.
+    Reads pin ``override_num_blocks=64`` (one block per file) so every
+    parallelism level runs the IDENTICAL plan — Ray's CPU-derived
+    block count would otherwise give the low level fewer, larger
+    blocks (a lighter job), the same pinned-plan policy as encode's
+    ``target_partition_bytes`` in scaling mode."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from nailray import io as nio
+    from nailray.context import configure
+
+    configure()
+    from nailray.textops.analysis import unigram_logprob
+    from nailray.textops.clean import (filter_domains, normalize_text,
+                                       redact_pii)
+
+    src = _text_corpus()  # cached by params — all levels read same bytes
+    _warm_cache(src)
+    res: dict = {}
+
+    def best(name, fn, repeats=2):
+        w = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            w = min(w, time.time() - t0)
+        res[name] = round(w, 3)
+
+    def hygiene():
+        ds = nio.read_parquet(src, columns=["path", "repo", "content"],
+                              override_num_blocks=64)
+        ds = normalize_text(ds, text_col="content")
+        ds = redact_pii(ds, text_col="content")
+        filter_domains(ds, {"spam.example"}, text_col="content").count()
+
+    def unigram():
+        unigram_logprob(
+            nio.read_parquet(src, columns=["path", "content"],
+                             override_num_blocks=64),
+            "content", "path", top_vocab=1000).count()
+
+    best("hygiene_corpus", hygiene)
+    best("unigram_logprob", unigram)
+    ray.shutdown()
+    return {"queries": res, "num_cpus": NUM_CPUS, "sf": src}
+
+
+def run_text_scaling() -> dict:
+    """The two headline text pipelines at 1 and 4 CPUs in fresh
+    processes (constant per-worker resources — the N→4N-node proxy, same
+    policy as encode's pair_1_4), best-of-2 per level (each subprocess
+    is itself best-of-2)."""
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--text-once"],
+                             env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def best(ncpu: int, repeats: int = 2) -> dict:
+        runs = [sub(ncpu)["queries"] for _ in range(repeats)]
+        return {k: min(r[k] for r in runs) for k in runs[0]}
+
+    lo, hi = best(1), best(4)
+    out = {"metric": "text pipeline scaling (1 vs 4 CPUs, fresh sessions)",
+           "num_cpus_lo": 1, "num_cpus_hi": 4, "sf": SF_DIR, "pipelines": {}}
+    for q in lo:
+        eff = (lo[q] / hi[q]) / 4.0
+        out["pipelines"][q] = {"sec_lo": lo[q], "sec_hi": hi[q],
+                               "scaling_efficiency": round(eff, 3)}
+    return out
+
+
 def run_scaling() -> dict:
     """Same headline job in fresh processes at 8 and 32 CPUs."""
     # pre-generate the corpus once so both runs read identical bytes
@@ -538,5 +637,9 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-text" in sys.argv:
+        print(json.dumps(run_text_scaling()))
+    elif "--text-once" in sys.argv:
+        print(json.dumps(run_text_once()))
     else:
         print(json.dumps(run_once()))

@@ -324,10 +324,16 @@ def unigram_logprob(ds: rd.Dataset, text_col: str = "text",
                  .map_batches(partial, batch_format="pyarrow")
     counts = grouped_agg(partials, ["token"], {"count": ("count", "sum")})
     counts = counts.materialize()  # consumed twice: total + top-k
+    # fold the grand total DISTRIBUTED (one scalar per block) — pulling
+    # the full distinct-token table through the driver serializes ~a
+    # third of the wall at this corpus size
     total = 0
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        if "count" in b.column_names:
-            total += int(pc.sum(b.column("count")).as_py() or 0)
+    for b in counts.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(pc.sum(t.column("count")).as_py() or 0)
+                 if "count" in t.column_names else 0], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b.column("s")).as_py() or 0)
     total = max(total, 1)
     top = sorting.topk(counts, ["count", "token"], top_vocab,
                        descending=[True, False])
@@ -426,3 +432,109 @@ def bm25_scores(ds: rd.Dataset, query_terms: list[str], text_col: str = "text",
         return sorting.topk(out, ["score", id_col], k,
                             descending=[True, False])
     return out
+
+
+def tfidf_scores(ds: rd.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", top_vocab: int = 1000,
+                 cache_input: bool | str = "auto") -> rd.Dataset:
+    """Sparse TF-IDF vectors over the corpus's own top-``top_vocab``
+    vocabulary: one output row per (document, vocab token) the document
+    contains, with the raw term frequency and ``tf * ln(N / df)``.
+    The feature-extraction pass of a classic quality-classifier /
+    retrieval pipeline (cf. reference `src/utils/stats.rs` frequency
+    machinery; vocabulary identity matches :func:`token_topk` /
+    :func:`unigram_logprob` — whitespace tokens, ties broken by token
+    string ascending).
+
+    Scale shape: pass 1 computes per-block partial document
+    frequencies (distinct (doc, token) pairs inside the block — exact,
+    since a document lives in exactly one row of one block) →
+    ``grouped_agg`` sum → partial top-k merge, so only (token, df)
+    partials move and the bounded top-V table reaches the driver; N
+    folds from per-block row counts on the same pass. Pass 2 emits the
+    sparse rows fully vectorized: ``pc.index_in`` against the broadcast
+    vocab + one ``np.unique`` over packed (row, token) codes per batch.
+    ``cache_input`` follows the two-pass auto policy
+    (:func:`nailray.io.resolve_cache_input`)."""
+    import ray
+
+    from ..io import resolve_cache_input as _resolve_cache_input
+    from ..ops import sorting
+    from ..shuffle import grouped_agg
+
+    if _resolve_cache_input(ds, cache_input):
+        ds = ds.materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = whitespace_tokens(batch.column(text_col))
+        enc = flat.dictionary_encode()
+        vocab_sz = len(enc.dictionary)
+        # the "" sentinel row carries the block's doc count so N folds
+        # from the same exchange (tokens are never "" post-filter, so
+        # it can't collide with a real vocab entry; dropped pre-top-k).
+        # Every block emits it — even tokenless blocks still count
+        # their (empty/null-text) documents toward N.
+        toks = [""] if vocab_sz == 0 else \
+            pa.concat_arrays([pa.array([""]), enc.dictionary.cast(pa.string())])
+        if vocab_sz == 0:
+            df = np.array([], np.int64)
+        else:
+            codes = parents.astype(np.int64) * vocab_sz \
+                + np.asarray(enc.indices, np.int64)
+            tok_idx = np.unique(codes) % vocab_sz
+            df = np.bincount(tok_idx, minlength=vocab_sz).astype(np.int64)
+        return pa.table({
+            "token": toks,
+            "df": pa.array(np.concatenate([[0], df]), pa.int64()),
+            "n_docs": pa.array(
+                [batch.num_rows] + [0] * vocab_sz, pa.int64())})
+
+    partials = ds.select_columns([text_col]) \
+                 .map_batches(df_partial, batch_format="pyarrow")
+    dfs = grouped_agg(partials, ["token"],
+                      {"df": ("df", "sum"), "n_docs": ("n_docs", "sum")})
+    dfs = dfs.materialize()  # consumed twice: N fold + top-k
+    # distributed N fold: one scalar per block crosses to the driver
+    n_docs = 0
+    for b in dfs.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(pc.sum(t.column("n_docs")).as_py() or 0)
+                 if "n_docs" in t.column_names else 0], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        n_docs += int(pc.sum(b.column("s")).as_py() or 0)
+    n_docs = max(n_docs, 1)
+    real = dfs.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("token"), "")),
+        batch_format="pyarrow")
+    top = sorting.topk(real.select_columns(["token", "df"]),
+                       ["df", "token"], top_vocab,
+                       descending=[True, False])
+    top_t = pa.concat_tables(
+        [t for t in top.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default")
+    vocab = top_t.column("token").combine_chunks()
+    idf = np.log(n_docs / np.asarray(top_t.column("df"), np.float64))
+    vocab_ref = ray.put((vocab, idf))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        vset, idf_v = ray.get(vocab_ref)
+        v = len(vset)
+        flat, parents = whitespace_tokens(batch.column(text_col))
+        idx = np.asarray(pc.fill_null(pc.index_in(flat, value_set=vset), -1))
+        hit = idx >= 0
+        if v == 0 or not hit.any():
+            return pa.table({id_col: batch.column(id_col).take(
+                                 pa.array([], pa.int64())),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        codes = parents[hit].astype(np.int64) * v + idx[hit]
+        uniq, tf = np.unique(codes, return_counts=True)
+        rows, toks = uniq // v, uniq % v
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(rows, pa.int64())),
+            "token": vset.take(pa.array(toks, pa.int64())),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "tfidf": pa.array(tf * idf_v[toks], pa.float64())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")

@@ -1,0 +1,177 @@
+"""Distributed k-means + SemDeDup semantic dedup (nailray.cluster)
+and TF-IDF feature extraction (textops.analysis.tfidf_scores)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nailray.cluster import (_id_digests, kmeans_embeddings,
+                             semantic_dedup)
+from nailray.io import read_parquet
+
+
+def _emb(sf_dir):
+    return read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+
+
+def _ref_kmeans(ids, mat, k, n_iter, normalize=True):
+    """Sequential reference implementing the IDENTICAL algorithm:
+    digest-seeded init, Lloyd rounds, empty clusters keep their old
+    centroid."""
+    dig = np.array([int.from_bytes(
+        hashlib.sha256(repr(v).encode()).digest()[:8], "big")
+        for v in ids], np.uint64)
+    order = np.argsort(dig, kind="stable")[:k]
+    cent = mat[order].astype(np.float64)
+
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                              1e-12)
+
+    if normalize:
+        cent = norm(cent)
+        x = norm(mat.astype(np.float64))
+    else:
+        x = mat.astype(np.float64)
+    for _ in range(n_iter):
+        if normalize:
+            lab = np.argmax(x @ cent.T, axis=1)
+        else:
+            d2 = (np.sum(x * x, 1, keepdims=True) - 2 * (x @ cent.T)
+                  + np.sum(cent * cent, 1))
+            lab = np.argmin(d2, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                new[c] = x[m].mean(axis=0)
+        if normalize:
+            new = norm(new)
+        cent = new
+    if normalize:
+        lab = np.argmax(x @ cent.T, axis=1)
+    else:
+        d2 = (np.sum(x * x, 1, keepdims=True) - 2 * (x @ cent.T)
+              + np.sum(cent * cent, 1))
+        lab = np.argmin(d2, axis=1)
+    return lab, cent
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_kmeans_matches_sequential_reference(sf_dir, normalize):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in tbl.column("embedding").to_pylist()])
+    ref_lab, ref_cent = _ref_kmeans(ids, mat, k=8, n_iter=5,
+                                    normalize=normalize)
+
+    asg, cent, inertia = kmeans_embeddings(
+        _emb(sf_dir), k=8, n_iter=5, normalize=normalize,
+        compute_inertia=True)
+    np.testing.assert_allclose(cent, ref_cent, rtol=1e-9, atol=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in asg.take_all()}
+    want = dict(zip(ids, ref_lab))
+    assert got == want
+    assert inertia is not None
+
+
+def test_kmeans_blocking_independent(sf_dir):
+    """Same clustering regardless of block layout (init + partials are
+    layout-free)."""
+    a, cent_a, _ = kmeans_embeddings(_emb(sf_dir), k=5, n_iter=3)
+    many = _emb(sf_dir).repartition(13)
+    b, cent_b, _ = kmeans_embeddings(many, k=5, n_iter=3)
+    np.testing.assert_allclose(cent_a, cent_b, rtol=1e-12)
+    ga = sorted((r["vec_id"], r["cluster"]) for r in a.take_all())
+    gb = sorted((r["vec_id"], r["cluster"]) for r in b.take_all())
+    assert ga == gb
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    """Plant exact-duplicate vectors: every duplicate group collapses
+    to its min-digest representative; distinct vectors survive."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": list(map(float, v))})
+    # ids 100..119 duplicate vectors 0..19 (cosine 1.0 >= threshold)
+    for i in range(20):
+        rows.append({"vec_id": 100 + i,
+                     "embedding": list(map(float, base[i] * 2.0))})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = semantic_dedup(ds, k=4, threshold=0.999, n_iter=3)
+    kept = sorted(r["vec_id"] for r in out.take_all())
+    assert len(kept) == 40
+    for i in range(20):
+        dig = _id_digests([i, 100 + i])
+        winner = [i, 100 + i][int(np.argmin(dig))]
+        assert winner in kept
+        assert ([i, 100 + i][int(np.argmax(dig))]) not in kept
+    for i in range(20, 40):
+        assert i in kept
+
+
+def test_tfidf_matches_duckdb(sf_dir):
+    from nailray.textops.analysis import tfidf_scores
+
+    out = tfidf_scores(
+        read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"]),
+        "text", "doc_id", top_vocab=200)
+    got = out.to_pandas().sort_values(
+        ["doc_id", "token"]).reset_index(drop=True)
+    got["tfidf"] = got["tfidf"].round(6)
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\\s+')) AS token
+           FROM read_parquet('{sf_dir}/documents.parquet')),
+    t2 AS (SELECT * FROM tok WHERE token != ''),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd
+          FROM read_parquet('{sf_dir}/documents.parquet')),
+    dfx AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM t2 GROUP BY token),
+    top AS (SELECT token, df FROM dfx ORDER BY df DESC, token LIMIT 200),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t2 GROUP BY doc_id, token)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(tf.tf * LN(n.nd / top.df), 6) AS tfidf
+    FROM tf JOIN top USING (token), n
+    ORDER BY doc_id, token
+    """
+    want = duckdb.sql(sql).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0,
+        atol=1e-9)
+
+
+def test_tfidf_counts_tokenless_docs_in_n(ray_session):
+    """N = total docs (incl. empty/NULL text), exactly like the SQL
+    oracle's COUNT(*) FROM documents."""
+    from nailray.textops.analysis import tfidf_scores
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a", "b c", None, "   "]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = tfidf_scores(ds, "text", "doc_id", top_vocab=10).to_pandas()
+    # df: a->1 doc, b->2, c->1; N=4
+    row = out[(out.doc_id == 1) & (out.token == "a")].iloc[0]
+    assert row["tf"] == 2
+    assert abs(row["tfidf"] - 2 * np.log(4 / 1)) < 1e-12
+    row_b = out[(out.doc_id == 2) & (out.token == "b")].iloc[0]
+    assert abs(row_b["tfidf"] - 1 * np.log(4 / 2)) < 1e-12
+    assert set(out.doc_id) == {1, 2}
