@@ -416,6 +416,33 @@ def run_queries() -> dict[str, float]:
                                    columns=["text"]),
                   "text", n_merges=50)
 
+    @timed("tfidf_docs")
+    def _tfidf():
+        from nailray.textops.analysis import tfidf_scores
+
+        tfidf_scores(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"]),
+                     "text", "doc_id", top_vocab=1000).count()
+
+    @timed("kmeans_embeddings")
+    def _kmeans():
+        from nailray.cluster import kmeans_embeddings
+
+        asg, _c, _ = kmeans_embeddings(
+            nio.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]),
+            k=16, n_iter=10)
+        asg.count()
+
+    @timed("semantic_dedup")
+    def _semdedup():
+        from nailray.cluster import semantic_dedup
+
+        semantic_dedup(
+            nio.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]),
+            k=16, threshold=0.99, n_iter=5).count()
+
     @timed("tdigest_quantiles")
     def _tdigest():
         from nailray.sketch import approx_quantiles_tdigest

@@ -197,6 +197,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
     sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
     sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
+    sp = add("tfidf", help="sparse TF-IDF rows over the corpus's top-V vocabulary")
+    sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--top-vocab", type=int, default=1000)
+    sp = add("kmeans", help="distributed full-data k-means over an embedding column")
+    sp.add_argument("--embedding-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("-k", type=int, default=16)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--euclidean", action="store_true",
+                    help="plain Euclidean instead of spherical (cosine)")
+    sp = add("semdedup", help="SemDeDup: cluster embeddings, keep one doc per cosine-epsilon ball")
+    sp.add_argument("--embedding-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("-k", type=int, default=16)
+    sp.add_argument("--iters", type=int, default=5)
+    sp.add_argument("--threshold", type=float, default=0.95)
     return p
 
 
@@ -558,6 +574,26 @@ def main(argv: list[str] | None = None) -> int:
         keys = [k for k in args.group_by.split(",") if k]
         _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,
                                           seed=args.seed), args)
+    elif cmd == "tfidf":
+        from .textops.analysis import tfidf_scores
+
+        _output(tfidf_scores(ds, args.text_col, args.id_col,
+                             top_vocab=args.top_vocab), args)
+    elif cmd == "kmeans":
+        from .cluster import kmeans_embeddings
+
+        asg, _cent, _ = kmeans_embeddings(
+            ds, k=args.k, n_iter=args.iters,
+            embedding_col=args.embedding_col, id_col=args.id_col,
+            normalize=not args.euclidean)
+        _output(asg, args)
+    elif cmd == "semdedup":
+        from .cluster import semantic_dedup
+
+        _output(semantic_dedup(ds, k=args.k, threshold=args.threshold,
+                               n_iter=args.iters,
+                               embedding_col=args.embedding_col,
+                               id_col=args.id_col), args)
     elif cmd == "verify":
         from .encode import pipeline as epl
 

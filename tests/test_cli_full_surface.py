@@ -118,6 +118,12 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
          "--id-column", "o_orderkey", "-o", f"{out}/spg"],
+        ["tfidf", f"{sf_dir}/documents.parquet", "--top-vocab", "100",
+         "-o", f"{out}/tfidf"],
+        ["kmeans", f"{sf_dir}/embeddings.parquet", "-k", "4", "--iters", "3",
+         "-o", f"{out}/kmeans"],
+        ["semdedup", f"{sf_dir}/embeddings.parquet", "-k", "4",
+         "--threshold", "0.99", "-o", f"{out}/semdedup"],
     ]
     script = textwrap.dedent("""
         import sys, io, contextlib, json
