@@ -1180,6 +1180,26 @@ def q_semantic_dedup(sf):
     return out.select_columns(["vec_id"])
 
 
+def q_jaccard_pairs(sf):
+    # exact n-gram Jaccard verification of a deterministic candidate set
+    # (adjacent doc-id pairs) — the verify stage of the minhash family;
+    # char-5-gram STRING sets so the SQL oracle is value-identical
+    from nailray.textops.dedup import verify_pairs_jaccard
+
+    docs = _t(sf, "documents")
+
+    def mk_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        ev = ids[ids % 2 == 0]
+        return pa.table({"id_a": pa.array(ev, pa.int64()),
+                         "id_b": pa.array(ev + 1, pa.int64())})
+
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow")
+    out = verify_pairs_jaccard(docs, pairs, "text", "doc_id", k=5)
+    return _round_cols(out, ["jaccard"])
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1414,6 +1434,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
+    "jaccard_pairs",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1536,6 +1557,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": q_tfidf_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1910,6 +1932,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "jaccard_pairs": (
+            "WITH g AS (SELECT DISTINCT doc_id, "
+            "substr(COALESCE(text, ''), CAST(i AS BIGINT), 5) AS g "
+            "FROM documents, unnest(generate_series(1, "
+            "GREATEST(len(COALESCE(text, '')) - 4, 0))) AS u(i)), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 2 = 0), "
+            "sz AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n "
+            "FROM g GROUP BY doc_id), "
+            "inter AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS DOUBLE) AS c "
+            "FROM p JOIN g ga ON ga.doc_id = p.id_a "
+            "JOIN g gb ON gb.doc_id = p.id_b AND gb.g = ga.g "
+            "GROUP BY p.id_a, p.id_b) "
+            "SELECT p.id_a, p.id_b, ROUND(CASE "
+            "WHEN COALESCE(sa.n, 0) = 0 AND COALESCE(sb.n, 0) = 0 THEN 1.0 "
+            "WHEN COALESCE(sa.n, 0) = 0 OR COALESCE(sb.n, 0) = 0 THEN 0.0 "
+            "ELSE COALESCE(i.c, 0) / (sa.n + sb.n - COALESCE(i.c, 0)) END, 6) "
+            "AS jaccard "
+            "FROM p LEFT JOIN sz sa ON sa.doc_id = p.id_a "
+            "LEFT JOIN sz sb ON sb.doc_id = p.id_b "
+            "LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"),
         "semantic_dedup": (
             "WITH g AS (SELECT vec_id, vec_id % 100 AS grp FROM embeddings) "
             "SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER ("

@@ -158,9 +158,7 @@ def _tagged_union(left, right, lk, rk, right_prefix, num_partitions,
 
     from ..shuffle import hash_partition, partition_count
 
-    def schema_of(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
+    from ..shuffle import arrow_schema_of as schema_of
 
     with_ts = lts is not None
     n_parts = partition_count(num_partitions)
@@ -406,9 +404,7 @@ def append(
     """Union with strict schema check (names + types in order), or
     name-based alignment filling missing columns with typed nulls when
     ignore_schema=True (src/commands/append.rs:23-131)."""
-    def schema_of(ds):
-        s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
+    from ..shuffle import arrow_schema_of as schema_of
 
     base_schema = schema_of(base)
     aligned = [base]

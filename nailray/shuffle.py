@@ -17,6 +17,32 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def arrow_schema_of(ds) -> "pa.Schema":
+    """``ds.schema()`` normalized to a REAL ``pyarrow.Schema``.
+
+    Ray 2.49 returns a ``PandasBlockSchema`` namedtuple for
+    pandas-block datasets (e.g. ``from_pandas``); iterating that yields
+    its (names, types) tuple elements, not fields — code doing
+    ``for f in schema`` silently breaks. Pandas object dtype maps to
+    string (the only ambiguous case; everything else converts via
+    ``pa.from_numpy_dtype``)."""
+    s = ds.schema()
+    s = s.base_schema if hasattr(s, "base_schema") else s
+    if isinstance(s, pa.Schema):
+        return s
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+            continue
+        try:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            fields.append(pa.field(n, pa.string()))
+    return pa.schema(fields)
 
 
 def actor_pool_size(concurrency=None) -> tuple[int, int]:

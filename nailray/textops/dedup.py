@@ -989,6 +989,65 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _char_kgram_set(text: str, k: int) -> set:
+    """Distinct character k-grams (the STRINGS, not hashes — so the
+    exact-verify stage and its SQL oracle can never diverge on a hash
+    collision). Docs shorter than k contribute the empty set."""
+    t = text or ""
+    return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+def verify_pairs_jaccard(docs: rd.Dataset, pairs: rd.Dataset,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 5, id_a: str = "id_a", id_b: str = "id_b",
+                         num_partitions: int | None = None) -> rd.Dataset:
+    """EXACT n-gram Jaccard for a Dataset of candidate pairs — the
+    verification stage that turns MinHash's estimated similarities into
+    true ones (candidate generation stays sublinear; only the bounded
+    candidate set pays the exact cost).
+
+    Jaccard is over distinct character-k-gram STRING sets: both-empty
+    (every doc shorter than ``k``) → 1.0, one-empty → 0.0, NULL text →
+    "".  Returns ``(id_a, id_b, jaccard)``.
+
+    Scale shape: two partitioned hash joins
+    (:func:`nailray.ops.combine.merge`) ship each document's text only
+    to the partitions that hold its candidate pairs — never a
+    broadcast of the corpus; the per-pair set intersection then runs
+    inside the join output's blocks, each pair touched exactly once.
+    """
+    from ..ops.combine import merge
+
+    d = docs.select_columns([id_col, text_col])
+    j = merge(pairs.select_columns([id_a, id_b]), d, id_a, id_col,
+              how="inner", right_prefix="a_",
+              num_partitions=num_partitions)
+    j = merge(j, d, id_b, id_col, how="inner", right_prefix="b_",
+              num_partitions=num_partitions)
+
+    ta, tb = f"a_{text_col}", f"b_{text_col}"
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        av = batch.column(ta).to_pylist()
+        bv = batch.column(tb).to_pylist()
+        out = np.empty(n, np.float64)
+        for i in range(n):
+            sa = _char_kgram_set(av[i], k)
+            sb = _char_kgram_set(bv[i], k)
+            if not sa and not sb:
+                out[i] = 1.0
+            elif not sa or not sb:
+                out[i] = 0.0
+            else:
+                out[i] = len(sa & sb) / len(sa | sb)
+        return pa.table({id_a: batch.column(id_a),
+                         id_b: batch.column(id_b),
+                         "jaccard": pa.array(out, pa.float64())})
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def _resolve_cache_input(ds: rd.Dataset, cache_input) -> bool:
     """Shim for :func:`nailray.io.resolve_cache_input` (the policy
     lives beside ``is_plain_file_read``, its only dependency)."""

@@ -145,3 +145,35 @@ def test_redact_pii_leaves_no_matches(texts):
     for txt in out["text"]:
         for kind in kinds:
             assert not re.search(PII_PATTERNS[kind], txt), (kind, txt)
+
+
+def test_verify_pairs_jaccard_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.textops.dedup import verify_pairs_jaccard
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["abcdefgh", "abcdefgh",   # identical -> 1.0
+                 "abcdefgh", "zzzzzzzz",   # disjoint grams -> 0.0
+                 "ab", None],              # both shorter than k -> 1.0
+    })).repartition(3)
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": [0, 2, 4], "id_b": [1, 3, 5]}))
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in verify_pairs_jaccard(docs, pairs, "text", "doc_id",
+                                         k=5).take_all()}
+    assert out[(0, 1)] == 1.0
+    assert out[(2, 3)] == 0.0
+    assert out[(4, 5)] == 1.0  # empty-vs-empty convention
+
+    # overlap case: "abcdef" vs "bcdefg": grams {ab cde f., bcdef} ...
+    docs2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11], "text": ["abcdefg", "bcdefgh"]}))
+    pairs2 = rd.from_pandas(pd.DataFrame({"id_a": [10], "id_b": [11]}))
+    got = verify_pairs_jaccard(docs2, pairs2, "text", "doc_id",
+                               k=5).take_all()[0]["jaccard"]
+    # grams a: {abcde,bcdef,cdefg} b: {bcdef,cdefg,defgh}; |I|=2 |U|=4
+    assert abs(got - 0.5) < 1e-12
