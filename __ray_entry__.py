@@ -1200,6 +1200,21 @@ def q_jaccard_pairs(sf):
     return _round_cols(out, ["jaccard"])
 
 
+def q_standardize_group(sf):
+    # per-group z-score feature standardization (exact SQL window oracle)
+    from nailray.ops.aggregates import standardize
+
+    ds = _t(sf, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag",
+         "l_extendedprice", "l_quantity"])
+    out = standardize(ds, ["l_extendedprice", "l_quantity"],
+                      by="l_returnflag")
+    return _round_cols(
+        out.select_columns(["l_orderkey", "l_linenumber",
+                            "l_extendedprice_std", "l_quantity_std"]),
+        ["l_extendedprice_std", "l_quantity_std"])
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1434,7 +1449,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
-    "jaccard_pairs",
+    "jaccard_pairs", "standardize_group",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1558,6 +1573,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "semantic_dedup": q_semantic_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "standardize_group": q_standardize_group,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1932,6 +1948,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "standardize_group": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(CASE WHEN l_extendedprice IS NULL THEN NULL WHEN COALESCE(stddev_pop(l_extendedprice) OVER w, 0) = 0 THEN 0.0 ELSE (l_extendedprice - avg(l_extendedprice) OVER w) / stddev_pop(l_extendedprice) OVER w END, 6) AS l_extendedprice_std, "
+            "ROUND(CASE WHEN l_quantity IS NULL THEN NULL WHEN COALESCE(stddev_pop(l_quantity) OVER w, 0) = 0 THEN 0.0 ELSE (l_quantity - avg(l_quantity) OVER w) / stddev_pop(l_quantity) OVER w END, 6) AS l_quantity_std "
+            "FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)"),
         "jaccard_pairs": (
             "WITH g AS (SELECT DISTINCT doc_id, "
             "substr(COALESCE(text, ''), CAST(i AS BIGINT), 5) AS g "

@@ -197,6 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
     sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
     sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
+    sp = add("standardize", help="per-group (or global) z-score / min-max feature scaling")
+    sp.add_argument("-c", "--columns", required=True)
+    sp.add_argument("--by", default=None, help="comma-separated group keys")
+    sp.add_argument("--method", default="zscore", choices=["zscore", "minmax"])
     sp = add("tfidf", help="sparse TF-IDF rows over the corpus's top-V vocabulary")
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--top-vocab", type=int, default=1000)
@@ -574,6 +578,9 @@ def main(argv: list[str] | None = None) -> int:
         keys = [k for k in args.group_by.split(",") if k]
         _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,
                                           seed=args.seed), args)
+    elif cmd == "standardize":
+        _output(aggregates.standardize(ds, args.columns, by=args.by,
+                                       method=args.method), args)
     elif cmd == "tfidf":
         from .textops.analysis import tfidf_scores
 

@@ -972,3 +972,136 @@ def parquet_metadata(path: str) -> dict:
         "total_null_count": total_nulls,
     }
     return out
+
+
+def standardize(ds: rd.Dataset, columns: list[str] | str,
+                by: list[str] | str | None = None, method: str = "zscore",
+                out_suffix: str = "_std",
+                cache_input: bool | str = "auto") -> rd.Dataset:
+    """Per-group (or global) feature standardization: ``zscore``
+    ((x − mean) / population-std) or ``minmax`` ((x − min) / (max −
+    min)).  Appends ``<col><out_suffix>`` per input column; NULLs stay
+    NULL and are excluded from the stats; a degenerate group (zero
+    variance / single value / empty) standardizes to 0.0 — the CASE
+    the SQL window oracle spells out identically.
+
+    Scale shape: pass 1 is one :func:`~nailray.shuffle.grouped_agg`
+    over (count, sum, sum-of-squares | min, max) per (group, column) —
+    pre-combined per block, O(groups/block) exchange; the per-group
+    stats table (bounded by the group-key cardinality) broadcasts via
+    ``ray.put``; pass 2 standardizes each batch with one pandas merge +
+    vectorized arithmetic. ``by=None`` folds global stats from
+    per-block scalar partials instead (no exchange at all).
+    ``cache_input`` follows the two-pass auto policy
+    (:func:`nailray.io.resolve_cache_input`)."""
+    import ray
+
+    from ..io import resolve_cache_input as _resolve_cache_input
+    from ..shuffle import grouped_agg
+
+    if isinstance(columns, str):
+        columns = [c.strip() for c in columns.split(",") if c.strip()]
+    names = ds.schema().names
+    columns = [resolve_column(names, c) for c in columns]
+    if isinstance(by, str):
+        by = [c.strip() for c in by.split(",") if c.strip()]
+    by = [resolve_column(names, c) for c in by] if by else None
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}: zscore|minmax")
+
+    if _resolve_cache_input(ds, cache_input):
+        ds = ds.materialize()
+
+    if method == "zscore":
+        def pre(batch: pa.Table) -> pa.Table:
+            for c in columns:
+                x = pc.cast(batch.column(c), pa.float64())
+                batch = batch.append_column(f"__sq_{c}",
+                                            pc.multiply(x, x))
+            return batch
+
+        aggs = {}
+        for c in columns:
+            aggs[f"__n_{c}"] = (c, "count")
+            aggs[f"__s_{c}"] = (c, "sum")
+            aggs[f"__q_{c}"] = (f"__sq_{c}", "sum")
+        pre_cols = by + columns if by else columns
+        prepped = ds.select_columns(pre_cols).map_batches(
+            pre, batch_format="pyarrow") if by else None
+    else:
+        aggs = {}
+        for c in columns:
+            aggs[f"__lo_{c}"] = (c, "min")
+            aggs[f"__hi_{c}"] = (c, "max")
+
+    if by:
+        if method == "zscore":
+            stats_ds = grouped_agg(prepped, by, aggs)
+        else:
+            stats_ds = grouped_agg(ds.select_columns(by + columns), by, aggs)
+        stats = pa.concat_tables(
+            [b for b in stats_ds.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")],
+            promote_options="default").to_pandas()
+    else:
+        # global: fold one partial row per block
+        def partial(batch: pa.Table) -> pa.Table:
+            row = {}
+            for c in columns:
+                x = pc.cast(batch.column(c), pa.float64())
+                if method == "zscore":
+                    row[f"__n_{c}"] = [batch.num_rows
+                                       - batch.column(c).null_count]
+                    row[f"__s_{c}"] = [pc.sum(x).as_py() or 0.0]
+                    row[f"__q_{c}"] = [pc.sum(pc.multiply(x, x)).as_py()
+                                       or 0.0]
+                else:
+                    mm = pc.min_max(x)
+                    row[f"__lo_{c}"] = [mm["min"].as_py()]
+                    row[f"__hi_{c}"] = [mm["max"].as_py()]
+            return pa.table(row)
+
+        import pandas as _pd
+
+        parts = pa.concat_tables(
+            [b for b in ds.select_columns(columns)
+                          .map_batches(partial, batch_format="pyarrow")
+                          .iter_batches(batch_size=None,
+                                        batch_format="pyarrow")],
+            promote_options="default").to_pandas()
+        if method == "zscore":
+            stats = _pd.DataFrame({
+                **{f"__n_{c}": [parts[f"__n_{c}"].sum()] for c in columns},
+                **{f"__s_{c}": [parts[f"__s_{c}"].sum()] for c in columns},
+                **{f"__q_{c}": [parts[f"__q_{c}"].sum()] for c in columns}})
+        else:
+            stats = _pd.DataFrame({
+                **{f"__lo_{c}": [parts[f"__lo_{c}"].min()] for c in columns},
+                **{f"__hi_{c}": [parts[f"__hi_{c}"].max()] for c in columns}})
+
+    stats_ref = ray.put(stats)
+
+    def apply(df: "pd.DataFrame") -> "pd.DataFrame":
+        st = ray.get(stats_ref)
+        df = df.reset_index(drop=True)  # align assignments positionally
+        if by:
+            merged = df.merge(st, on=by, how="left")
+        else:
+            merged = df.assign(**{c2: st[c2].iloc[0] for c2 in st.columns})
+        for c in columns:
+            x = merged[c].astype("float64")
+            if method == "zscore":
+                n = merged[f"__n_{c}"].astype("float64")
+                mean = merged[f"__s_{c}"] / n.where(n > 0, 1.0)
+                var = merged[f"__q_{c}"] / n.where(n > 0, 1.0) - mean * mean
+                std = np.sqrt(np.maximum(var, 0.0))
+                z = (x - mean) / std.where(std > 0, 1.0)
+                out = z.where(std > 0, 0.0)
+            else:
+                lo = merged[f"__lo_{c}"].astype("float64")
+                rng = merged[f"__hi_{c}"].astype("float64") - lo
+                out = ((x - lo) / rng.where(rng > 0, 1.0)).where(rng > 0, 0.0)
+            df[f"{c}{out_suffix}"] = out.where(x.notna(), np.nan)
+        return df
+
+    return ds.map_batches(apply, batch_format="pandas")

@@ -118,6 +118,9 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
          "--id-column", "o_orderkey", "-o", f"{out}/spg"],
+        ["standardize", f"{sf_dir}/lineitem.parquet", "-c",
+         "l_extendedprice,l_quantity", "--by", "l_returnflag",
+         "-o", f"{out}/std"],
         ["tfidf", f"{sf_dir}/documents.parquet", "--top-vocab", "100",
          "-o", f"{out}/tfidf"],
         ["kmeans", f"{sf_dir}/embeddings.parquet", "-k", "4", "--iters", "3",

@@ -175,3 +175,50 @@ def test_tfidf_counts_tokenless_docs_in_n(ray_session):
     row_b = out[(out.doc_id == 2) & (out.token == "b")].iloc[0]
     assert abs(row_b["tfidf"] - 1 * np.log(4 / 2)) < 1e-12
     assert set(out.doc_id) == {1, 2}
+
+
+def test_standardize_zscore_group_vs_duckdb(sf_dir):
+    from nailray.io import read_parquet
+    from nailray.ops.aggregates import standardize
+
+    ds = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                               "l_extendedprice"])
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table —
+    # sort on the value too so ties can't reorder between the two sides
+    got = standardize(ds, ["l_extendedprice"], by="l_returnflag") \
+        .to_pandas() \
+        .sort_values(["l_orderkey", "l_linenumber", "l_extendedprice"]) \
+        .reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+        (l_extendedprice - avg(l_extendedprice) OVER w)
+          / stddev_pop(l_extendedprice) OVER w AS z
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WINDOW w AS (PARTITION BY l_returnflag)
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice""").df()
+    np.testing.assert_allclose(got["l_extendedprice_std"], want["z"],
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_standardize_edge_cases(ray_session):
+    from nailray.ops.aggregates import standardize
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "c", "c"],
+        "x": [1.0, 3.0, 7.0, 5.0, None]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = standardize(ds, ["x"], by="g").to_pandas() \
+        .sort_values(["g", "x"]).reset_index(drop=True)
+    # group a: mean 2, pop-std 1 -> -1, +1; group b: single row -> 0.0;
+    # group c: one value + one NULL -> 0.0 and NULL
+    vals = dict(zip(zip(out["g"], out["x"].fillna(-1)), out["x_std"]))
+    assert vals[("a", 1.0)] == -1.0 and vals[("a", 3.0)] == 1.0
+    assert vals[("b", 7.0)] == 0.0
+    assert vals[("c", 5.0)] == 0.0
+    assert np.isnan(vals[("c", -1.0)])
+
+    # minmax, global (no group)
+    out2 = standardize(ds, ["x"], method="minmax").to_pandas()
+    m = dict(zip(out2["x"].fillna(-1), out2["x_std"]))
+    assert m[1.0] == 0.0 and m[7.0] == 1.0 and abs(m[5.0] - 4/6) < 1e-12
