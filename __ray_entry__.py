@@ -1215,6 +1215,16 @@ def q_standardize_group(sf):
         ["l_extendedprice_std", "l_quantity_std"])
 
 
+def q_filter_quantile(sf):
+    # exact-quantile outlier trimming: keep the middle [0.05, 0.95] of
+    # l_extendedprice (bounds from the bracket-shrink exact quantiles)
+    from nailray.ops.quantile import filter_quantile
+
+    ds = _t(sf, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return filter_quantile(ds, "l_extendedprice", 0.05, 0.95)
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1449,7 +1459,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
-    "jaccard_pairs", "standardize_group",
+    "jaccard_pairs", "standardize_group", "filter_quantile",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1574,6 +1584,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "standardize_group": q_standardize_group,
+        "filter_quantile": q_filter_quantile,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1948,6 +1959,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "filter_quantile": (
+            "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
+            "(ORDER BY l_extendedprice) AS rn FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "n AS (SELECT COUNT(*) AS n FROM s), "
+            "b AS (SELECT "
+            "(SELECT v FROM s, n WHERE rn = GREATEST(1, "
+            "CAST(CEIL(0.05 * n.n) AS BIGINT))) AS lo, "
+            "(SELECT v FROM s, n WHERE rn = GREATEST(1, "
+            "CAST(CEIL(0.95 * n.n) AS BIGINT))) AS hi) "
+            "SELECT l_orderkey, l_linenumber, l_extendedprice "
+            "FROM lineitem, b "
+            "WHERE l_extendedprice >= b.lo AND l_extendedprice <= b.hi"),
         "standardize_group": (
             "SELECT l_orderkey, l_linenumber, "
             "ROUND(CASE WHEN l_extendedprice IS NULL THEN NULL WHEN COALESCE(stddev_pop(l_extendedprice) OVER w, 0) = 0 THEN 0.0 ELSE (l_extendedprice - avg(l_extendedprice) OVER w) / stddev_pop(l_extendedprice) OVER w END, 6) AS l_extendedprice_std, "

@@ -183,3 +183,36 @@ def exact_quantiles(
             f"for q={[t['q'] for t in unresolved]}")
     return pd.DataFrame({"q": [t["q"] for t in targets],
                          "value": [t["value"] for t in targets]})
+
+
+def filter_quantile(ds: rd.Dataset, column: str, lo: float = 0.01,
+                    hi: float = 0.99,
+                    cache_input: bool | str = "auto") -> rd.Dataset:
+    """Keep rows whose ``column`` lies within the [lo, hi] EXACT
+    quantile bounds of the full dataset — the scale-safe outlier /
+    heavy-tail trimming pass (no global sort: bounds come from
+    :func:`exact_quantiles`' bracket-shrink scans, then one streaming
+    filter).  NULL values never pass (SQL BETWEEN semantics); an
+    all-null column drops every row.
+
+    ``cache_input`` follows the two-pass auto policy — the input is
+    consumed by the quantile scans and once more by the filter."""
+    import pyarrow.compute as pc
+
+    from ..io import resolve_cache_input as _resolve_cache_input
+
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    if _resolve_cache_input(ds, cache_input):
+        ds = ds.materialize()
+    qdf = exact_quantiles(ds, column, [lo, hi])
+    lov, hiv = qdf["value"].tolist()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(column), pa.float64())
+        if lov is None or hiv is None or (lov != lov) or (hiv != hiv):
+            return batch.slice(0, 0)
+        keep = pc.and_(pc.greater_equal(x, lov), pc.less_equal(x, hiv))
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
