@@ -40,17 +40,23 @@ logger = logging.getLogger(__name__)
 
 
 def _id_digests(ids) -> np.ndarray:
-    """Stable uint64 digest per id (sha256 prefix of the repr) — the
-    deterministic, layout-free seed/survivor order."""
-    if hasattr(ids, "to_pylist"):        # pyarrow
-        vals = ids.to_pylist()
-    elif hasattr(ids, "tolist"):         # pandas / numpy → Python scalars
-        vals = ids.tolist()
-    else:
-        vals = list(ids)
+    """Stable uint64 digest per id — first 8 bytes of
+    ``sha256(str(id))`` — the deterministic, layout-free seed/survivor
+    order (and what the semantic_dedup SQL oracle reproduces with
+    DuckDB's ``sha256(CAST(id AS VARCHAR))``).  Arrow inputs hash
+    through :func:`~nailray.encode.codecs.base.digest_column`'s
+    zero-copy buffer slices; everything else falls back to a plain
+    loop (small sets: per-cluster survivor ordering)."""
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        from .encode.codecs.base import digest_column
+
+        hx = digest_column(pc.cast(ids, pa.string()))
+        return np.array([int(h[:16], 16) for h in hx.to_pylist()],
+                        np.uint64)
+    vals = ids.tolist() if hasattr(ids, "tolist") else list(ids)
     out = np.empty(len(vals), np.uint64)
     for i, v in enumerate(vals):
-        h = hashlib.sha256(repr(v).encode()).digest()
+        h = hashlib.sha256(str(v).encode()).digest()
         out[i] = int.from_bytes(h[:8], "big")
     return out
 
