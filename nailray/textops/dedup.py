@@ -1031,10 +1031,20 @@ def verify_pairs_jaccard(docs: rd.Dataset, pairs: rd.Dataset,
         n = batch.num_rows
         av = batch.column(ta).to_pylist()
         bv = batch.column(tb).to_pylist()
+        ia = batch.column(id_a).to_pylist()
+        ib = batch.column(id_b).to_pylist()
+        memo: dict = {}  # docs in many pairs build their set once
+
+        def gset(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = memo[doc_id] = _char_kgram_set(text, k)
+            return s
+
         out = np.empty(n, np.float64)
         for i in range(n):
-            sa = _char_kgram_set(av[i], k)
-            sb = _char_kgram_set(bv[i], k)
+            sa = gset(ia[i], av[i])
+            sb = gset(ib[i], bv[i])
             if not sa and not sb:
                 out[i] = 1.0
             elif not sa or not sb:
