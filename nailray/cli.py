@@ -60,7 +60,16 @@ def _output(ds, args, default_rows: int = 5):
         if hasattr(ds, "schema") and nio.ROW_ID in ds.schema().names:
             ds = ds.drop_columns([nio.ROW_ID])
         if fmt == "parquet":
-            ds.write_parquet(out)
+            pby = getattr(args, "partition_by", None)
+            if pby:
+                # Hive-style value-partitioned layout (key=value dirs) —
+                # the resumable-output shape: a re-run can skip finished
+                # key directories
+                ds.write_parquet(
+                    out, partition_cols=[c.strip() for c in pby.split(",")
+                                         if c.strip()])
+            else:
+                ds.write_parquet(out)
         elif fmt == "csv":
             ds.write_csv(out)
         elif fmt == "json":
@@ -88,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-j", "--jobs", type=int)
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--random", type=int, default=None)
+        sp.add_argument("--partition-by", default=None,
+                        help="parquet output only: comma-separated columns for "
+                             "a Hive-style key=value partitioned layout")
         return sp
 
     add("convert", help="read any format, write any format")

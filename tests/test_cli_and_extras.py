@@ -153,3 +153,19 @@ def test_to_rgb_handles_gray_and_rgba():
         assert out[:2] == b"BM"
     assert (to_rgb(gray)[..., 0] == gray).all()
     assert (to_rgb(rgba) == rgba[..., :3]).all()
+
+
+def test_cli_partitioned_parquet_output(tmp_path):
+    out = str(tmp_path / "hive")
+    r = run_cli("select", "/root/testdata/sf0.001/orders.parquet",
+                "-c", "o_orderkey,o_orderstatus",
+                "-o", out, "--partition-by", "o_orderstatus")
+    assert r.returncode == 0, r.stderr[-2000:]
+    import os as _os
+
+    import pyarrow.dataset as pds
+
+    dirs = sorted(d for d in _os.listdir(out) if d.startswith("o_orderstatus="))
+    assert len(dirs) >= 2  # one key=value dir per status
+    t = pds.dataset(out, partitioning="hive").to_table()
+    assert t.num_rows == 1500
