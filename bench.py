@@ -573,7 +573,7 @@ def run_text_once() -> dict:
     best("hygiene_corpus", hygiene)
     best("unigram_logprob", unigram)
     ray.shutdown()
-    return {"queries": res, "num_cpus": NUM_CPUS, "sf": src}
+    return {"queries": res, "num_cpus": NUM_CPUS, "corpus": src}
 
 
 def run_text_scaling() -> dict:
@@ -596,7 +596,8 @@ def run_text_scaling() -> dict:
 
     lo, hi = best(1), best(4)
     out = {"metric": "text pipeline scaling (1 vs 4 CPUs, fresh sessions)",
-           "num_cpus_lo": 1, "num_cpus_hi": 4, "sf": SF_DIR, "pipelines": {}}
+           "num_cpus_lo": 1, "num_cpus_hi": 4, "corpus": TEXT_CORPUS_DIR,
+           "corpus_rows": TEXT_CORPUS_ROWS, "pipelines": {}}
     for q in lo:
         eff = (lo[q] / hi[q]) / 4.0
         out["pipelines"][q] = {"sec_lo": lo[q], "sec_hi": hi[q],

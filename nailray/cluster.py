@@ -150,8 +150,12 @@ def _lloyd_centroids(ds_vec: rd.Dataset, cent: np.ndarray, n_iter: int,
 
 def _label_pass(ds_vec: rd.Dataset, cent: np.ndarray, embedding_col: str,
                 id_col: str, normalize: bool,
-                with_vectors: bool = False) -> rd.Dataset:
-    """One streaming pass assigning every row to its centroid."""
+                with_vectors: bool = False,
+                part_mod: int | None = None) -> rd.Dataset:
+    """One streaming pass assigning every row to its centroid.
+    ``with_vectors`` carries the embedding through (as ``vec``) and
+    ``part_mod`` appends ``part = cluster % part_mod`` — so callers
+    needing a partition key don't pay a second full-data pass."""
     cent_ref = ray.put(cent)
 
     def label(batch: pa.Table) -> pa.Table:
@@ -166,7 +170,10 @@ def _label_pass(ds_vec: rd.Dataset, cent: np.ndarray, embedding_col: str,
                 "cluster": pa.array(lab.astype(np.int32)),
                 "sim": pa.array(obj, pa.float64())}
         if with_vectors:
-            cols[embedding_col] = batch.column(embedding_col)
+            cols["vec"] = batch.column(embedding_col)
+        if part_mod is not None:
+            cols["part"] = pa.array(
+                (lab.astype(np.int64) % part_mod), pa.int64())
         return pa.table(cols)
 
     return ds_vec.map_batches(label, batch_format="pyarrow")
@@ -250,18 +257,8 @@ def semantic_dedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.95,
     cent = _lloyd_centroids(ds_vec, cent, n_iter, embedding_col, True)
 
     n_parts = min(partition_count(num_partitions), max(k, 1))
-    labeled = _label_pass(ds_vec, cent, embedding_col, id_col, True,
-                          with_vectors=True)
-
-    def attach_part(batch: pa.Table) -> pa.Table:
-        part = np.asarray(batch.column("cluster"), np.int64) % n_parts
-        return pa.table({
-            id_col: batch.column(id_col),
-            "cluster": batch.column("cluster"),
-            "vec": batch.column(embedding_col),
-            "part": pa.array(part, pa.int64())})
-
-    parts = labeled.map_batches(attach_part, batch_format="pyarrow")
+    parts = _label_pass(ds_vec, cent, embedding_col, id_col, True,
+                        with_vectors=True, part_mod=n_parts)
 
     def dedup_part(df):
         outs = []
@@ -284,7 +281,10 @@ def _dedup_cluster(df, id_col: str, threshold: float, keep: str,
         return df[[id_col, "cluster"]].reset_index(drop=True)
     m = np.stack([np.asarray(v, np.float64) for v in df["vec"]])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    dig = _id_digests(df[id_col])
+    # Arrow-path digests: pc.cast-to-string form matches _init_centroids'
+    # seeding order for every id type (str(v) on a pandas Series would
+    # diverge for bool/timestamp ids)
+    dig = _id_digests(pa.Array.from_pandas(df[id_col]))
     order = np.argsort(dig, kind="stable")
     if keep == "max":
         order = order[::-1]

@@ -985,15 +985,23 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
     variance / single value / empty) standardizes to 0.0 — the CASE
     the SQL window oracle spells out identically.
 
-    Scale shape: pass 1 is one :func:`~nailray.shuffle.grouped_agg`
-    over (count, sum, sum-of-squares | min, max) per (group, column) —
-    pre-combined per block, O(groups/block) exchange; the per-group
-    stats table (bounded by the group-key cardinality) broadcasts via
-    ``ray.put``; pass 2 standardizes each batch with one pandas merge +
-    vectorized arithmetic. ``by=None`` folds global stats from
-    per-block scalar partials instead (no exchange at all).
-    ``cache_input`` follows the two-pass auto policy
-    (:func:`nailray.io.resolve_cache_input`)."""
+    Scale shape: zscore first folds a global per-column MIN from
+    per-block scalars (no exchange) and uses it as a cancellation
+    shift — the sums that move are Σ(x−shift) and Σ(x−shift)², so the
+    classic sumsq/n − mean² catastrophic cancellation on large-offset
+    data (epoch timestamps, sequence ids) is gone; mean folds back as
+    shift + Σ/n and the variance is shift-invariant.  (Residual caveat:
+    the shift is global, so groups sitting at wildly different offsets
+    with tiny intra-group spread can still cancel — per-group shifts
+    would need a second grouped exchange.)  Pass 2 is one
+    :func:`~nailray.shuffle.grouped_agg` over (count, Σshifted,
+    Σshifted² | min, max) per (group, column) — pre-combined per block,
+    O(groups/block) exchange; the per-group stats table (bounded by the
+    group-key cardinality) broadcasts via ``ray.put``; pass 3
+    standardizes each batch with one pandas merge + vectorized
+    arithmetic. ``by=None`` folds global stats from per-block scalar
+    partials instead (no exchange at all). ``cache_input`` follows the
+    multi-pass auto policy (:func:`nailray.io.resolve_cache_input`)."""
     import ray
 
     from ..io import resolve_cache_input as _resolve_cache_input
@@ -1012,48 +1020,73 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
 
+    def _fold_scalar_blocks(d, make_row):
+        rows = [b for b in d.map_batches(make_row, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")]
+        if not rows:
+            return None
+        return pa.concat_tables(rows, promote_options="default").to_pandas()
+
+    shift: dict[str, float] = {}
     if method == "zscore":
+        # pass 0: global per-column min — the cancellation shift
+        def min_row(batch: pa.Table) -> pa.Table:
+            return pa.table({c: pa.array(
+                [pc.min(pc.cast(batch.column(c), pa.float64(), safe=False)).as_py()],
+                pa.float64()) for c in columns})
+
+        mins = _fold_scalar_blocks(ds.select_columns(columns), min_row)
+        for c in columns:
+            v = mins[c].min() if mins is not None else None
+            shift[c] = float(v) if v is not None and v == v else 0.0
+
         def pre(batch: pa.Table) -> pa.Table:
             for c in columns:
-                x = pc.cast(batch.column(c), pa.float64())
-                batch = batch.append_column(f"__sq_{c}",
-                                            pc.multiply(x, x))
+                x = pc.subtract(pc.cast(batch.column(c), pa.float64(), safe=False),
+                                shift[c])
+                batch = batch.append_column(f"__sh_{c}", x)
+                batch = batch.append_column(f"__sq_{c}", pc.multiply(x, x))
             return batch
 
         aggs = {}
         for c in columns:
             aggs[f"__n_{c}"] = (c, "count")
-            aggs[f"__s_{c}"] = (c, "sum")
+            aggs[f"__s_{c}"] = (f"__sh_{c}", "sum")
             aggs[f"__q_{c}"] = (f"__sq_{c}", "sum")
-        pre_cols = by + columns if by else columns
-        prepped = ds.select_columns(pre_cols).map_batches(
-            pre, batch_format="pyarrow") if by else None
     else:
         aggs = {}
         for c in columns:
             aggs[f"__lo_{c}"] = (c, "min")
             aggs[f"__hi_{c}"] = (c, "max")
 
+    import pandas as _pd
+
     if by:
         if method == "zscore":
+            prepped = ds.select_columns(by + columns).map_batches(
+                pre, batch_format="pyarrow")
             stats_ds = grouped_agg(prepped, by, aggs)
         else:
             stats_ds = grouped_agg(ds.select_columns(by + columns), by, aggs)
-        stats = pa.concat_tables(
-            [b for b in stats_ds.iter_batches(batch_size=None,
-                                              batch_format="pyarrow")],
-            promote_options="default").to_pandas()
+        stat_parts = [b for b in stats_ds.iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+        if stat_parts:
+            stats = pa.concat_tables(
+                stat_parts, promote_options="default").to_pandas()
+        else:  # empty input: no groups — apply never runs either
+            stats = _pd.DataFrame({c: [] for c in by + list(aggs)})
     else:
         # global: fold one partial row per block
         def partial(batch: pa.Table) -> pa.Table:
             row = {}
             for c in columns:
-                x = pc.cast(batch.column(c), pa.float64())
+                x = pc.cast(batch.column(c), pa.float64(), safe=False)
                 if method == "zscore":
+                    xs = pc.subtract(x, shift[c])
                     row[f"__n_{c}"] = [batch.num_rows
                                        - batch.column(c).null_count]
-                    row[f"__s_{c}"] = [pc.sum(x).as_py() or 0.0]
-                    row[f"__q_{c}"] = [pc.sum(pc.multiply(x, x)).as_py()
+                    row[f"__s_{c}"] = [pc.sum(xs).as_py() or 0.0]
+                    row[f"__q_{c}"] = [pc.sum(pc.multiply(xs, xs)).as_py()
                                        or 0.0]
                 else:
                     mm = pc.min_max(x)
@@ -1061,14 +1094,10 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
                     row[f"__hi_{c}"] = [mm["max"].as_py()]
             return pa.table(row)
 
-        import pandas as _pd
-
-        parts = pa.concat_tables(
-            [b for b in ds.select_columns(columns)
-                          .map_batches(partial, batch_format="pyarrow")
-                          .iter_batches(batch_size=None,
-                                        batch_format="pyarrow")],
-            promote_options="default").to_pandas()
+        parts = _fold_scalar_blocks(ds.select_columns(columns), partial)
+        if parts is None:
+            parts = _pd.DataFrame({k: [0.0 if method == "zscore" else None]
+                                   for k in aggs})
         if method == "zscore":
             stats = _pd.DataFrame({
                 **{f"__n_{c}": [parts[f"__n_{c}"].sum()] for c in columns},
@@ -1092,10 +1121,10 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
             x = merged[c].astype("float64")
             if method == "zscore":
                 n = merged[f"__n_{c}"].astype("float64")
-                mean = merged[f"__s_{c}"] / n.where(n > 0, 1.0)
-                var = merged[f"__q_{c}"] / n.where(n > 0, 1.0) - mean * mean
+                sm = merged[f"__s_{c}"] / n.where(n > 0, 1.0)  # shifted mean
+                var = merged[f"__q_{c}"] / n.where(n > 0, 1.0) - sm * sm
                 std = np.sqrt(np.maximum(var, 0.0))
-                z = (x - mean) / std.where(std > 0, 1.0)
+                z = (x - (sm + shift[c])) / std.where(std > 0, 1.0)
                 out = z.where(std > 0, 0.0)
             else:
                 lo = merged[f"__lo_{c}"].astype("float64")

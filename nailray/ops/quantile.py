@@ -209,10 +209,18 @@ def filter_quantile(ds: rd.Dataset, column: str, lo: float = 0.01,
     lov, hiv = qdf["value"].tolist()
 
     def fn(batch: pa.Table) -> pa.Table:
-        x = pc.cast(batch.column(column), pa.float64())
         if lov is None or hiv is None or (lov != lov) or (hiv != hiv):
             return batch.slice(0, 0)
-        keep = pc.and_(pc.greater_equal(x, lov), pc.less_equal(x, hiv))
+        # compare in the column's NATIVE type — exact_quantiles returns
+        # exact native scalars (a float64 round-trip would blur int64
+        # values beyond 2^53 and diverge from the SQL BETWEEN oracle)
+        x = batch.column(column)
+        try:
+            lo_s, hi_s = pa.scalar(lov, x.type), pa.scalar(hiv, x.type)
+        except (pa.ArrowInvalid, OverflowError, TypeError):
+            x = pc.cast(x, pa.float64())
+            lo_s, hi_s = float(lov), float(hiv)
+        keep = pc.and_(pc.greater_equal(x, lo_s), pc.less_equal(x, hi_s))
         return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")

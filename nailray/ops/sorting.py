@@ -107,7 +107,10 @@ def sort(
     casts, unparseable dates)."""
     if nulls not in ("first", "last", "skip"):
         raise ValueError(f"unknown null handling {nulls!r}")
-    names = ds.schema().names
+    sch = ds.schema()
+    if sch is None:  # fully empty derived dataset: nothing to sort
+        return ds
+    names = sch.names
     if isinstance(columns, str):
         columns = [c.strip() for c in columns.split(",") if c.strip()]
     columns = [resolve_column(names, c) for c in columns]
@@ -174,8 +177,13 @@ def topk(
 
     At scale this replaces the all-to-all exchange of a full sort with a
     map-side reduction to k rows per block. Null keys honor ``nulls``
-    (first|last) in both passes."""
-    names = ds.schema().names
+    (first|last) in both passes. Keys should totally order rows: ties
+    at the k boundary are chosen arbitrarily (block order before, heap
+    order now — neither is a contract)."""
+    sch = ds.schema()
+    if sch is None:  # fully empty derived dataset: nothing to rank
+        return ds
+    names = sch.names
     if isinstance(columns, str):
         columns = [c.strip() for c in columns.split(",") if c.strip()]
     columns = [resolve_column(names, c) for c in columns]

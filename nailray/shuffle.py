@@ -45,6 +45,24 @@ def arrow_schema_of(ds) -> "pa.Schema":
     return pa.schema(fields)
 
 
+def fold_scalar_sum(ds, col: str) -> int:
+    """Distributed integer-sum fold: each block collapses to ONE scalar
+    before crossing to the driver (pulling a full table through
+    iter_batches serializes; measured -8 s on the bench corpus's
+    distinct-token table). Missing-column blocks contribute 0."""
+    import pyarrow.compute as pc
+
+    total = 0
+    folded = ds.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(t.column(col)).as_py() or 0)
+             if col in t.column_names else 0], pa.int64())}),
+        batch_format="pyarrow")
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b.column("s")).as_py() or 0)
+    return total
+
+
 def actor_pool_size(concurrency=None) -> tuple[int, int]:
     """Default actor-pool bounds for stateful map_batches stages:
     (1, cluster CPUs) — a fixed small cap leaves most of a wide node

@@ -324,22 +324,17 @@ def unigram_logprob(ds: rd.Dataset, text_col: str = "text",
                  .map_batches(partial, batch_format="pyarrow")
     counts = grouped_agg(partials, ["token"], {"count": ("count", "sum")})
     counts = counts.materialize()  # consumed twice: total + top-k
-    # fold the grand total DISTRIBUTED (one scalar per block) — pulling
-    # the full distinct-token table through the driver serializes ~a
-    # third of the wall at this corpus size
-    total = 0
-    for b in counts.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [int(pc.sum(t.column("count")).as_py() or 0)
-                 if "count" in t.column_names else 0], pa.int64())}),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        total += int(pc.sum(b.column("s")).as_py() or 0)
-    total = max(total, 1)
+    from ..shuffle import fold_scalar_sum
+    total = max(fold_scalar_sum(counts, "count"), 1)
     top = sorting.topk(counts, ["count", "token"], top_vocab,
                        descending=[True, False])
-    top_t = pa.concat_tables(
-        [t for t in top.iter_batches(batch_size=None, batch_format="pyarrow")],
-        promote_options="default")
+    top_parts = [t for t in top.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")]
+    if top_parts:
+        top_t = pa.concat_tables(top_parts, promote_options="default")
+    else:  # tokenless corpus (all texts empty/NULL): empty vocab
+        top_t = pa.table({"token": pa.array([], pa.string()),
+                          "count": pa.array([], pa.int64())})
     vocab = top_t.column("token").combine_chunks()
     logp = np.log(np.asarray(top_t.column("count"), np.float64) / total)
     oov = float(np.log(oov_weight / total))
@@ -494,24 +489,21 @@ def tfidf_scores(ds: rd.Dataset, text_col: str = "text",
     dfs = grouped_agg(partials, ["token"],
                       {"df": ("df", "sum"), "n_docs": ("n_docs", "sum")})
     dfs = dfs.materialize()  # consumed twice: N fold + top-k
-    # distributed N fold: one scalar per block crosses to the driver
-    n_docs = 0
-    for b in dfs.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [int(pc.sum(t.column("n_docs")).as_py() or 0)
-                 if "n_docs" in t.column_names else 0], pa.int64())}),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        n_docs += int(pc.sum(b.column("s")).as_py() or 0)
-    n_docs = max(n_docs, 1)
+    from ..shuffle import fold_scalar_sum
+    n_docs = max(fold_scalar_sum(dfs, "n_docs"), 1)
     real = dfs.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("token"), "")),
         batch_format="pyarrow")
     top = sorting.topk(real.select_columns(["token", "df"]),
                        ["df", "token"], top_vocab,
                        descending=[True, False])
-    top_t = pa.concat_tables(
-        [t for t in top.iter_batches(batch_size=None, batch_format="pyarrow")],
-        promote_options="default")
+    top_parts = [t for t in top.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")]
+    if top_parts:
+        top_t = pa.concat_tables(top_parts, promote_options="default")
+    else:  # tokenless corpus: empty vocab, emit() returns empty rows
+        top_t = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
     vocab = top_t.column("token").combine_chunks()
     idf = np.log(n_docs / np.asarray(top_t.column("df"), np.float64))
     vocab_ref = ray.put((vocab, idf))

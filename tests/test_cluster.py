@@ -222,3 +222,51 @@ def test_standardize_edge_cases(ray_session):
     out2 = standardize(ds, ["x"], method="minmax").to_pandas()
     m = dict(zip(out2["x"].fillna(-1), out2["x_std"]))
     assert m[1.0] == 0.0 and m[7.0] == 1.0 and abs(m[5.0] - 4/6) < 1e-12
+
+
+def test_standardize_large_offset_no_cancellation(ray_session):
+    """Epoch-nanosecond-scale offsets: the naive sumsq/n - mean^2 would
+    cancel catastrophically; the shifted sums must not."""
+    base = 1_700_000_000_000_000_000
+    vals = np.array([base, base + 1_000_000_000, base + 2_000_000_000],
+                    dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"g": ["a"] * 3, "x": vals}))
+    from nailray.ops.aggregates import standardize
+
+    out = standardize(ds, ["x"], by="g").to_pandas().sort_values("x")
+    # mean = base+1e9, pop std = sqrt(2/3)*1e9
+    want = (vals - (base + 1_000_000_000)) / (np.sqrt(2.0 / 3.0) * 1e9)
+    np.testing.assert_allclose(out["x_std"].to_numpy(), np.sort(want),
+                               rtol=1e-9)
+
+
+def test_standardize_empty_input(ray_session):
+    from nailray.ops.aggregates import standardize
+
+    empty = rd.from_pandas(pd.DataFrame({"g": pd.Series([], dtype=str),
+                                         "x": pd.Series([], dtype=float)}))
+    assert standardize(empty, ["x"], by="g").count() == 0
+    assert standardize(empty, ["x"], method="minmax").count() == 0
+
+
+def test_tfidf_tokenless_corpus(ray_session):
+    from nailray.textops.analysis import tfidf_scores
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2],
+                                      "text": ["   ", None]}))
+    assert tfidf_scores(ds, "text", "doc_id", top_vocab=5).count() == 0
+
+
+def test_filter_quantile_int64_beyond_float53(ray_session):
+    """int64 values beyond 2^53: bounds must compare exactly in the
+    native type, not through a float64 round-trip."""
+    from nailray.ops.quantile import filter_quantile
+
+    base = (1 << 60)
+    # 1..20 spaced by 1 around base: float64 can't distinguish base+i
+    vals = [base + i for i in range(1, 21)]
+    ds = rd.from_pandas(pd.DataFrame({"x": pd.Series(vals, dtype="int64")}))
+    out = filter_quantile(ds, "x", 0.25, 0.75).to_pandas()
+    lo = vals[int(np.ceil(0.25 * 20)) - 1]
+    hi = vals[int(np.ceil(0.75 * 20)) - 1]
+    assert sorted(out["x"]) == [v for v in vals if lo <= v <= hi]
