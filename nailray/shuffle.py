@@ -26,14 +26,18 @@ def arrow_schema_of(ds) -> "pa.Schema":
     Ray 2.49 returns a ``PandasBlockSchema`` namedtuple for
     pandas-block datasets (e.g. ``from_pandas``); iterating that yields
     its (names, types) tuple elements, not fields — code doing
-    ``for f in schema`` silently breaks. Pandas object dtype maps to
-    string (the only ambiguous case; everything else converts via
-    ``pa.from_numpy_dtype``)."""
+    ``for f in schema`` silently breaks. Unambiguous numpy dtypes
+    convert via ``pa.from_numpy_dtype``; for ambiguous object columns
+    (strings? lists? structs?) ONE row is peeked and Arrow-inferred —
+    guessing string would silently mistype list/struct columns and
+    crash the join exchange downstream. Empty datasets fall back to
+    string (nothing to peek, nothing to mistype)."""
     s = ds.schema()
     s = s.base_schema if hasattr(s, "base_schema") else s
     if isinstance(s, pa.Schema):
         return s
     fields = []
+    ambiguous: list[int] = []
     for n, t in zip(s.names, s.types):
         if isinstance(t, pa.DataType):
             fields.append(pa.field(n, t))
@@ -41,7 +45,19 @@ def arrow_schema_of(ds) -> "pa.Schema":
         try:
             fields.append(pa.field(n, pa.from_numpy_dtype(t)))
         except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            ambiguous.append(len(fields))
             fields.append(pa.field(n, pa.string()))
+    if ambiguous:
+        try:
+            head = ds.limit(1).to_pandas()
+            if len(head):
+                inferred = pa.Table.from_pandas(
+                    head, preserve_index=False).schema
+                for i in ambiguous:
+                    fields[i] = pa.field(fields[i].name,
+                                         inferred.field(fields[i].name).type)
+        except Exception:
+            pass  # keep the string fallback
     return pa.schema(fields)
 
 

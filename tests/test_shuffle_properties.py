@@ -70,3 +70,28 @@ def test_grouped_agg_heavy_skew():
                            {"n": ("v", "sum")}))
     assert out["n"].sum() == n
     assert out.loc[out["k"] == 0, "n"].iloc[0] == hot.sum()
+
+
+def test_partitioned_merge_on_pandas_list_column(ray_session):
+    """from_pandas dataset with an object column of lists: the join
+    exchange must infer list<float>, not guess string (review r4)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.ops.combine import merge
+    from nailray.shuffle import arrow_schema_of
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3],
+        "emb": [list(np.arange(3.0)), [1.0, 2.0, 3.0], [9.0, 9.0, 9.0]]}))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [1, 3], "lab": ["a", "b"]}))
+    sch = arrow_schema_of(left)
+    import pyarrow as pa
+
+    assert pa.types.is_list(sch.field("emb").type) or \
+        pa.types.is_large_list(sch.field("emb").type)
+    out = merge(left, right, "k").to_pandas().sort_values("k")
+    assert list(out["r_lab"]) == ["a", "b"]
+    assert all(len(v) == 3 for v in out["emb"])
