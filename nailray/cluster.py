@@ -148,6 +148,66 @@ def _lloyd_centroids(ds_vec: rd.Dataset, cent: np.ndarray, n_iter: int,
     return cent
 
 
+def _fit_small_impl(k: int, n_iter: int, normalize: bool,
+                    embedding_col: str, id_col: str, *blocks):
+    """Whole init+Lloyd fit in ONE worker task — the small-input
+    short-circuit (same pattern as connected components' ≤1M-edge
+    single-task path).  Rows are canonicalized by digest order first,
+    so the result is bit-stable across block layouts (the distributed
+    path's per-block partial sums may differ from this in float ulps —
+    both are valid Lloyd fixpoints of the same deterministic init)."""
+    ts = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+          for b in blocks if b is not None and len(b)]
+    t = pa.concat_tables(ts, promote_options="default")
+    m = _batch_matrix(t, embedding_col)
+    dig = _id_digests(t.column(id_col).combine_chunks())
+    order = np.argsort(dig, kind="stable")  # canonical row order
+    m = m[order]
+    cent = m[:min(k, len(m))].astype(np.float64).copy()
+    if normalize:
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    k_eff, dim = cent.shape
+    for _ in range(n_iter):
+        m2, lab, _ = _assign(m, cent, normalize)
+        o = np.argsort(lab, kind="stable")
+        sl = lab[o]
+        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums = np.zeros((k_eff, dim), np.float64)
+        sums[sl[bounds]] = np.add.reduceat(m2[o], bounds, axis=0)
+        cnt = np.bincount(lab, minlength=k_eff)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        if normalize:
+            new = new / np.maximum(
+                np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cent = new
+    return cent
+
+
+def _fit_centroids(ds_vec: rd.Dataset, k: int, n_iter: int,
+                   embedding_col: str, id_col: str, normalize: bool,
+                   small_input_rows: int) -> np.ndarray:
+    """Route between the one-task small-input fit (n_iter sequential
+    Ray pipelines cost ~0.5 s of fixed scheduling each — pure overhead
+    when the whole table fits one worker) and the distributed
+    partial-sum loop."""
+    import ray
+
+    n = ds_vec.count()
+    if n == 0:
+        raise ValueError("kmeans_embeddings: empty input dataset")
+    if n <= small_input_rows:
+        refs = [bref for bundle in ds_vec.iter_internal_ref_bundles()
+                for bref in bundle.block_refs]
+        fit = ray.remote(num_cpus=1)(_fit_small_impl)
+        return ray.get(fit.remote(k, n_iter, normalize, embedding_col,
+                                  id_col, *refs))
+    cent = _init_centroids(ds_vec, k, embedding_col, id_col, normalize)
+    return _lloyd_centroids(ds_vec, cent, n_iter, embedding_col, normalize)
+
+
 def _label_pass(ds_vec: rd.Dataset, cent: np.ndarray, embedding_col: str,
                 id_col: str, normalize: bool,
                 with_vectors: bool = False,
@@ -183,6 +243,7 @@ def kmeans_embeddings(ds: rd.Dataset, k: int = 16, n_iter: int = 10,
                       embedding_col: str = "embedding",
                       id_col: str = "vec_id", normalize: bool = True,
                       compute_inertia: bool = False,
+                      small_input_rows: int = 2_000_000,
                       cache_input: bool | str = "auto"):
     """Full-data distributed Lloyd's k-means.
 
@@ -207,8 +268,8 @@ def kmeans_embeddings(ds: rd.Dataset, k: int = 16, n_iter: int = 10,
         ds = ds.materialize()
     ds_vec = ds.select_columns([id_col, embedding_col])
 
-    cent = _init_centroids(ds_vec, k, embedding_col, id_col, normalize)
-    cent = _lloyd_centroids(ds_vec, cent, n_iter, embedding_col, normalize)
+    cent = _fit_centroids(ds_vec, k, n_iter, embedding_col, id_col,
+                          normalize, small_input_rows)
     assignments = _label_pass(ds_vec, cent, embedding_col, id_col, normalize)
 
     inertia = None
@@ -233,6 +294,7 @@ def semantic_dedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.95,
                    id_col: str = "vec_id", keep: str = "min",
                    max_pairs_per_cluster: int = 2_000_000,
                    num_partitions: int | None = None,
+                   small_input_rows: int = 2_000_000,
                    cache_input: bool | str = "auto") -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     then inside each cluster drop all but one representative of every
@@ -253,8 +315,8 @@ def semantic_dedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.95,
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
     ds_vec = ds.select_columns([id_col, embedding_col])
-    cent = _init_centroids(ds_vec, k, embedding_col, id_col, True)
-    cent = _lloyd_centroids(ds_vec, cent, n_iter, embedding_col, True)
+    cent = _fit_centroids(ds_vec, k, n_iter, embedding_col, id_col, True,
+                          small_input_rows)
 
     n_parts = min(partition_count(num_partitions), max(k, 1))
     parts = _label_pass(ds_vec, cent, embedding_col, id_col, True,

@@ -66,7 +66,11 @@ def _ref_kmeans(ids, mat, k, n_iter, normalize=True):
 
 
 @pytest.mark.parametrize("normalize", [True, False])
-def test_kmeans_matches_sequential_reference(sf_dir, normalize):
+@pytest.mark.parametrize("small_rows", [0, 2_000_000])
+def test_kmeans_matches_sequential_reference(sf_dir, normalize, small_rows):
+    # small_rows=0 forces the DISTRIBUTED partial-sum path; the default
+    # takes the one-task small-input short-circuit — both must agree
+    # with the sequential reference
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -79,7 +83,7 @@ def test_kmeans_matches_sequential_reference(sf_dir, normalize):
 
     asg, cent, inertia = kmeans_embeddings(
         _emb(sf_dir), k=8, n_iter=5, normalize=normalize,
-        compute_inertia=True)
+        compute_inertia=True, small_input_rows=small_rows)
     np.testing.assert_allclose(cent, ref_cent, rtol=1e-9, atol=1e-9)
     got = {r["vec_id"]: r["cluster"] for r in asg.take_all()}
     want = dict(zip(ids, ref_lab))
