@@ -1225,6 +1225,15 @@ def q_filter_quantile(sf):
     return filter_quantile(ds, "l_extendedprice", 0.05, 0.95)
 
 
+def q_distinct_by_group(sf):
+    # exact COUNT(DISTINCT supplier) per returnflag at O(distinct)
+    # exchange cost (no raw rows move)
+    from nailray.ops.aggregates import distinct_count_by
+
+    return distinct_count_by(_t(sf, "lineitem"), ["l_returnflag"],
+                             "l_suppkey")
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1459,7 +1468,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
-    "jaccard_pairs", "standardize_group", "filter_quantile",
+    "jaccard_pairs", "standardize_group", "filter_quantile", "distinct_by_group",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1585,6 +1594,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "standardize_group": q_standardize_group,
         "filter_quantile": q_filter_quantile,
+        "distinct_by_group": q_distinct_by_group,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1959,6 +1969,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "distinct_by_group": (
+            "SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) "
+            "AS n_distinct FROM lineitem GROUP BY l_returnflag"),
         "filter_quantile": (
             "WITH s AS (SELECT l_extendedprice AS v, ROW_NUMBER() OVER "
             "(ORDER BY l_extendedprice) AS rn FROM lineitem "

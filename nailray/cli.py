@@ -209,6 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
     sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
     sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
+    sp = add("distinct-by", help="exact COUNT(DISTINCT col) per group")
+    sp.add_argument("--group-by", required=True)
+    sp.add_argument("-c", "--column", required=True)
     sp = add("standardize", help="per-group (or global) z-score / min-max feature scaling")
     sp.add_argument("-c", "--columns", required=True)
     sp.add_argument("--by", default=None, help="comma-separated group keys")
@@ -590,6 +593,9 @@ def main(argv: list[str] | None = None) -> int:
         keys = [k for k in args.group_by.split(",") if k]
         _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,
                                           seed=args.seed), args)
+    elif cmd == "distinct-by":
+        _output(aggregates.distinct_count_by(ds, args.group_by,
+                                             args.column), args)
     elif cmd == "standardize":
         _output(aggregates.standardize(ds, args.columns, by=args.by,
                                        method=args.method), args)

@@ -151,6 +151,36 @@ def distinct_count(ds: rd.Dataset, col: str) -> int:
     return grouped_agg(uniq, [col], {"__c": (col, "size")}).count()
 
 
+def distinct_count_by(ds: rd.Dataset, keys: list[str] | str,
+                      col: str) -> rd.Dataset:
+    """Exact ``COUNT(DISTINCT col) GROUP BY keys`` at O(distinct)
+    exchange cost: per-block unique (keys, col) pairs → grouped
+    dedup over the pair space → pre-combined count per key.  Neither
+    exchange carries raw rows — the first carries each block's
+    distinct pairs, the second one row per (block, key).  Returns
+    ``(keys..., n_distinct)``."""
+    from ..shuffle import grouped_agg
+
+    names = ds.schema().names
+    if isinstance(keys, str):
+        keys = [c.strip() for c in keys.split(",") if c.strip()]
+    keys = [resolve_column(names, c) for c in keys]
+    col = resolve_column(names, col)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [col]).combine_chunks()
+        t = t.filter(pc.is_valid(t.column(col)))
+        return t.group_by(keys + [col]).aggregate([])
+
+    pairs = ds.select_columns(keys + [col]).map_batches(
+        pair_partial, batch_format="pyarrow")
+    # dedup the pair space, then count pairs per key (pre-combined)
+    dedup = grouped_agg(pairs, keys + [col], {"__c": (col, "size")})
+    counts = grouped_agg(dedup.select_columns(keys + [col]), keys,
+                         {"n_distinct": (col, "size")})
+    return counts
+
+
 def frequency(ds: rd.Dataset, columns: list[str], limit: int | None = None) -> pd.DataFrame:
     """GROUP BY cols ORDER BY count DESC + percentage
     (src/commands/frequency.rs:61-86). Pre-combined per block

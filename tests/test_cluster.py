@@ -274,3 +274,16 @@ def test_filter_quantile_int64_beyond_float53(ray_session):
     lo = vals[int(np.ceil(0.25 * 20)) - 1]
     hi = vals[int(np.ceil(0.75 * 20)) - 1]
     assert sorted(out["x"]) == [v for v in vals if lo <= v <= hi]
+
+
+def test_distinct_count_by_nulls_and_layout(ray_session):
+    from nailray.ops.aggregates import distinct_count_by
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", None],
+        "v": [1, 1, None, 2, 3, 4]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = {r["g"]: r["n_distinct"]
+           for r in distinct_count_by(ds, ["g"], "v").take_all()}
+    # NULL v excluded (COUNT DISTINCT semantics); NULL group kept
+    assert out["a"] == 1 and out["b"] == 2 and out[None] == 1
