@@ -443,6 +443,50 @@ def run_queries() -> dict[str, float]:
                              columns=["vec_id", "embedding"]),
             k=16, threshold=0.99, n_iter=5).count()
 
+    @timed("standardize_group")
+    def _standardize():
+        from nailray.ops.aggregates import standardize
+
+        standardize(nio.read_parquet(li, columns=["l_returnflag",
+                                                  "l_extendedprice",
+                                                  "l_quantity"]),
+                    ["l_extendedprice", "l_quantity"],
+                    by="l_returnflag").count()
+
+    @timed("filter_quantile")
+    def _fquant():
+        from nailray.ops.quantile import filter_quantile
+
+        filter_quantile(nio.read_parquet(li, columns=["l_orderkey",
+                                                      "l_extendedprice"]),
+                        "l_extendedprice", 0.05, 0.95).count()
+
+    @timed("distinct_by_group")
+    def _dby():
+        from nailray.ops.aggregates import distinct_count_by
+
+        distinct_count_by(nio.read_parquet(li, columns=["l_returnflag",
+                                                        "l_suppkey"]),
+                          ["l_returnflag"], "l_suppkey").count()
+
+    @timed("jaccard_pairs")
+    def _jacc():
+        import numpy as np
+        from nailray.textops.dedup import verify_pairs_jaccard
+
+        docs = nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def mk_pairs(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"))
+            ev = ids[ids % 2 == 0]
+            return pa.table({"id_a": pa.array(ev, pa.int64()),
+                             "id_b": pa.array(ev + 1, pa.int64())})
+
+        pairs = docs.select_columns(["doc_id"]).map_batches(
+            mk_pairs, batch_format="pyarrow")
+        verify_pairs_jaccard(docs, pairs, "text", "doc_id", k=5).count()
+
     @timed("tdigest_quantiles")
     def _tdigest():
         from nailray.sketch import approx_quantiles_tdigest
