@@ -91,6 +91,22 @@ def _init_centroids(ds_vec: rd.Dataset, k: int, embedding_col: str,
     return cent
 
 
+def _segment_sums(m2: np.ndarray, lab: np.ndarray, k_eff: int,
+                  dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cluster (sums, counts) via sort + reduceat — np.add.at's
+    buffered scatter is ~10x slower on wide blocks. THE single
+    segment-sum used by both the distributed per-block partial and the
+    one-task small-input fit, so a fix lands in one place."""
+    order = np.argsort(lab, kind="stable")
+    sl = lab[order]
+    bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+    sums = np.zeros((k_eff, dim), np.float64)
+    if len(sl):
+        sums[sl[bounds]] = np.add.reduceat(m2[order], bounds, axis=0)
+    counts = np.bincount(lab, minlength=k_eff).astype(np.int64)
+    return sums, counts
+
+
 def _assign(m: np.ndarray, cent: np.ndarray, normalize: bool):
     """(normalized_rows, labels, per-row objective) via one matmul."""
     if normalize:
@@ -119,14 +135,7 @@ def _lloyd_centroids(ds_vec: rd.Dataset, cent: np.ndarray, n_iter: int,
                 return pa.table({"sums": pa.array([], pa.binary()),
                                  "counts": pa.array([], pa.binary())})
             m2, lab, _ = _assign(m, c, normalize)
-            # segment-sum via sort + reduceat (np.add.at's buffered
-            # scatter is ~10x slower on wide blocks)
-            order = np.argsort(lab, kind="stable")
-            sl = lab[order]
-            bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
-            sums = np.zeros((k_eff, dim), np.float64)
-            sums[sl[bounds]] = np.add.reduceat(m2[order], bounds, axis=0)
-            counts = np.bincount(lab, minlength=k_eff).astype(np.int64)
+            sums, counts = _segment_sums(m2, lab, k_eff, dim)
             return pa.table({"sums": pa.array([sums.tobytes()]),
                              "counts": pa.array([counts.tobytes()])})
 
@@ -170,12 +179,7 @@ def _fit_small_impl(k: int, n_iter: int, normalize: bool,
     k_eff, dim = cent.shape
     for _ in range(n_iter):
         m2, lab, _ = _assign(m, cent, normalize)
-        o = np.argsort(lab, kind="stable")
-        sl = lab[o]
-        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
-        sums = np.zeros((k_eff, dim), np.float64)
-        sums[sl[bounds]] = np.add.reduceat(m2[o], bounds, axis=0)
-        cnt = np.bincount(lab, minlength=k_eff)
+        sums, cnt = _segment_sums(m2, lab, k_eff, dim)
         new = cent.copy()
         nz = cnt > 0
         new[nz] = sums[nz] / cnt[nz, None]
@@ -186,24 +190,40 @@ def _fit_small_impl(k: int, n_iter: int, normalize: bool,
     return cent
 
 
+_SMALL_FIT_BYTES = 1 << 30  # one task holds ~4 matrix copies: cap input
+
+
 def _fit_centroids(ds_vec: rd.Dataset, k: int, n_iter: int,
                    embedding_col: str, id_col: str, normalize: bool,
-                   small_input_rows: int) -> np.ndarray:
+                   small_input_rows: int,
+                   cheap_metadata: bool = True) -> np.ndarray:
     """Route between the one-task small-input fit (n_iter sequential
     Ray pipelines cost ~0.5 s of fixed scheduling each — pure overhead
     when the whole table fits one worker) and the distributed
-    partial-sum loop."""
+    partial-sum loop.  The short-circuit requires BOTH a row-count cap
+    and a byte cap (2M rows of 1024-dim embeddings are 16 GB — fine
+    distributed, fatal in one task), and is only consulted when
+    ``cheap_metadata`` (materialized or plain file-backed input) — a
+    non-cached derived pipeline must not pay a full extra pass just to
+    pick a route."""
     import ray
 
-    n = ds_vec.count()
-    if n == 0:
-        raise ValueError("kmeans_embeddings: empty input dataset")
-    if n <= small_input_rows:
-        refs = [bref for bundle in ds_vec.iter_internal_ref_bundles()
-                for bref in bundle.block_refs]
-        fit = ray.remote(num_cpus=1)(_fit_small_impl)
-        return ray.get(fit.remote(k, n_iter, normalize, embedding_col,
-                                  id_col, *refs))
+    if cheap_metadata:
+        n = ds_vec.count()
+        if n == 0:
+            raise ValueError("kmeans_embeddings: empty input dataset")
+        size = None
+        try:
+            size = ds_vec.size_bytes()
+        except Exception:
+            pass
+        if n <= small_input_rows and (size is None or
+                                      size <= _SMALL_FIT_BYTES):
+            refs = [bref for bundle in ds_vec.iter_internal_ref_bundles()
+                    for bref in bundle.block_refs]
+            fit = ray.remote(num_cpus=1)(_fit_small_impl)
+            return ray.get(fit.remote(k, n_iter, normalize, embedding_col,
+                                      id_col, *refs))
     cent = _init_centroids(ds_vec, k, embedding_col, id_col, normalize)
     return _lloyd_centroids(ds_vec, cent, n_iter, embedding_col, normalize)
 
@@ -264,12 +284,17 @@ def kmeans_embeddings(ds: rd.Dataset, k: int = 16, n_iter: int = 10,
     pipelines and re-reads file-backed ones."""
     from .io import resolve_cache_input as _resolve_cache_input
 
+    from .io import is_plain_file_read as _is_plain_file_read
+
+    cheap = _is_plain_file_read(ds)
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
+        cheap = True
     ds_vec = ds.select_columns([id_col, embedding_col])
 
     cent = _fit_centroids(ds_vec, k, n_iter, embedding_col, id_col,
-                          normalize, small_input_rows)
+                          normalize, small_input_rows,
+                          cheap_metadata=cheap)
     assignments = _label_pass(ds_vec, cent, embedding_col, id_col, normalize)
 
     inertia = None
@@ -309,14 +334,17 @@ def semantic_dedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.95,
     ``cluster % n_parts`` with the pair budget capped per cluster and
     coverage loss logged (uncompared rows all survive — recall loss,
     never false drops), the same contract as ``embedding_near_dup``."""
+    from .io import is_plain_file_read as _is_plain_file_read
     from .io import resolve_cache_input as _resolve_cache_input
     from .shuffle import group_map, partition_count
 
+    cheap = _is_plain_file_read(ds)
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()
+        cheap = True
     ds_vec = ds.select_columns([id_col, embedding_col])
     cent = _fit_centroids(ds_vec, k, n_iter, embedding_col, id_col, True,
-                          small_input_rows)
+                          small_input_rows, cheap_metadata=cheap)
 
     n_parts = min(partition_count(num_partitions), max(k, 1))
     parts = _label_pass(ds_vec, cent, embedding_col, id_col, True,

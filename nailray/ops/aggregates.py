@@ -166,18 +166,36 @@ def distinct_count_by(ds: rd.Dataset, keys: list[str] | str,
         keys = [c.strip() for c in keys.split(",") if c.strip()]
     keys = [resolve_column(names, c) for c in keys]
     col = resolve_column(names, col)
+    if col in keys:
+        raise ValueError(
+            f"distinct_count_by: column {col!r} is also a group key "
+            "(COUNT(DISTINCT key) per key is 1 by definition)")
+
+    from ..shuffle import arrow_schema_of
+    expected = arrow_schema_of(ds.select_columns(keys + [col]))
 
     def pair_partial(batch: pa.Table) -> pa.Table:
+        # NULL values are KEPT as (key, NULL) pairs so an all-NULL
+        # group still surfaces — with count 0, exactly like SQL's
+        # COUNT(DISTINCT); the final "count" agg skips the NULL cell
         t = batch.select(keys + [col]).combine_chunks()
-        t = t.filter(pc.is_valid(t.column(col)))
+        for name in keys + [col]:
+            f = t.schema.field(name)
+            # an all-None slice of a pandas object column arrives as
+            # Arrow null type — re-anchor it to the dataset-level type
+            # so cross-block combine agrees
+            want = expected.field(name).type
+            if pa.types.is_null(f.type) and not pa.types.is_null(want):
+                t = t.set_column(t.column_names.index(name), name,
+                                 pc.cast(t.column(name), want))
         return t.group_by(keys + [col]).aggregate([])
 
     pairs = ds.select_columns(keys + [col]).map_batches(
         pair_partial, batch_format="pyarrow")
-    # dedup the pair space, then count pairs per key (pre-combined)
+    # dedup the pair space, then count non-null values per key
     dedup = grouped_agg(pairs, keys + [col], {"__c": (col, "size")})
     counts = grouped_agg(dedup.select_columns(keys + [col]), keys,
-                         {"n_distinct": (col, "size")})
+                         {"n_distinct": (col, "count")})
     return counts
 
 

@@ -54,10 +54,17 @@ def arrow_schema_of(ds) -> "pa.Schema":
                 inferred = pa.Table.from_pandas(
                     head, preserve_index=False).schema
                 for i in ambiguous:
-                    fields[i] = pa.field(fields[i].name,
-                                         inferred.field(fields[i].name).type)
-        except Exception:
-            pass  # keep the string fallback
+                    t = inferred.field(fields[i].name).type
+                    # a None in the peeked row infers null — keep the
+                    # string fallback rather than poisoning casts
+                    if not pa.types.is_null(t):
+                        fields[i] = pa.field(fields[i].name, t)
+        except Exception:  # keep the string fallback, but say so
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "arrow_schema_of: one-row peek failed; object columns "
+                "fall back to string", exc_info=True)
     return pa.schema(fields)
 
 

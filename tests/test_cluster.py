@@ -287,3 +287,30 @@ def test_distinct_count_by_nulls_and_layout(ray_session):
            for r in distinct_count_by(ds, ["g"], "v").take_all()}
     # NULL v excluded (COUNT DISTINCT semantics); NULL group kept
     assert out["a"] == 1 and out["b"] == 2 and out[None] == 1
+
+
+def test_distinct_count_by_all_null_group_and_key_clash(ray_session):
+    from nailray.ops.aggregates import distinct_count_by
+
+    df = pd.DataFrame({"g": ["a", "a", "c", "c"],
+                       "v": [1, 2, None, None]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = {r["g"]: r["n_distinct"]
+           for r in distinct_count_by(ds, ["g"], "v").take_all()}
+    # all-NULL group surfaces with 0, like SQL COUNT(DISTINCT)
+    assert out == {"a": 2, "c": 0}
+
+    with pytest.raises(ValueError, match="group key"):
+        distinct_count_by(ds, ["g"], "g")
+
+
+def test_arrow_schema_of_null_first_row(ray_session):
+    """A None in the peeked row must not poison the object column to
+    pa.null() — keep the string fallback."""
+    import pyarrow as pa
+
+    from nailray.shuffle import arrow_schema_of
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "s": [None, "x"]}))
+    sch = arrow_schema_of(ds)
+    assert pa.types.is_string(sch.field("s").type)
