@@ -1234,6 +1234,14 @@ def q_distinct_by_group(sf):
                              "l_suppkey")
 
 
+def q_ngram_topk(sf):
+    # corpus top-k word bigrams (vectorized shifted-slice gram build;
+    # exact SQL oracle below)
+    from nailray.textops.analysis import ngram_topk
+
+    return ngram_topk(_t(sf, "documents"), "text", n=2, k=100)
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1468,7 +1476,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
-    "jaccard_pairs", "standardize_group", "filter_quantile", "distinct_by_group",
+    "jaccard_pairs", "standardize_group", "filter_quantile", "distinct_by_group", "ngram_topk",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1595,6 +1603,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "standardize_group": q_standardize_group,
         "filter_quantile": q_filter_quantile,
         "distinct_by_group": q_distinct_by_group,
+        "ngram_topk": q_ngram_topk,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check
@@ -1969,6 +1978,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(a.rep_dup_frac, 0.0) AS rep_dup_frac, "
             "COALESCE(a.rep_top_frac, 0.0) AS rep_top_frac "
             "FROM documents d LEFT JOIN a USING (doc_id)"),
+        "ngram_topk": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x != '') AS t "
+            "FROM documents), "
+            "g AS (SELECT array_to_string(t[i:i+1], ' ') AS gram "
+            "FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)), "
+            "c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS count "
+            "FROM g GROUP BY gram) "
+            "SELECT gram, count FROM c ORDER BY count DESC, gram LIMIT 100"),
         "distinct_by_group": (
             "SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) "
             "AS n_distinct FROM lineitem GROUP BY l_returnflag"),

@@ -209,6 +209,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
     sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
     sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
+    sp = add("ngrams", help="top-k word n-grams with counts")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("-n", type=int, default=2)
+    sp.add_argument("-k", type=int, default=100)
     sp = add("distinct-by", help="exact COUNT(DISTINCT col) per group")
     sp.add_argument("--group-by", required=True)
     sp.add_argument("-c", "--column", required=True)
@@ -593,6 +597,10 @@ def main(argv: list[str] | None = None) -> int:
         keys = [k for k in args.group_by.split(",") if k]
         _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,
                                           seed=args.seed), args)
+    elif cmd == "ngrams":
+        from .textops.analysis import ngram_topk
+
+        _output(ngram_topk(ds, args.text_col, n=args.n, k=args.k), args)
     elif cmd == "distinct-by":
         _output(aggregates.distinct_count_by(ds, args.group_by,
                                              args.column), args)

@@ -193,6 +193,51 @@ def token_topk(ds: rd.Dataset, text_col: str = "text", k: int = 100,
                         descending=[True, False])
 
 
+def ngram_topk(ds: rd.Dataset, text_col: str = "text", n: int = 2,
+               k: int = 100,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """The ``k`` most frequent word n-grams (space-joined, within-
+    document only) with their counts — the collocation / boilerplate-
+    discovery pass of a corpus pipeline; the n-gram analogue of
+    :func:`token_topk` (same tokenizer, same exchange shape).
+
+    Scale shape: n-grams build vectorized from ONE tokenize pass per
+    block — the flat token array is shifted ``n−1`` times and joined
+    with ``pc.binary_join_element_wise``, with grams that would span a
+    document boundary masked out via the parents array; per-block
+    ``value_counts`` partials → ``grouped_agg`` sum → partial top-k
+    merge, so the exchange carries one row per (block, distinct gram).
+    Ties break on the gram string (deterministic)."""
+    from ..ops import sorting
+    from ..shuffle import grouped_agg
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = whitespace_tokens(batch.column(text_col))
+        m = len(flat) - n + 1
+        if m <= 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        parts = [flat.slice(i, m) for i in range(n)]
+        grams = parts[0] if n == 1 else pc.binary_join_element_wise(
+            *parts, " ")
+        # an n-gram is valid only when its first and last token share a
+        # document (parents is non-decreasing within a block)
+        keep = parents[:m] == parents[n - 1:]
+        vc = pc.value_counts(grams.filter(pa.array(keep)))
+        return pa.table({"gram": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = grouped_agg(partials, ["gram"], {"count": ("count", "sum")},
+                      num_partitions=num_partitions)
+    return sorting.topk(agg, ["count", "gram"], k,
+                        descending=[True, False])
+
+
 _REP_UNIT_PATTERNS = {"word": r"\s+", "line": r"\n"}
 
 

@@ -1005,3 +1005,23 @@ def test_filter_domains_and_extract():
     kept = sorted(filter_domains(rd.from_arrow(docs), {"SPAM.example"})
                   .to_pandas()["doc_id"])
     assert kept == [2, 3]  # 1 and 4 blocked; no-URL doc survives
+
+
+def test_ngram_topk_respects_document_boundaries(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.textops.analysis import ngram_topk
+
+    # "b a" would be counted once if grams leaked across docs
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "a b", "c"]}))
+    out = {r["gram"]: r["count"]
+           for r in ngram_topk(ds, "text", n=2, k=10).take_all()}
+    assert out == {"a b": 2}
+
+    tri = {r["gram"]: r["count"] for r in ngram_topk(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x y z x y"]})),
+        "text", n=3, k=10).take_all()}
+    assert tri == {"x y z": 1, "y z x": 1, "z x y": 1}
