@@ -487,6 +487,14 @@ def run_queries() -> dict[str, float]:
             mk_pairs, batch_format="pyarrow")
         verify_pairs_jaccard(docs, pairs, "text", "doc_id", k=5).count()
 
+    @timed("ngram_topk")
+    def _ngrams():
+        from nailray.textops.analysis import ngram_topk
+
+        ngram_topk(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                    columns=["text"]),
+                   "text", n=2, k=100).count()
+
     @timed("tdigest_quantiles")
     def _tdigest():
         from nailray.sketch import approx_quantiles_tdigest
