@@ -1242,6 +1242,16 @@ def q_ngram_topk(sf):
     return ngram_topk(_t(sf, "documents"), "text", n=2, k=100)
 
 
+def q_approx_distinct_by_group(sf):
+    # per-group HLL distinct estimate (deterministic registers; no SQL
+    # oracle — accuracy vs exact COUNT(DISTINCT) asserted in
+    # tests/test_sketch.py)
+    from nailray.sketch import approx_distinct_by
+
+    return approx_distinct_by(_t(sf, "lineitem"), ["l_returnflag"],
+                              "l_partkey", p=12)
+
+
 def q_minhash_dedup_docs(sf):
     from nailray.textops import dedup as tdedup
 
@@ -1476,7 +1486,7 @@ _QUERY_PRIORITY = [
     # new or changed this round
     "kendall_matrix_exact", "spearman_matrix_exact",
     "multimodal_stats_png", "tfidf_docs", "semantic_dedup",
-    "jaccard_pairs", "standardize_group", "filter_quantile", "distinct_by_group", "ngram_topk",
+    "jaccard_pairs", "standardize_group", "filter_quantile", "distinct_by_group", "ngram_topk", "approx_distinct_by_group",
     "kmeans_embeddings", "bpe_pair_counts",
     "dedup_lines", "dedup_spans", "normalize_text", "explode_lines",
     "multimodal_stats", "hygiene_corpus",
@@ -1604,6 +1614,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "filter_quantile": q_filter_quantile,
         "distinct_by_group": q_distinct_by_group,
         "ngram_topk": q_ngram_topk,
+        "approx_distinct_by_group": q_approx_distinct_by_group,
         "decontaminate_docs": q_decontaminate_docs,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         # non-SQL-expressible → rows-only driver check

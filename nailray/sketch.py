@@ -403,3 +403,76 @@ def approx_quantiles_tdigest(ds: rd.Dataset, column: str,
         for payload in b.column("td").to_pylist():
             merged = merged.merge(TDigest.from_bytes(payload, delta))
     return {q: merged.quantile(q) for q in quantiles}
+
+
+def approx_distinct_by(ds: rd.Dataset, keys: list[str] | str, col: str,
+                       p: int = 12,
+                       num_partitions: int | None = None) -> rd.Dataset:
+    """Per-group approximate distinct count — the 100 TB complement to
+    :func:`nailray.ops.aggregates.distinct_count_by`: where the exact
+    op's exchange carries every distinct (key, value) pair, this one
+    carries ONE ``2^p``-byte HLL register blob per (block, key)
+    (~0.8k keys/MB at p=12), so a key with a billion distinct values
+    costs the same wire bytes as a key with ten.
+
+    Scale shape: one hash pass per block + per-key register fold →
+    hash-partitioned :func:`~nailray.shuffle.group_map` where registers
+    max-merge per key and the estimate comes out; group-key NULLs are
+    their own group, all-NULL-value groups estimate 0 (matching the
+    exact op's SQL COUNT(DISTINCT) convention).  Standard error
+    ≈ 1.04/sqrt(2^p) (~1.6 % at the default p=12 / 4 KiB per key)."""
+    from .shuffle import group_map, hash_partition, partition_count
+
+    if isinstance(keys, str):
+        keys = [c.strip() for c in keys.split(",") if c.strip()]
+    if col in keys:
+        raise ValueError(
+            f"approx_distinct_by: column {col!r} is also a group key")
+    n_parts = partition_count(num_partitions)
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = batch.select(keys + [col]).combine_chunks()
+        valid = pc.is_valid(t.column(col))
+        # null-drop at the ARROW level: an int column with nulls would
+        # widen to float64 in pandas and hash differently from null-free
+        # blocks (_hash64's dtype-stability contract)
+        sub = t.filter(valid).to_pandas()
+        sub["__h"] = _hash64(sub[col])
+        df = t.select(keys).append_column(
+            "__allnull", pc.invert(valid)).to_pandas()
+        out_keys: list[tuple] = []
+        out_regs: list[bytes] = []
+        for kv, g in sub.groupby(keys, dropna=False, sort=False):
+            out_regs.append(_hll_registers(
+                g["__h"].to_numpy(np.uint64), p).tobytes())
+            out_keys.append(kv if isinstance(kv, tuple) else (kv,))
+        # groups whose values are ALL null in this block still surface
+        # (zero registers -> estimate 0 if nothing else merges in)
+        for kv in df.loc[df["__allnull"], keys].drop_duplicates().itertuples(
+                index=False, name=None):
+            if kv not in out_keys:
+                out_keys.append(kv)
+                out_regs.append(bytes(m))
+        out = pd.DataFrame(out_keys, columns=keys)
+        out["__regs"] = out_regs
+        out["__part"] = hash_partition(out[keys], keys, n_parts)
+        return out
+
+    parts = ds.select_columns(keys + [col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            regs = np.zeros(m, np.int8)
+            for payload in g["__regs"]:
+                regs = np.maximum(regs, np.frombuffer(payload, np.int8))
+            est = 0 if not regs.any() else int(round(_hll_estimate(regs)))
+            rows.append((kv if isinstance(kv, tuple) else (kv,)) + (est,))
+        return pd.DataFrame(rows, columns=keys + ["n_distinct_approx"])
+
+    return group_map(parts, "__part", combine, n_parts,
+                     batch_format="pandas")

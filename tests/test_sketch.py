@@ -125,3 +125,46 @@ def test_approx_quantiles_tdigest_dataset(sf_dir):
             f"quantile_cont(l_extendedprice, {min(1.0, q + 0.01)}) FROM "
             f"read_parquet('{sf_dir}/lineitem.parquet')").fetchone()
         assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_approx_distinct_by_accuracy_and_layout(sf_dir):
+    import duckdb
+
+    from nailray.io import read_parquet
+    from nailray.sketch import approx_distinct_by
+
+    ds = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_partkey"])
+    got = {r["l_returnflag"]: r["n_distinct_approx"]
+           for r in approx_distinct_by(ds, ["l_returnflag"],
+                                       "l_partkey", p=12).take_all()}
+    want = dict(duckdb.sql(
+        f"SELECT l_returnflag, COUNT(DISTINCT l_partkey) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') "
+        f"GROUP BY l_returnflag").fetchall())
+    assert set(got) == set(want)
+    for g, exact in want.items():
+        assert abs(got[g] - exact) / max(exact, 1) < 0.1, (g, got[g], exact)
+
+    # register max-merge is layout-independent: identical estimates
+    got2 = {r["l_returnflag"]: r["n_distinct_approx"]
+            for r in approx_distinct_by(ds.repartition(7),
+                                        ["l_returnflag"],
+                                        "l_partkey", p=12).take_all()}
+    assert got == got2
+
+
+def test_approx_distinct_by_null_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.sketch import approx_distinct_by
+
+    df = pd.DataFrame({"g": ["a", "a", "c", "c", None],
+                       "v": [1.0, 2.0, None, None, 3.0]})
+    ds = rd.from_pandas(df).repartition(2)
+    got = {r["g"]: r["n_distinct_approx"]
+           for r in approx_distinct_by(ds, ["g"], "v", p=8).take_all()}
+    assert got["a"] == 2
+    assert got["c"] == 0       # all-NULL value group surfaces with 0
+    assert got[None] == 1      # NULL group key is its own group
