@@ -216,6 +216,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("distinct-by", help="exact COUNT(DISTINCT col) per group")
     sp.add_argument("--group-by", required=True)
     sp.add_argument("-c", "--column", required=True)
+    sp.add_argument("--approx", action="store_true",
+                    help="grouped HyperLogLog estimate (bounded state per key)")
+    sp.add_argument("-p", type=int, default=12,
+                    help="HLL precision: 2^p registers per key")
     sp = add("standardize", help="per-group (or global) z-score / min-max feature scaling")
     sp.add_argument("-c", "--columns", required=True)
     sp.add_argument("--by", default=None, help="comma-separated group keys")
@@ -602,8 +606,14 @@ def main(argv: list[str] | None = None) -> int:
 
         _output(ngram_topk(ds, args.text_col, n=args.n, k=args.k), args)
     elif cmd == "distinct-by":
-        _output(aggregates.distinct_count_by(ds, args.group_by,
-                                             args.column), args)
+        if args.approx:
+            from .sketch import approx_distinct_by
+
+            _output(approx_distinct_by(ds, args.group_by, args.column,
+                                       p=args.p), args)
+        else:
+            _output(aggregates.distinct_count_by(ds, args.group_by,
+                                                 args.column), args)
     elif cmd == "standardize":
         _output(aggregates.standardize(ds, args.columns, by=args.by,
                                        method=args.method), args)
