@@ -417,62 +417,106 @@ def approx_distinct_by(ds: rd.Dataset, keys: list[str] | str, col: str,
 
     Scale shape: one hash pass per block + per-key register fold →
     hash-partitioned :func:`~nailray.shuffle.group_map` where registers
-    max-merge per key and the estimate comes out; group-key NULLs are
-    their own group, all-NULL-value groups estimate 0 (matching the
-    exact op's SQL COUNT(DISTINCT) convention).  Standard error
-    ≈ 1.04/sqrt(2^p) (~1.6 % at the default p=12 / 4 KiB per key)."""
-    from .shuffle import group_map, hash_partition, partition_count
+    max-merge per key and the estimate comes out.  Both the partial and
+    the combine emit keys at the input's DECLARED Arrow types (the
+    ``grouped_agg`` ``_typed`` discipline) — a null-containing block's
+    pandas float-widening can't produce a conflicting block schema or
+    round big int keys.  Group-key NULLs are their own group;
+    all-NULL-value groups estimate 0 (matching the exact op's SQL
+    COUNT(DISTINCT) convention).  Standard error ≈ 1.04/sqrt(2^p)
+    (~1.6 % at the default p=12 / 4 KiB per key)."""
+    from .shuffle import group_map, hash_partition, int_types_mapper, \
+        partition_count
 
     if isinstance(keys, str):
         keys = [c.strip() for c in keys.split(",") if c.strip()]
     if col in keys:
         raise ValueError(
             f"approx_distinct_by: column {col!r} is also a group key")
+    if not 4 <= p <= 18:
+        raise ValueError(
+            f"approx_distinct_by: p must be in [4, 18] (2^p registers "
+            f"per key), got {p}")
     n_parts = partition_count(num_partitions)
     m = 1 << p
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def _norm_kv(kv) -> tuple:
+        """Group label → hashable tuple with ONE null spelling (None):
+        pandas labels nulls as nan / pd.NA / None depending on dtype."""
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        return tuple(
+            None if v is None or v is pd.NA
+            or (isinstance(v, float) and v != v) else v
+            for v in kv)
+
+    def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         t = batch.select(keys + [col]).combine_chunks()
+        key_types = {k: t.schema.field(k).type for k in keys}
         valid = pc.is_valid(t.column(col))
-        # null-drop at the ARROW level: an int column with nulls would
-        # widen to float64 in pandas and hash differently from null-free
-        # blocks (_hash64's dtype-stability contract)
-        sub = t.filter(valid).to_pandas()
+        # null-drop the VALUE at the Arrow level: an int column with
+        # nulls would widen to float64 in pandas and hash differently
+        # from null-free blocks (_hash64's dtype-stability contract)
+        # int_types_mapper keeps keys AND the value column at nullable
+        # pandas dtypes — every block hashes the value under the SAME
+        # dtype (the default conversion would widen only null-containing
+        # blocks to float64 and hash identical values differently)
+        sub = t.filter(valid).to_pandas(types_mapper=int_types_mapper)
         sub["__h"] = _hash64(sub[col])
-        df = t.select(keys).append_column(
-            "__allnull", pc.invert(valid)).to_pandas()
         out_keys: list[tuple] = []
         out_regs: list[bytes] = []
-        for kv, g in sub.groupby(keys, dropna=False, sort=False):
-            out_regs.append(_hll_registers(
-                g["__h"].to_numpy(np.uint64), p).tobytes())
-            out_keys.append(kv if isinstance(kv, tuple) else (kv,))
-        # groups whose values are ALL null in this block still surface
-        # (zero registers -> estimate 0 if nothing else merges in)
-        for kv in df.loc[df["__allnull"], keys].drop_duplicates().itertuples(
-                index=False, name=None):
-            if kv not in out_keys:
-                out_keys.append(kv)
-                out_regs.append(bytes(m))
-        out = pd.DataFrame(out_keys, columns=keys)
-        out["__regs"] = out_regs
-        out["__part"] = hash_partition(out[keys], keys, n_parts)
-        return out
+        if len(sub):
+            for kv, g in sub.groupby(keys, dropna=False, sort=False):
+                out_keys.append(_norm_kv(kv))
+                out_regs.append(_hll_registers(
+                    g["__h"].to_numpy(np.uint64), p).tobytes())
+        # all-NULL-value groups still surface (zero registers → 0 if
+        # nothing else merges in); arrow-side filter is usually empty
+        rest = t.filter(pc.invert(valid)).select(keys)
+        if rest.num_rows:
+            seen = set(out_keys)
+            rdf = rest.to_pandas(types_mapper=int_types_mapper)                       .drop_duplicates()
+            for kv in rdf.itertuples(index=False, name=None):
+                kv = _norm_kv(kv)
+                if kv not in seen:
+                    seen.add(kv)
+                    out_keys.append(kv)
+                    out_regs.append(bytes(m))
+        # object-dtype columns: pandas would infer float64 for
+        # [bigint, None] and round ids beyond 2^53 before the typed
+        # Arrow conversion could preserve them
+        kdf = pd.DataFrame({k: pd.Series([kv[i] for kv in out_keys],
+                                         dtype=object)
+                            for i, k in enumerate(keys)})
+        arrays = {k: pa.Array.from_pandas(kdf[k], type=key_types[k])
+                  for k in keys}
+        out = pa.table({**arrays,
+                        "__regs": pa.array(out_regs, pa.large_binary())})
+        part = hash_partition(out.select(keys).to_pandas(), keys, n_parts)
+        return out.append_column("__part", pa.array(part, pa.int64()))
 
     parts = ds.select_columns(keys + [col]).map_batches(
         partial, batch_format="pyarrow")
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for kv, g in df.groupby(keys, dropna=False, sort=False):
+    def combine(g: pa.Table) -> pa.Table:
+        key_types = {k: g.schema.field(k).type for k in keys}
+        df = g.to_pandas(types_mapper=int_types_mapper)
+        rows_keys: list[tuple] = []
+        ests: list[int] = []
+        for kv, grp in df.groupby(keys, dropna=False, sort=False):
             regs = np.zeros(m, np.int8)
-            for payload in g["__regs"]:
+            for payload in grp["__regs"]:
                 regs = np.maximum(regs, np.frombuffer(payload, np.int8))
-            est = 0 if not regs.any() else int(round(_hll_estimate(regs)))
-            rows.append((kv if isinstance(kv, tuple) else (kv,)) + (est,))
-        return pd.DataFrame(rows, columns=keys + ["n_distinct_approx"])
+            rows_keys.append(_norm_kv(kv))
+            ests.append(0 if not regs.any()
+                        else int(round(_hll_estimate(regs))))
+        kdf = pd.DataFrame({k: pd.Series([kv[i] for kv in rows_keys],
+                                         dtype=object)
+                            for i, k in enumerate(keys)})
+        arrays = {k: pa.Array.from_pandas(kdf[k], type=key_types[k])
+                  for k in keys}
+        return pa.table({**arrays,
+                         "n_distinct_approx": pa.array(ests, pa.int64())})
 
-    return group_map(parts, "__part", combine, n_parts,
-                     batch_format="pandas")
+    return group_map(parts, "__part", combine, n_parts)

@@ -168,3 +168,29 @@ def test_approx_distinct_by_null_semantics(ray_session):
     assert got["a"] == 2
     assert got["c"] == 0       # all-NULL value group surfaces with 0
     assert got[None] == 1      # NULL group key is its own group
+
+
+def test_approx_distinct_by_int_keys_with_nulls(ray_session):
+    """Int group keys with nulls in SOME blocks: block schemas must not
+    diverge (int64 vs float64) and big int keys must survive exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.sketch import approx_distinct_by
+
+    big = (1 << 53) + 1
+    a = pd.DataFrame({"g": pd.array([big, big, None], dtype="Int64"),
+                      "v": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"g": pd.array([big + 1, big + 1], dtype="Int64"),
+                      "v": [1.0, 4.0]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    got = {r["g"]: r["n_distinct_approx"]
+           for r in approx_distinct_by(ds, ["g"], "v", p=8).take_all()}
+    assert got[big] == 2
+    assert got[big + 1] == 2   # not merged with `big` by float rounding
+    assert got[None] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p must be"):
+        approx_distinct_by(ds, ["g"], "v", p=0)
