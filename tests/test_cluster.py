@@ -314,3 +314,26 @@ def test_arrow_schema_of_null_first_row(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"k": [1, 2], "s": [None, "x"]}))
     sch = arrow_schema_of(ds)
     assert pa.types.is_string(sch.field("s").type)
+
+
+def test_semantic_dedup_sort_exchange_path(ray_session, monkeypatch):
+    """The multi-node group_map path (groupby().map_groups) must give
+    the identical survivor set as the single-node direct routing."""
+    import nailray.shuffle as sh
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8))
+    rows = [{"vec_id": i, "embedding": list(map(float, v))}
+            for i, v in enumerate(base)]
+    for i in range(10):
+        rows.append({"vec_id": 200 + i,
+                     "embedding": list(map(float, base[i] * 3.0))})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    direct = sorted(r["vec_id"] for r in semantic_dedup(
+        ds, k=3, threshold=0.999, n_iter=2).take_all())
+    monkeypatch.setattr(sh, "default_exchange", lambda: "sort")
+    sort_path = sorted(r["vec_id"] for r in semantic_dedup(
+        ds, k=3, threshold=0.999, n_iter=2).take_all())
+    assert direct == sort_path
+    assert len(direct) == 30

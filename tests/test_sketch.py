@@ -194,3 +194,21 @@ def test_approx_distinct_by_int_keys_with_nulls(ray_session):
 
     with _pytest.raises(ValueError, match="p must be"):
         approx_distinct_by(ds, ["g"], "v", p=0)
+
+
+def test_approx_distinct_by_sort_exchange_path(ray_session, monkeypatch):
+    import pandas as pd
+    import ray.data as rd
+
+    import nailray.shuffle as sh
+    from nailray.sketch import approx_distinct_by
+
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 30,
+                       "v": list(range(50)) + list(range(15)) * 2})
+    ds = rd.from_pandas(df).repartition(4)
+    direct = sorted(tuple(r.values()) for r in
+                    approx_distinct_by(ds, ["g"], "v", p=10).take_all())
+    monkeypatch.setattr(sh, "default_exchange", lambda: "sort")
+    sort_path = sorted(tuple(r.values()) for r in
+                       approx_distinct_by(ds, ["g"], "v", p=10).take_all())
+    assert direct == sort_path
