@@ -338,6 +338,9 @@ def semantic_dedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.95,
     from .io import resolve_cache_input as _resolve_cache_input
     from .shuffle import group_map, partition_count
 
+    if keep not in ("min", "max"):
+        raise ValueError(
+            f"semantic_dedup: keep must be 'min' or 'max', got {keep!r}")
     cheap = _is_plain_file_read(ds)
     if _resolve_cache_input(ds, cache_input):
         ds = ds.materialize()

@@ -177,7 +177,11 @@ def distinct_count_by(ds: rd.Dataset, keys: list[str] | str,
     def pair_partial(batch: pa.Table) -> pa.Table:
         # NULL values are KEPT as (key, NULL) pairs so an all-NULL
         # group still surfaces — with count 0, exactly like SQL's
-        # COUNT(DISTINCT); the final "count" agg skips the NULL cell
+        # COUNT(DISTINCT). Validity is recorded HERE, at the Arrow
+        # level: float NaN is a countable distinct value under SQL
+        # COUNT(DISTINCT) while NULL is not, and after a pandas
+        # round-trip both spell NaN — a pandas-side "count" agg would
+        # undercount NaN-bearing float columns by one.
         t = batch.select(keys + [col]).combine_chunks()
         for name in keys + [col]:
             f = t.schema.field(name)
@@ -188,14 +192,18 @@ def distinct_count_by(ds: rd.Dataset, keys: list[str] | str,
             if pa.types.is_null(f.type) and not pa.types.is_null(want):
                 t = t.set_column(t.column_names.index(name), name,
                                  pc.cast(t.column(name), want))
-        return t.group_by(keys + [col]).aggregate([])
+        t = t.group_by(keys + [col]).aggregate([])
+        return t.append_column(
+            "__nn", pc.cast(pc.is_valid(t.column(col)), pa.int64()))
 
     pairs = ds.select_columns(keys + [col]).map_batches(
         pair_partial, batch_format="pyarrow")
-    # dedup the pair space, then count non-null values per key
-    dedup = grouped_agg(pairs, keys + [col], {"__c": (col, "size")})
-    counts = grouped_agg(dedup.select_columns(keys + [col]), keys,
-                         {"n_distinct": (col, "count")})
+    # dedup the pair space (max is idempotent: should a pandas combine
+    # merge a NULL pair with a NaN pair, the surviving row still counts
+    # exactly the one valid value), then sum validity per key
+    dedup = grouped_agg(pairs, keys + [col], {"__nn": ("__nn", "max")})
+    counts = grouped_agg(dedup.select_columns(keys + ["__nn"]), keys,
+                         {"n_distinct": ("__nn", "sum")})
     return counts
 
 

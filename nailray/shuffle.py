@@ -20,6 +20,10 @@ import pandas as pd
 import pyarrow as pa
 
 
+_SCHEMA_PEEK_ROWS = 16
+_schema_cache: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
 def arrow_schema_of(ds) -> "pa.Schema":
     """``ds.schema()`` normalized to a REAL ``pyarrow.Schema``.
 
@@ -28,10 +32,26 @@ def arrow_schema_of(ds) -> "pa.Schema":
     its (names, types) tuple elements, not fields — code doing
     ``for f in schema`` silently breaks. Unambiguous numpy dtypes
     convert via ``pa.from_numpy_dtype``; for ambiguous object columns
-    (strings? lists? structs?) ONE row is peeked and Arrow-inferred —
-    guessing string would silently mistype list/struct columns and
-    crash the join exchange downstream. Empty datasets fall back to
-    string (nothing to peek, nothing to mistype)."""
+    (strings? lists? structs?) the first ``_SCHEMA_PEEK_ROWS`` rows are
+    peeked and Arrow-inferred — guessing string would silently mistype
+    list/struct columns and crash the join exchange downstream. The
+    peek is a hidden partial pipeline execution, so the normalized
+    schema is CACHED per dataset (weakly — repeated merges/appends over
+    the same pandas-block dataset pay it once); a column heterogeneous
+    beyond the peeked prefix (row 1 string, row 100 list) can still be
+    mistyped. Empty datasets fall back to string (nothing to peek,
+    nothing to mistype)."""
+    global _schema_cache
+    if _schema_cache is None:
+        import weakref
+
+        _schema_cache = weakref.WeakKeyDictionary()
+    try:
+        cached = _schema_cache.get(ds)
+    except TypeError:  # non-weakref-able dataset subclass
+        cached = None
+    if cached is not None:
+        return cached
     s = ds.schema()
     s = s.base_schema if hasattr(s, "base_schema") else s
     if isinstance(s, pa.Schema):
@@ -49,23 +69,28 @@ def arrow_schema_of(ds) -> "pa.Schema":
             fields.append(pa.field(n, pa.string()))
     if ambiguous:
         try:
-            head = ds.limit(1).to_pandas()
+            head = ds.limit(_SCHEMA_PEEK_ROWS).to_pandas()
             if len(head):
                 inferred = pa.Table.from_pandas(
                     head, preserve_index=False).schema
                 for i in ambiguous:
                     t = inferred.field(fields[i].name).type
-                    # a None in the peeked row infers null — keep the
-                    # string fallback rather than poisoning casts
+                    # all-None in the peeked rows infers null — keep
+                    # the string fallback rather than poisoning casts
                     if not pa.types.is_null(t):
                         fields[i] = pa.field(fields[i].name, t)
         except Exception:  # keep the string fallback, but say so
             import logging
 
             logging.getLogger(__name__).warning(
-                "arrow_schema_of: one-row peek failed; object columns "
+                "arrow_schema_of: head peek failed; object columns "
                 "fall back to string", exc_info=True)
-    return pa.schema(fields)
+    out = pa.schema(fields)
+    try:
+        _schema_cache[ds] = out
+    except TypeError:
+        pass
+    return out
 
 
 def fold_scalar_sum(ds, col: str) -> int:

@@ -35,9 +35,8 @@ def _hash64(values: pd.Series) -> np.ndarray:
 # HyperLogLog
 # --------------------------------------------------------------------------
 
-def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
-    """Fold a batch of 64-bit hashes into 2^p max-leading-run registers."""
-    m = 1 << p
+def _hll_idx_ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-hash (register index, leading-run rank) pairs."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad to end runs
     # rank = leading zeros of `rest` + 1. floor(log2) must be exact:
@@ -50,9 +49,37 @@ def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
     log2[big] = np.floor(np.log2(f[big])).astype(np.int64) + 11
     log2[~big] = np.floor(np.log2(rest[~big].astype(np.float64))).astype(np.int64)
     ranks = (63 - log2 + 1).astype(np.int8)
-    regs = np.zeros(m, np.int8)
+    return idx, ranks
+
+
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into 2^p max-leading-run registers."""
+    idx, ranks = _hll_idx_ranks(h, p)
+    regs = np.zeros(1 << p, np.int8)
     np.maximum.at(regs, idx, ranks)
     return regs
+
+
+def _grouped_hll_registers(codes: np.ndarray, h: np.ndarray, p: int,
+                           n_groups: int) -> np.ndarray:
+    """Dense ``(n_groups, 2^p)`` int8 register matrix from per-row group
+    codes + hashes via ONE argsort and a segment max — no per-group
+    Python loop (a high-cardinality ``by`` used to pay one
+    ``_hll_registers`` call per key per block)."""
+    m = 1 << p
+    regs = np.zeros(n_groups * m, np.int8)
+    if len(h):
+        idx, ranks = _hll_idx_ranks(h, p)
+        comb = codes.astype(np.int64) * m + idx
+        order = np.argsort(comb, kind="stable")
+        comb_s = comb[order]
+        ranks_s = ranks[order]
+        is_new = np.empty(len(comb_s), bool)
+        is_new[0] = True
+        np.not_equal(comb_s[1:], comb_s[:-1], out=is_new[1:])
+        starts = np.flatnonzero(is_new)
+        regs[comb_s[starts]] = np.maximum.reduceat(ranks_s, starts)
+    return regs.reshape(n_groups, m)
 
 
 def _hll_estimate(regs: np.ndarray) -> float:
@@ -63,6 +90,19 @@ def _hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)  # linear counting, small range
     return float(est)
+
+
+def _hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise :func:`_hll_estimate` over a ``(G, m)`` register matrix
+    (same math, one numpy pass). All-zero rows estimate 0 — they fall
+    out of the linear-counting branch naturally (``m·log(m/m) = 0``)."""
+    g, m = regs.shape
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = np.sum(regs == 0, axis=1)
+    lin = m * np.log(m / np.maximum(zeros, 1))
+    use_lin = (est <= 2.5 * m) & (zeros > 0)
+    return np.rint(np.where(use_lin, lin, est)).astype(np.int64)
 
 
 def approx_distinct(ds: rd.Dataset, column: str, p: int = 14) -> int:
@@ -463,20 +503,25 @@ def approx_distinct_by(ds: rd.Dataset, keys: list[str] | str, col: str,
         # dtype (the default conversion would widen only null-containing
         # blocks to float64 and hash identical values differently)
         sub = t.filter(valid).to_pandas(types_mapper=int_types_mapper)
-        sub["__h"] = _hash64(sub[col])
         out_keys: list[tuple] = []
         out_regs: list[bytes] = []
         if len(sub):
-            for kv, g in sub.groupby(keys, dropna=False, sort=False):
-                out_keys.append(_norm_kv(kv))
-                out_regs.append(_hll_registers(
-                    g["__h"].to_numpy(np.uint64), p).tobytes())
+            # ONE argsorted segment-max builds every group's registers
+            # (codes align with size().index order under sort=False)
+            gb = sub.groupby(keys, dropna=False, sort=False)
+            codes = gb.ngroup().to_numpy(np.int64)
+            labels = list(gb.size().index)
+            regs2d = _grouped_hll_registers(
+                codes, _hash64(sub[col]), p, len(labels))
+            out_keys = [_norm_kv(kv) for kv in labels]
+            out_regs = [row.tobytes() for row in regs2d]
         # all-NULL-value groups still surface (zero registers → 0 if
         # nothing else merges in); arrow-side filter is usually empty
         rest = t.filter(pc.invert(valid)).select(keys)
         if rest.num_rows:
             seen = set(out_keys)
-            rdf = rest.to_pandas(types_mapper=int_types_mapper)                       .drop_duplicates()
+            rdf = rest.to_pandas(types_mapper=int_types_mapper) \
+                      .drop_duplicates()
             for kv in rdf.itertuples(index=False, name=None):
                 kv = _norm_kv(kv)
                 if kv not in seen:
@@ -502,15 +547,28 @@ def approx_distinct_by(ds: rd.Dataset, keys: list[str] | str, col: str,
     def combine(g: pa.Table) -> pa.Table:
         key_types = {k: g.schema.field(k).type for k in keys}
         df = g.to_pandas(types_mapper=int_types_mapper)
-        rows_keys: list[tuple] = []
-        ests: list[int] = []
-        for kv, grp in df.groupby(keys, dropna=False, sort=False):
-            regs = np.zeros(m, np.int8)
-            for payload in grp["__regs"]:
-                regs = np.maximum(regs, np.frombuffer(payload, np.int8))
-            rows_keys.append(_norm_kv(kv))
-            ests.append(0 if not regs.any()
-                        else int(round(_hll_estimate(regs))))
+        if not len(df):
+            return pa.table({**{k: pa.nulls(0, key_types[k])
+                                for k in keys},
+                             "n_distinct_approx": pa.nulls(0, pa.int64())})
+        # register rows stack into one (rows, m) matrix; per-key merge
+        # is an argsorted segment max over it, estimates row-wise —
+        # no per-key Python loop
+        gb = df.groupby(keys, dropna=False, sort=False)
+        codes = gb.ngroup().to_numpy(np.int64)
+        labels = list(gb.size().index)
+        arr = np.frombuffer(b"".join(df["__regs"]), np.int8) \
+                .reshape(len(df), m)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        is_new = np.empty(len(codes_s), bool)
+        is_new[0] = True
+        np.not_equal(codes_s[1:], codes_s[:-1], out=is_new[1:])
+        starts = np.flatnonzero(is_new)
+        merged = np.maximum.reduceat(arr[order], starts, axis=0)
+        # reduceat segments come out in code order (codes_s is sorted)
+        ests = _hll_estimate_rows(merged)
+        rows_keys = [_norm_kv(kv) for kv in labels]
         kdf = pd.DataFrame({k: pd.Series([kv[i] for kv in rows_keys],
                                          dtype=object)
                             for i, k in enumerate(keys)})

@@ -1115,6 +1115,23 @@ def _doc_positions(ids) -> "pd.Index":
     return pd.Index(ids.to_pandas())
 
 
+def _list_rebuild(per_doc: np.ndarray, kept: pa.Array):
+    """List array of ``kept`` flat values grouped by per-doc counts.
+    Offsets widen to int64 (``LargeListArray``) when the partition's
+    kept rows exceed int32 range — at the 100 TB framing a partition
+    holding > 2^31 lines/tokens is reachable and int32 offsets would
+    silently overflow."""
+    n_docs = len(per_doc)
+    if int(per_doc.sum()) >= (1 << 31):
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(per_doc, out=offsets[1:])
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept)
+    offsets = np.zeros(n_docs + 1, np.int32)
+    np.cumsum(per_doc, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+
+
 def _dedup_lines_semijoin(ds: rd.Dataset, text_col: str, id_col: str,
                           hot_ds: rd.Dataset,
                           num_partitions: int | None) -> rd.Dataset:
@@ -1209,6 +1226,16 @@ def _dedup_lines_semijoin(ds: rd.Dataset, text_col: str, id_col: str,
         np.cumsum(lens, out=starts[1:])
         line_no = (np.arange(starts[-1], dtype=np.int64)
                    - np.repeat(starts[:-1], lens))
+        # (doc_pos << 32) + line_no packs both halves into int64 —
+        # explicit guard, not a silent wrap, past either half's range
+        if docs.num_rows >= (1 << 31) or (len(lens) and
+                                          int(lens.max()) >= (1 << 32)):
+            raise ValueError(
+                "_dedup_lines_semijoin: partition exceeds the packed-key "
+                f"range (docs={docs.num_rows}, max lines/doc="
+                f"{int(lens.max()) if len(lens) else 0}); raise "
+                "num_partitions so each partition holds < 2^31 docs of "
+                "< 2^32 lines")
         pos = _doc_positions(docs.column(id_col)) \
             .get_indexer(hit.column(id_col).to_pandas())
         hit_keys = (pos.astype(np.int64) << np.int64(32)) \
@@ -1217,9 +1244,7 @@ def _dedup_lines_semijoin(ds: rd.Dataset, text_col: str, id_col: str,
         keep = ~np.isin(keys, hit_keys)
         kept = flat.filter(pa.array(keep))
         per_doc = np.bincount(parents[keep], minlength=docs.num_rows)
-        offsets = np.zeros(docs.num_rows + 1, np.int32)
-        np.cumsum(per_doc, out=offsets[1:])
-        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        rebuilt = _list_rebuild(per_doc, kept)
         return pa.table({id_col: docs.column(id_col),
                          text_col: pc.binary_join(rebuilt, "\n")})
 
@@ -1230,8 +1255,12 @@ def _dedup_lines_semijoin(ds: rd.Dataset, text_col: str, id_col: str,
 
 
 def _schema_of(ds: rd.Dataset) -> pa.Schema:
-    s = ds.schema()
-    return s.base_schema if hasattr(s, "base_schema") else s
+    # arrow_schema_of, not raw ds.schema(): a pandas-block dataset
+    # (from_pandas) yields a PandasBlockSchema namedtuple with no
+    # .field — the semijoin paths crashed on those inputs
+    from ..shuffle import arrow_schema_of
+
+    return arrow_schema_of(ds)
 
 
 def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
@@ -1299,9 +1328,7 @@ def dedup_lines(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
         keep_np = np.asarray(keep)
         kept = flat.filter(keep)
         per_doc = np.bincount(parents[keep_np], minlength=batch.num_rows)
-        offsets = np.zeros(batch.num_rows + 1, np.int32)
-        np.cumsum(per_doc, out=offsets[1:])
-        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        rebuilt = _list_rebuild(per_doc, kept)
         joined = pc.binary_join(rebuilt, "\n")
         return pa.table({id_col: batch.column(id_col), text_col: joined})
 
@@ -1412,9 +1439,7 @@ def _dedup_spans_semijoin(ds: rd.Dataset, k: int, text_col: str, id_col: str,
         kept = flat.filter(pa.array(keep_np))
         per_doc = (np.bincount(parents[keep_np], minlength=docs.num_rows)
                    if n else np.zeros(docs.num_rows, np.int64))
-        offsets = np.zeros(docs.num_rows + 1, np.int32)
-        np.cumsum(per_doc, out=offsets[1:])
-        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        rebuilt = _list_rebuild(per_doc, kept)
         return pa.table({id_col: docs.column(id_col),
                          text_col: pc.binary_join(rebuilt, " ")})
 
@@ -1506,9 +1531,7 @@ def dedup_spans(ds: rd.Dataset, k: int = 3, min_count: int = 2,
         kept = flat.filter(pa.array(keep_np))
         per_doc = (np.bincount(parents[keep_np], minlength=batch.num_rows)
                    if n else np.zeros(batch.num_rows, np.int64))
-        offsets = np.zeros(batch.num_rows + 1, np.int32)
-        np.cumsum(per_doc, out=offsets[1:])
-        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        rebuilt = _list_rebuild(per_doc, kept)
         return pa.table({id_col: batch.column(id_col),
                          text_col: pc.binary_join(rebuilt, " ")})
 

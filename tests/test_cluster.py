@@ -304,6 +304,22 @@ def test_distinct_count_by_all_null_group_and_key_clash(ray_session):
         distinct_count_by(ds, ["g"], "g")
 
 
+def test_distinct_count_by_nan_is_a_value(ray_session):
+    """Float NaN is a countable distinct value under SQL
+    COUNT(DISTINCT); NULL is not — the Arrow-side validity column must
+    keep them apart even though both spell NaN after a pandas hop."""
+    from nailray.ops.aggregates import distinct_count_by
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "v": pa.array([1.0, float("nan"), None, float("nan"), None],
+                      pa.float64())})
+    ds = rd.from_arrow(t).repartition(2)
+    out = {r["g"]: r["n_distinct"]
+           for r in distinct_count_by(ds, ["g"], "v").take_all()}
+    assert out == {"a": 2, "b": 1}
+
+
 def test_arrow_schema_of_null_first_row(ray_session):
     """A None in the peeked row must not poison the object column to
     pa.null() — keep the string fallback."""
