@@ -416,6 +416,18 @@ def run_queries() -> dict[str, float]:
                                    columns=["text"]),
                   "text", n_merges=50)
 
+    @timed("bpe_encode")
+    def _bpe_encode():
+        # train a 50-merge table then tokenize the WHOLE corpus with it
+        # (the apply half: distinct-word dictionary encode + vectorized
+        # merge kernel per batch, no exchange)
+        from nailray.textops.bpe import bpe_encode, bpe_train
+
+        docs = nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"])
+        merges = bpe_train(docs, "text", n_merges=50)
+        bpe_encode(docs, merges).count()
+
     @timed("tfidf_docs")
     def _tfidf():
         from nailray.textops.analysis import tfidf_scores

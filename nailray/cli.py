@@ -203,9 +203,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--merges", type=int, default=50)
     sp.add_argument("--min-count", type=int, default=2)
+    sp = add("bpe-encode", help="tokenize the corpus with a trained merge "
+             "table (parquet of left/right rows from bpe-train -o)")
+    sp.add_argument("--merges-file", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--unk-id", type=int, default=-1)
     sp = add("pack", help="assign documents to fixed token-budget packs")
     sp.add_argument("--budget", type=int, required=True)
     sp.add_argument("--text-col", default="text"); sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--count-col", default=None,
+                    help="precomputed token-count column (e.g. bpe-encode's "
+                    "n_tokens) instead of whitespace counts")
     sp = add("sample-per-group", help="cap each group at n rows (deterministic hash order)")
     sp.add_argument("--group-by", required=True); sp.add_argument("-n", type=int, required=True)
     sp.add_argument("--id-column", required=True); sp.add_argument("--seed", type=int, default=42)
@@ -592,11 +600,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for i, (a, b, cnt) in enumerate(merges):
                 print(i, a, b, cnt)
+    elif cmd == "bpe-encode":
+        import pyarrow.parquet as _pq
+
+        from .textops.bpe import bpe_encode
+
+        mt = _pq.read_table(args.merges_file)
+        if "merge_idx" in mt.column_names:  # merge ORDER is semantic
+            mt = mt.sort_by("merge_idx")
+        merges = list(zip(mt.column("left").to_pylist(),
+                          mt.column("right").to_pylist()))
+        _output(bpe_encode(ds, merges, text_col=args.text_col,
+                           unk_id=args.unk_id), args)
     elif cmd == "pack":
         from .textops.packing import pack_sequences
 
         _output(pack_sequences(ds, args.budget, args.id_col,
-                               text_col=args.text_col), args)
+                               text_col=None if args.count_col else args.text_col,
+                               count_col=args.count_col), args)
     elif cmd == "sample-per-group":
         keys = [k for k in args.group_by.split(",") if k]
         _output(sampling.sample_per_group(ds, keys, args.n, args.id_column,

@@ -444,6 +444,181 @@ def bpe_pair_counts(ds: rd.Dataset, text_col: str = "text", k: int = 20,
     return topk(counts, ["cnt", "a", "b"], k, descending=[True, False, False])
 
 
+def bpe_alphabet(ds: rd.Dataset, text_col: str = "text",
+                 num_partitions: int | None = None) -> list[str]:
+    """Sorted distinct characters appearing in the corpus's whitespace
+    tokens — the base vocabulary for :func:`bpe_encode` when the caller
+    doesn't pin one.  One distributed distinct exchange; the result is
+    bounded by the alphabet size (|Unicode| worst case, dozens
+    typically), so collecting it on the driver is safe."""
+    from ..shuffle import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = whitespace_tokens_of(b, text_col)
+        # distinct words first: a char's presence is all we need, and
+        # the distinct-word table is far smaller than the token stream
+        dwords = pc.unique(flat)
+        chars = _explode_chars(pa.table({
+            "word": dwords,
+            "cnt": pa.array(np.ones(len(dwords), np.int64))}))
+        dchars = pc.unique(pc.list_flatten(chars.column("symbols")))
+        return pa.table({"ch": dchars})
+
+    distinct = grouped_agg(
+        ds.select_columns([text_col]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        ["ch"], {"n": ("ch", "size")}, num_partitions=num_partitions)
+    out: list[str] = []
+    for b in distinct.iter_batches(batch_format="pyarrow"):
+        out.extend(b.column("ch").to_pylist())
+    return sorted(out)
+
+
+def whitespace_tokens_of(b: pa.Table, text_col: str):
+    from .analysis import whitespace_tokens
+
+    return whitespace_tokens(b.column(text_col))
+
+
+def bpe_vocab(merges, alphabet: list[str]) -> tuple[dict[str, int], list[str]]:
+    """Token-string → id mapping: base characters (in the given order)
+    take ids ``0..len(alphabet)-1``, merge products take
+    ``len(alphabet) + merge_index``.  Two merges producing the same
+    STRING (e.g. ('a','bc') and ('ab','c') → 'abc') share the first
+    id — token identity is the string, the GPT-2/Sennrich convention.
+    Returns ``(str → id, id → str list)``."""
+    vocab: dict[str, int] = {}
+    id2tok: list[str] = []
+    for ch in alphabet:
+        if ch not in vocab:
+            vocab[ch] = len(id2tok)
+            id2tok.append(ch)
+    for m in merges:
+        prod = m[0] + m[1]
+        if prod not in vocab:
+            vocab[prod] = len(id2tok)
+            id2tok.append(prod)
+    return vocab, id2tok
+
+
+def bpe_encode(ds: rd.Dataset, merges, alphabet: list[str] | None = None,
+               text_col: str = "text", unk_id: int = -1,
+               out_ids: str = "token_ids", out_count: str = "n_tokens",
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Tokenize the corpus with a trained BPE merge table — the APPLY
+    half of the train→tokenize→pack chain: appends ``token_ids``
+    (``list<int32>``) and ``n_tokens`` (``int64``) to every row.
+
+    ``merges`` is :func:`bpe_train`'s output (``(left, right[, cnt])``
+    rows in merge order); ``alphabet`` pins the base vocabulary ids
+    (default: :func:`bpe_alphabet` over this corpus).  Ids follow
+    :func:`bpe_vocab`; symbols outside the vocabulary (chars absent
+    from ``alphabet``) encode as ``unk_id``.
+
+    Per-doc semantics: whitespace tokenization
+    (:func:`~.analysis.whitespace_tokens`), each word BPE-merged
+    independently left-to-right per merge (exactly
+    :func:`bpe_train_reference`'s apply), the doc's token stream is
+    the in-order concatenation of its words' tokens.
+
+    Scale shape: the merge table + vocab broadcast once via
+    ``ray.put``; each batch dictionary-encodes its words so the merge
+    kernel (:func:`_batch_apply_kernel`, vectorized Arrow passes) runs
+    over DISTINCT words only — Zipf makes that 10-50× smaller than the
+    token stream; the per-doc regroup is one numpy gather.  No
+    exchange, no driver state: a pure streaming ``map_batches`` stage.
+    """
+    import functools
+
+    import ray
+
+    if alphabet is None:
+        alphabet = bpe_alphabet(ds, text_col,
+                                num_partitions=num_partitions)
+    pairs = [(m[0], m[1]) for m in merges]
+    vocab, _ = bpe_vocab(pairs, alphabet)
+    ctx_ref = ray.put((pairs, vocab))
+
+    def encode(batch: pa.Table, ctx=None) -> pa.Table:
+        mg, vb = ray.get(ctx)
+        flat, parents = whitespace_tokens_of(batch, text_col)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        n_rows = batch.num_rows
+        if len(flat) == 0:
+            empty_ids = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_rows + 1, np.int32)),
+                pa.array([], pa.int32()))
+            return batch.append_column(out_ids, empty_ids).append_column(
+                out_count, pa.array(np.zeros(n_rows, np.int64)))
+        de = pc.dictionary_encode(flat)
+        codes = np.asarray(de.indices).astype(np.int64)
+        dwords = de.dictionary
+        # merge kernel over DISTINCT words only
+        exploded = _explode_chars(pa.table({
+            "word": dwords,
+            "cnt": pa.array(np.ones(len(dwords), np.int64))}))
+        sym = _batch_apply_kernel(exploded, mg,
+                                  want_deltas=False).column("symbols")
+        sym = sym.combine_chunks() if isinstance(sym, pa.ChunkedArray) else sym
+        flat_syms = pc.list_flatten(sym)
+        word_off = np.asarray(sym.offsets).astype(np.int64)
+        word_len = word_off[1:] - word_off[:-1]
+        # symbol → id: lookup only the DISTINCT symbols of this batch
+        sde = pc.dictionary_encode(flat_syms)
+        lut = np.fromiter((vb.get(s, unk_id)
+                           for s in sde.dictionary.to_pylist()),
+                          np.int32, len(sde.dictionary))
+        ids_flat = lut[np.asarray(sde.indices)]
+        # regroup: word occurrence i (code c) contributes the slice
+        # [word_off[c], word_off[c]+word_len[c]) of ids_flat, in order
+        occ_len = word_len[codes]
+        total = int(occ_len.sum())
+        out_start = np.zeros(len(codes) + 1, np.int64)
+        np.cumsum(occ_len, out=out_start[1:])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_start[:-1], occ_len)
+               + np.repeat(word_off[codes], occ_len))
+        doc_of_tok = np.repeat(parents.astype(np.int64), occ_len)
+        per_doc = np.bincount(doc_of_tok, minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(per_doc, out=offsets[1:])
+        if total > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"bpe_encode: {total} tokens in one batch overflows int32 "
+                "list offsets — lower batch_size / raise num blocks")
+        ids_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ids_flat[pos], pa.int32()))
+        return batch.append_column(out_ids, ids_col).append_column(
+            out_count, pa.array(per_doc.astype(np.int64)))
+
+    return ds.map_batches(functools.partial(encode, ctx=ctx_ref),
+                          batch_format="pyarrow")
+
+
+def bpe_encode_reference(text: str, merges, alphabet: list[str],
+                         unk_id: int = -1) -> list[int]:
+    """Sequential reference tokenizer (per-word merge loop) asserted
+    identical to :func:`bpe_encode` in tests/test_bpe.py."""
+    vocab, _ = bpe_vocab([(m[0], m[1]) for m in merges], alphabet)
+    out: list[int] = []
+    for word in (text or "").split():
+        sym = list(word)
+        for m in merges:
+            a, b = m[0], m[1]
+            new: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            sym = new
+        out.extend(vocab.get(s, unk_id) for s in sym)
+    return out
+
+
 def bpe_train_reference(word_counts: dict[str, int], n_merges: int = 50,
                         min_count: int = 2) -> list[tuple[str, str, int]]:
     """Sequential reference implementation (the classic dict-based BPE

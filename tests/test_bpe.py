@@ -115,3 +115,92 @@ def test_bpe_empty_corpus_and_nul_bytes():
     got = bpe_train(_ds(texts, parts=1), "text", n_merges=2)
     ref = bpe_train_reference(_wc(texts), n_merges=2)
     assert got == ref
+
+
+# ----------------------------------------------------------------------
+# bpe_encode: apply a trained merge table — reference identity, ids,
+# end-to-end chain into pack_sequences
+# ----------------------------------------------------------------------
+
+def test_bpe_encode_matches_reference():
+    from nailray.textops.bpe import (bpe_alphabet, bpe_encode,
+                                     bpe_encode_reference)
+
+    texts = ["low lower lowest low low", "new newer newest new",
+             "", "banana bandana aaaa aaa", "wider wide  wide new low"]
+    ds = _ds(texts, parts=3)
+    merges = bpe_train(_ds(texts, parts=2), "text", n_merges=8)
+    alpha = bpe_alphabet(ds, "text")
+    out = bpe_encode(ds, merges, alphabet=alpha, text_col="text")
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    for i, t in enumerate(texts):
+        ref = bpe_encode_reference(t, merges, alpha)
+        assert rows[i]["token_ids"] == ref, (i, t)
+        assert rows[i]["n_tokens"] == len(ref)
+
+
+def test_bpe_encode_unicode_and_unknown_chars():
+    from nailray.textops.bpe import bpe_encode, bpe_encode_reference
+
+    texts = ["héllo wörld café", "abc héllo"]
+    alpha = list("abcdefghilmnorw")  # no accents: é/ö → unk
+    merges = [("a", "b"), ("ab", "c")]
+    ds = _ds(texts, parts=2)
+    out = bpe_encode(ds, merges, alphabet=alpha, text_col="text", unk_id=-1)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    for i, t in enumerate(texts):
+        ref = bpe_encode_reference(t, merges, alpha)
+        assert rows[i]["token_ids"] == ref
+        assert -1 in rows[1 - 1]["token_ids"] or True  # é maps to unk somewhere
+    assert any(-1 in rows[i]["token_ids"] for i in range(2))
+
+
+def test_bpe_encode_null_and_empty_rows():
+    from nailray.textops.bpe import bpe_encode
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["aa bb", None, "   "], pa.string())})
+    out = bpe_encode(rd.from_arrow(t), [("a", "a")], alphabet=["a", "b"])
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert rows[0]["token_ids"] == [2, 1, 1]  # 'aa'→id 2, 'b','b'
+    assert rows[1]["token_ids"] == [] and rows[1]["n_tokens"] == 0
+    assert rows[2]["token_ids"] == [] and rows[2]["n_tokens"] == 0
+
+
+def test_bpe_encode_duplicate_merge_product_shares_id():
+    from nailray.textops.bpe import bpe_encode, bpe_vocab
+
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]
+    vocab, id2tok = bpe_vocab(merges, ["a", "b", "c"])
+    assert vocab["abc"] == 4 and id2tok[4] == "abc"
+    assert len(id2tok) == len(set(id2tok))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                 "text": pa.array(["abc"], pa.string())}))
+    out = bpe_encode(ds, merges, alphabet=["a", "b", "c"]).take_all()
+    assert out[0]["token_ids"] == [4]
+
+
+def test_bpe_encode_into_pack_sequences():
+    """train → tokenize → pack: packs budget REAL BPE token counts."""
+    from nailray.textops.bpe import bpe_alphabet, bpe_encode
+    from nailray.textops.packing import pack_sequences
+
+    texts = [("lo " * 20).strip(), ("ba " * 3).strip(), "x", "y z",
+             ("na " * 40).strip()]
+    ds = _ds(texts, parts=2)
+    merges = bpe_train(ds, "text", n_merges=3, min_count=2)
+    enc = bpe_encode(ds, merges, text_col="text")
+    packed = pack_sequences(enc, budget=25, id_col="doc_id",
+                            count_col="n_tokens")
+    rows = {r["doc_id"]: r for r in packed.take_all()}
+    enc_rows = {r["doc_id"]: r["n_tokens"] for r in enc.take_all()}
+    assert {r for r in rows} == set(range(5))
+    for i in range(5):
+        assert rows[i]["n_tokens"] == enc_rows[i]
+    # every multi-doc pack within budget
+    by_pack = {}
+    for r in rows.values():
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in by_pack.values():
+        if len(members) > 1:
+            assert sum(members) <= 25

@@ -113,7 +113,12 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
         ["mix", f"{sf_dir}/documents.parquet", "--group-col", "source",
          "--rates", "src0=0.2,src1=0.5", "--id-column", "doc_id",
          "-o", f"{out}/mixed"],
-        ["bpe-train", f"{sf_dir}/documents.parquet", "--merges", "3"],
+        ["bpe-train", f"{sf_dir}/documents.parquet", "--merges", "3",
+         "-o", f"{out}/merges"],
+        ["bpe-encode", f"{sf_dir}/documents.parquet",
+         "--merges-file", f"{out}/merges", "-o", f"{out}/tokens"],
+        ["pack", f"{out}/tokens", "--budget", "2048",
+         "--count-col", "n_tokens", "-o", f"{out}/packs_bpe"],
         ["pack", f"{sf_dir}/documents.parquet", "--budget", "2048",
          "-o", f"{out}/packs"],
         ["sample-per-group", orders, "--group-by", "o_custkey", "-n", "2",
