@@ -992,9 +992,96 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 def _char_kgram_set(text: str, k: int) -> set:
     """Distinct character k-grams (the STRINGS, not hashes — so the
     exact-verify stage and its SQL oracle can never diverge on a hash
-    collision). Docs shorter than k contribute the empty set."""
+    collision). Docs shorter than k contribute the empty set. The
+    sequential reference for :func:`_distinct_kgram_codes` (asserted
+    identical in tests)."""
     t = text or ""
     return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+def _char_kgrams_flat(texts: pa.Array, k: int):
+    """All character ``k``-grams of every doc, vectorized and
+    CODEPOINT-correct: UTF-8 char starts come off the byte buffer
+    (continuation bytes masked), gram byte spans are gathered with one
+    fancy-index, and the grams materialize as ONE Arrow string array.
+    Returns ``(grams, gram_doc)`` — gram j's owner doc index."""
+    from ..encode.codecs.base import strings_to_buffer
+
+    n = len(texts)
+    data, byte_lens = strings_to_buffer(texts)
+    b_off = np.zeros(n + 1, np.int64)
+    np.cumsum(byte_lens, out=b_off[1:])
+    # char start = any byte that is not a UTF-8 continuation byte
+    starts = np.flatnonzero((data & 0xC0) != 0x80).astype(np.int64)
+    m = np.diff(np.searchsorted(starts, b_off))  # chars per doc
+    c_off = np.zeros(n + 1, np.int64)
+    np.cumsum(m, out=c_off[1:])
+    g = np.maximum(m - k + 1, 0)  # grams per doc
+    n_grams = int(g.sum())
+    if n_grams == 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    gram_doc = np.repeat(np.arange(n, dtype=np.int64), g)
+    g_off = np.zeros(n + 1, np.int64)
+    np.cumsum(g, out=g_off[1:])
+    j = np.arange(n_grams, dtype=np.int64) - g_off[gram_doc]  # local pos
+    gs = starts[c_off[gram_doc] + j]  # gram start byte
+    end_idx = c_off[gram_doc] + j + k
+    ge = np.where(end_idx < c_off[gram_doc + 1],
+                  starts[np.minimum(end_idx, len(starts) - 1)],
+                  b_off[gram_doc + 1])  # gram end byte (doc tail)
+    glen = ge - gs
+    out_off = np.zeros(n_grams + 1, np.int64)
+    np.cumsum(glen, out=out_off[1:])
+    total = int(out_off[-1])
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(out_off[:-1], glen) + np.repeat(gs, glen))
+    gbytes = data[gather]
+    if total <= np.iinfo(np.int32).max:
+        grams = pa.Array.from_buffers(
+            pa.utf8(), n_grams,
+            [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+             pa.py_buffer(gbytes.tobytes())])
+    else:
+        grams = pa.Array.from_buffers(
+            pa.large_utf8(), n_grams,
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(gbytes.tobytes())])
+    return grams, gram_doc
+
+
+def _doc_kgram_codes(texts: pa.Array, k: int):
+    """Per-doc char-k-gram identity codes: ``(codes, gram_doc)`` where
+    equal codes ⟺ equal gram STRINGS (exact — never a lossy hash).
+    ASCII corpora with ``k ≤ 8`` take the packed-bytes fast path (the
+    k gram bytes ARE the identity, folded into one uint64 — no string
+    materialization, ~8× cheaper); everything else builds the gram
+    strings (:func:`_char_kgrams_flat`) and dictionary-encodes."""
+    from ..encode.codecs.base import strings_to_buffer
+
+    n = len(texts)
+    data, byte_lens = strings_to_buffer(texts)
+    if k <= 8 and not (data & 0x80).any():
+        b_off = np.zeros(n + 1, np.int64)
+        np.cumsum(byte_lens, out=b_off[1:])
+        g = np.maximum(byte_lens - k + 1, 0)
+        n_grams = int(g.sum())
+        if n_grams == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        gram_doc = np.repeat(np.arange(n, dtype=np.int64), g)
+        g_off = np.zeros(n + 1, np.int64)
+        np.cumsum(g, out=g_off[1:])
+        gs = (np.arange(n_grams, dtype=np.int64) - g_off[gram_doc]
+              + b_off[gram_doc])
+        acc = np.zeros(n_grams, np.uint64)
+        for i in range(k):
+            acc = (acc << np.uint64(8)) | data[gs + i].astype(np.uint64)
+        codes = np.unique(acc, return_inverse=True)[1].astype(np.int64)
+        return codes, gram_doc
+    grams, gram_doc = _char_kgrams_flat(texts, k)
+    if len(grams) == 0:
+        return np.zeros(0, np.int64), gram_doc
+    codes = np.asarray(pc.dictionary_encode(grams).indices).astype(np.int64)
+    return codes, gram_doc
 
 
 def verify_pairs_jaccard(docs: rd.Dataset, pairs: rd.Dataset,
@@ -1028,29 +1115,64 @@ def verify_pairs_jaccard(docs: rd.Dataset, pairs: rd.Dataset,
     ta, tb = f"a_{text_col}", f"b_{text_col}"
 
     def score(batch: pa.Table) -> pa.Table:
+        # fully vectorized exact scoring over gram STRINGS (no hashes,
+        # so oracle parity can't break on a collision): dedupe docs by
+        # id, build every doc's char-k-grams in one buffer gather,
+        # dictionary-encode grams to int32 codes, then per-pair
+        # |A∩B| = count of (pair, gram-code) keys hit from BOTH sides
+        # — one np.unique, zero per-row Python
         n = batch.num_rows
-        av = batch.column(ta).to_pylist()
-        bv = batch.column(tb).to_pylist()
-        ia = batch.column(id_a).to_pylist()
-        ib = batch.column(id_b).to_pylist()
-        memo: dict = {}  # docs in many pairs build their set once
-
-        def gset(doc_id, text):
-            s = memo.get(doc_id)
-            if s is None:
-                s = memo[doc_id] = _char_kgram_set(text, k)
-            return s
-
-        out = np.empty(n, np.float64)
-        for i in range(n):
-            sa = gset(ia[i], av[i])
-            sb = gset(ib[i], bv[i])
-            if not sa and not sb:
-                out[i] = 1.0
-            elif not sa or not sb:
-                out[i] = 0.0
-            else:
-                out[i] = len(sa & sb) / len(sa | sb)
+        if n == 0:
+            return pa.table({id_a: batch.column(id_a),
+                             id_b: batch.column(id_b),
+                             "jaccard": pa.array([], pa.float64())})
+        ids2 = pa.concat_arrays([batch.column(id_a).combine_chunks(),
+                                 batch.column(id_b).combine_chunks()])
+        txt2 = pa.concat_arrays([
+            pc.fill_null(pc.cast(batch.column(ta), pa.string()),
+                         "").combine_chunks(),
+            pc.fill_null(pc.cast(batch.column(tb), pa.string()),
+                         "").combine_chunks()])
+        dcodes = pc.dictionary_encode(ids2)
+        doc_of = np.asarray(dcodes.indices).astype(np.int64)
+        ndocs = len(dcodes.dictionary)
+        _, first = np.unique(doc_of, return_index=True)
+        dtexts = txt2.take(pa.array(first))
+        gcodes, gram_doc = _doc_kgram_codes(dtexts, k)
+        if len(gcodes):
+            dg = np.unique((gram_doc << 31) | gcodes)  # distinct per doc
+            dg_doc, dg_code = dg >> 31, dg & ((1 << 31) - 1)
+        else:
+            dg_doc = dg_code = np.zeros(0, np.int64)
+        sizes = np.bincount(dg_doc, minlength=ndocs)
+        d_off = np.zeros(ndocs + 1, np.int64)
+        np.cumsum(sizes, out=d_off[1:])
+        # |A∩B| per pair: replicate the SMALLER side's distinct codes
+        # (grouped by pair), then one binary search of (other_doc,
+        # code) keys into the globally-sorted dg array — no quadratic,
+        # no giant sort, just O(Σ|small side| · log |dg|)
+        ca, cb = doc_of[:n], doc_of[n:]
+        swap = sizes[ca] > sizes[cb]
+        probe = np.where(swap, cb, ca)  # enumerate this side's codes
+        other = np.where(swap, ca, cb)  # membership-test against this
+        ln = sizes[probe]
+        tot = int(ln.sum())
+        o = np.zeros(n + 1, np.int64)
+        np.cumsum(ln, out=o[1:])
+        pos = (np.arange(tot, dtype=np.int64)
+               - np.repeat(o[:-1], ln) + np.repeat(d_off[probe], ln))
+        pair = np.repeat(np.arange(n, dtype=np.int64), ln)
+        target = (other[pair] << 31) | dg_code[pos]
+        if len(dg_doc):
+            dg_keys = (dg_doc << 31) | dg_code
+            loc = np.searchsorted(dg_keys, target)
+            hit = dg_keys[np.minimum(loc, len(dg_keys) - 1)] == target
+        else:
+            hit = np.zeros(tot, bool)
+        inter = np.bincount(pair[hit], minlength=n)
+        sa, sb = sizes[ca], sizes[cb]
+        union = sa + sb - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         return pa.table({id_a: batch.column(id_a),
                          id_b: batch.column(id_b),
                          "jaccard": pa.array(out, pa.float64())})

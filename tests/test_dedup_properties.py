@@ -177,3 +177,34 @@ def test_verify_pairs_jaccard_planted(ray_session):
                                k=5).take_all()[0]["jaccard"]
     # grams a: {abcde,bcdef,cdefg} b: {bcdef,cdefg,defgh}; |I|=2 |U|=4
     assert abs(got - 0.5) < 1e-12
+
+
+def test_verify_pairs_jaccard_random_unicode_matches_reference(ray_session):
+    """Vectorized gram-code scorer == per-pair Python string-set scorer
+    on a random corpus with multi-byte codepoints, repeats, and docs
+    shared across many pairs."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from nailray.textops.dedup import _char_kgram_set, verify_pairs_jaccard
+
+    rng = random.Random(7)
+    alphabet = "abc déß日本語🙂"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+             for _ in range(40)]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(40), "text": texts})).repartition(4)
+    ia = [rng.randrange(40) for _ in range(120)]
+    ib = [rng.randrange(40) for _ in range(120)]
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": ia, "id_b": ib}))
+    k = 3
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in verify_pairs_jaccard(docs, pairs, "text", "doc_id",
+                                         k=k).take_all()}
+    for a, b in zip(ia, ib):
+        sa, sb = _char_kgram_set(texts[a], k), _char_kgram_set(texts[b], k)
+        want = (1.0 if not sa and not sb else
+                0.0 if not sa or not sb else len(sa & sb) / len(sa | sb))
+        assert abs(got[(a, b)] - want) < 1e-12, (a, b, texts[a], texts[b])
