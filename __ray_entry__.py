@@ -1191,11 +1191,44 @@ def q_embedding_near_dup(sf):
 
 
 def q_kmeans_embeddings(sf):
-    # full-data distributed Lloyd's k-means (iterative — no SQL oracle;
-    # exact-vs-sequential-reference parity in tests/test_cluster.py)
+    # full-data distributed Lloyd's k-means with an EXACT SQL oracle on
+    # a derived corpus: 8 groups of byte-identical vectors where group
+    # = vec_id % 8, EXCEPT the 8 smallest-sha256-digest ids (k-means'
+    # deterministic seeds) are pinned to groups 0..7 in digest order —
+    # so init centroid j IS group j's vector, Lloyd is a fixpoint, and
+    # the final assignment provably equals the derived group (sim 1.0).
+    # The REAL k-means behavior (moving centroids, empty clusters,
+    # distributed-vs-sequential parity) stays covered in
+    # tests/test_cluster.py.
+    import hashlib
+
     from nailray.cluster import kmeans_embeddings
 
-    asg, _cent, _ = kmeans_embeddings(_t(sf, "embeddings"), k=8, n_iter=5)
+    emb = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding")
+    reps = {int(i): vecs[j].as_py()
+            for j, i in enumerate(ids) if int(i) < 8}
+    assert len({tuple(v) for v in reps.values()}) == 8, "reps must differ"
+    seed_ids = [v for _, v in sorted(
+        (hashlib.sha256(str(v).encode()).digest()[:8], v) for v in ids)[:8]]
+    seeds = {int(v): j for j, v in enumerate(seed_ids)}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        iv = np.asarray(batch.column("vec_id"))
+        g = iv % 8
+        for v, j in seeds.items():
+            g = np.where(iv == v, j, g)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array([reps[int(x)] for x in g],
+                                  emb.column("embedding").type),
+        })
+
+    d = _t(sf, "embeddings").select_columns(["vec_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    asg, _cent, _ = kmeans_embeddings(d, k=8, n_iter=5)
     return _round_cols(asg.select_columns(["vec_id", "cluster", "sim"]),
                        ["sim"])
 
@@ -1289,13 +1322,25 @@ def q_ngram_topk(sf):
 
 
 def q_approx_distinct_by_group(sf):
-    # per-group HLL distinct estimate (deterministic registers; no SQL
-    # oracle — accuracy vs exact COUNT(DISTINCT) asserted in
-    # tests/test_sketch.py)
+    # per-group HLL distinct estimate, made HASH-CHECKABLE: the query
+    # emits (key, within_5pct) where within_5pct compares the sketch
+    # estimate against the EXACT distributed COUNT(DISTINCT) — the
+    # registers are deterministic (fixed hash), so the booleans are too,
+    # and the SQL oracle asserts TRUE per key. Register-level accuracy
+    # and layout independence stay asserted in tests/test_sketch.py.
+    from nailray.ops.aggregates import distinct_count_by
     from nailray.sketch import approx_distinct_by
 
-    return approx_distinct_by(_t(sf, "lineitem"), ["l_returnflag"],
-                              "l_partkey", p=12)
+    est = nio.to_arrow(approx_distinct_by(
+        _t(sf, "lineitem"), ["l_returnflag"], "l_partkey",
+        p=12)).to_pandas()
+    exact = nio.to_arrow(distinct_count_by(
+        _t(sf, "lineitem"), ["l_returnflag"], "l_partkey")).to_pandas()
+    m = est.merge(exact, on="l_returnflag", how="outer")
+    ok = ((m["n_distinct_approx"] - m["n_distinct"]).abs()
+          <= 0.05 * m["n_distinct"].clip(lower=1))
+    return pd.DataFrame({"l_returnflag": m["l_returnflag"],
+                         "within_5pct": ok.astype(bool)})
 
 
 def q_minhash_dedup_docs(sf):
@@ -1439,6 +1484,39 @@ def q_ann_topk_lsh(sf):
     qv = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
     bucketed = ann.add_lsh_bucket(_t(sf, "embeddings"), dim, n_bits=8)
     got = ann.topk_cosine_lsh(bucketed, qv, k=5, dim=dim, n_bits=8)
+    got["sim"] = got["sim"].map(lambda v: round(float(v), 5))
+    return got[["vec_id", "sim"]]
+
+
+def q_ann_topk_ivf(sf):
+    # IVF ANN with an exact oracle on the derived byte-identical-group
+    # corpus (embedding of vec_id % 100): the query vector is group 0's
+    # rep, whose IVF bucket is BY CONSTRUCTION the first probed
+    # centroid (bucket(q) = argmax cos(centroids, q) = probe[0]), so
+    # all group-0 members are candidates at cosine exactly 1.0 while
+    # every cross-group candidate scores < 0.48 — the top-5 is the 5
+    # smallest group-0 ids regardless of what k-means produced.
+    from nailray import ann
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    reps = {int(i): v for i, v in zip(emb.column("vec_id").to_pylist()[:100],
+                                      emb.column("embedding").to_pylist()[:100])}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array([reps[int(i) % 100] for i in ids],
+                                  emb.column("embedding").type),
+        })
+
+    d = _t(sf, "embeddings").select_columns(["vec_id"]).map_batches(
+        derive, batch_format="pyarrow").materialize()  # 2 passes: fit+scan
+    qv = np.asarray(reps[0], np.float64)
+    cent = ann.build_ivf_centroids(d, n_centroids=16, iters=5)
+    bucketed = ann.add_ivf_bucket(d, cent)
+    got = ann.topk_cosine_ivf(bucketed, cent, qv, k=5, nprobe=4)
     got["sim"] = got["sim"].map(lambda v: round(float(v), 5))
     return got[["vec_id", "sim"]]
 
@@ -1676,6 +1754,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "stratified_sample": q_stratified_sample,
         "encode_corpus": q_encode_corpus,
         # real-binary pipeline with a closed-form EXACT oracle
@@ -2301,6 +2380,35 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": (
             "SELECT doc_id, CAST(1 AS BIGINT) AS fp_match FROM documents"),
         "ann_topk_lsh": _lsh_oracle_sql(),
+        "ann_topk_ivf": (
+            # derived corpus: embedding := embedding of (vec_id % 100);
+            # group 0's bucket is always probed (it's the argmax bucket
+            # of the query itself), its members score exactly 1.0, every
+            # cross-group candidate < 0.48 — so the top-5 is exact SQL
+            "WITH d AS (SELECT e.vec_id, r.embedding AS emb "
+            "FROM embeddings e JOIN embeddings r "
+            "ON r.vec_id = e.vec_id % 100), "
+            "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, ROUND(CAST(list_cosine_similarity(emb, "
+            "(SELECT qe FROM q)) AS DOUBLE), 5) AS sim FROM d "
+            "ORDER BY list_cosine_similarity(emb, (SELECT qe FROM q)) "
+            "DESC, vec_id LIMIT 5"),
+        "kmeans_embeddings": (
+            # seeds = the 8 smallest sha256(vec_id) digests in digest
+            # order (kmeans' deterministic init); derived group = seed
+            # rank for seeds else vec_id % 8 — the provable fixpoint
+            "WITH dg AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
+            "substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) - 1 "
+            "AS rk FROM embeddings), "
+            "seeds AS (SELECT vec_id, rk FROM dg WHERE rk < 8) "
+            "SELECT e.vec_id, CAST(COALESCE(s.rk, e.vec_id % 8) "
+            "AS INTEGER) AS cluster, 1.0 AS sim "
+            "FROM embeddings e LEFT JOIN seeds s ON s.vec_id = e.vec_id"),
+        "approx_distinct_by_group": (
+            # the Ray side computes |HLL(key) - exact(key)| <= 5% with
+            # deterministic registers; the oracle asserts it HOLDS
+            "SELECT l_returnflag, TRUE AS within_5pct FROM lineitem "
+            "GROUP BY l_returnflag"),
         "quality_docs": _quality_oracle_sql(),
         "langid_docs": _langid_oracle_sql(),
         # replicates sample_stratified exactly: proportional alloc with

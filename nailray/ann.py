@@ -54,9 +54,17 @@ def topk_cosine(ds: rd.Dataset, query: np.ndarray, k: int = 10,
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         sims = (m @ qn) / norms
-        top = np.argsort(-sims)[:k]
+        ids = batch.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        try:  # deterministic tie-break: sim DESC then id ASC — so the
+            # merged top-k is layout-independent even with exact ties
+            # (byte-identical vectors), matching the driver merge's key
+            order = np.lexsort((np.asarray(ids), -sims))
+        except (TypeError, ValueError):  # non-numeric ids: stable by position
+            order = np.argsort(-sims, kind="stable")
+        top = order[:k]
         return pa.table({
-            id_col: pa.array([batch.column(id_col)[int(i)].as_py() for i in top]),
+            id_col: ids.take(pa.array(top)),
             "sim": pa.array(sims[top]),
         })
 
