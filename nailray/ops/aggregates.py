@@ -1041,23 +1041,22 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
     variance / single value / empty) standardizes to 0.0 — the CASE
     the SQL window oracle spells out identically.
 
-    Scale shape: zscore first folds a global per-column MIN from
-    per-block scalars (no exchange) and uses it as a cancellation
-    shift — the sums that move are Σ(x−shift) and Σ(x−shift)², so the
-    classic sumsq/n − mean² catastrophic cancellation on large-offset
-    data (epoch timestamps, sequence ids) is gone; mean folds back as
-    shift + Σ/n and the variance is shift-invariant.  (Residual caveat:
-    the shift is global, so groups sitting at wildly different offsets
-    with tiny intra-group spread can still cancel — per-group shifts
-    would need a second grouped exchange.)  Pass 2 is one
-    :func:`~nailray.shuffle.grouped_agg` over (count, Σshifted,
-    Σshifted² | min, max) per (group, column) — pre-combined per block,
-    O(groups/block) exchange; the per-group stats table (bounded by the
-    group-key cardinality) broadcasts via ``ray.put``; pass 3
-    standardizes each batch with one pandas merge + vectorized
-    arithmetic. ``by=None`` folds global stats from per-block scalar
-    partials instead (no exchange at all). ``cache_input`` follows the
-    multi-pass auto policy (:func:`nailray.io.resolve_cache_input`)."""
+    Scale shape: zscore is ONE grouped exchange carrying per-(block,
+    group) partials ``(n, local_min, Σ(x−local_min), Σ(x−local_min)²)``
+    — each block shifts by ITS OWN per-group minimum, and the combine
+    rebases partials onto the group's global minimum with the exact
+    shift-translation identity (s' = s + n·Δ, q' = q + 2Δs + n·Δ²,
+    Chan et al. pairwise-update form), so the classic sumsq/n − mean²
+    catastrophic cancellation is gone even for GROUPS sitting at wildly
+    different offsets with tiny intra-group spread (epoch timestamps
+    per shard, sequence-id ranges): every accumulated magnitude is
+    bounded by the group's own data spread, never its offset.  The
+    per-group stats table (bounded by the group-key cardinality)
+    broadcasts via ``ray.put``; the final pass standardizes each batch
+    with one pandas merge + vectorized arithmetic. ``by=None`` folds
+    the same rebased partials from one row per block on the driver (no
+    exchange at all). ``cache_input`` follows the multi-pass auto
+    policy (:func:`nailray.io.resolve_cache_input`)."""
     import ray
 
     from ..io import resolve_cache_input as _resolve_cache_input
@@ -1083,83 +1082,152 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
             return None
         return pa.concat_tables(rows, promote_options="default").to_pandas()
 
-    shift: dict[str, float] = {}
+    import pandas as _pd
+
+    stat_cols = ["__n_", "__m_", "__s_", "__q_"]  # zscore partial fields
+
+    def _z_rebase(df: "_pd.DataFrame", keys: list[str] | None):
+        """Merge (n, m, s, q) partial rows onto each group's global
+        min: Δ = m − M; s' = Σ(s + nΔ); q' = Σ(q + 2Δs + nΔ²)."""
+        res = {}
+        gb = df.groupby(keys, dropna=False, sort=False) if keys else None
+        for c in columns:
+            n = df[f"__n_{c}"].astype("float64")
+            m = df[f"__m_{c}"].astype("float64")
+            s = df[f"__s_{c}"].astype("float64")
+            q = df[f"__q_{c}"].astype("float64")
+            M = (gb[f"__m_{c}"].transform("min").astype("float64")
+                 if gb is not None else _pd.Series(m.min(), index=df.index))
+            delta = (m - M).fillna(0.0)
+            res[f"__s_{c}"] = s + n * delta
+            res[f"__q_{c}"] = q + 2.0 * delta * s + n * delta * delta
+            res[f"__n_{c}"] = n
+            res[f"__m_{c}"] = M.fillna(0.0)
+        rb = _pd.DataFrame(res, index=df.index)
+        if keys:
+            rb[keys] = df[keys]
+            g2 = rb.groupby(keys, dropna=False, sort=False)
+            agg = {f"__n_{c}": (f"__n_{c}", "sum") for c in columns}
+            agg |= {f"__s_{c}": (f"__s_{c}", "sum") for c in columns}
+            agg |= {f"__q_{c}": (f"__q_{c}", "sum") for c in columns}
+            agg |= {f"__m_{c}": (f"__m_{c}", "min") for c in columns}
+            return g2.agg(**agg).reset_index()
+        return _pd.DataFrame({
+            **{f"__n_{c}": [rb[f"__n_{c}"].sum()] for c in columns},
+            **{f"__s_{c}": [rb[f"__s_{c}"].sum()] for c in columns},
+            **{f"__q_{c}": [rb[f"__q_{c}"].sum()] for c in columns},
+            **{f"__m_{c}": [rb[f"__m_{c}"].min()] for c in columns}})
+
     if method == "zscore":
-        # pass 0: global per-column min — the cancellation shift
-        def min_row(batch: pa.Table) -> pa.Table:
-            return pa.table({c: pa.array(
-                [pc.min(pc.cast(batch.column(c), pa.float64(), safe=False)).as_py()],
-                pa.float64()) for c in columns})
+        from ..shuffle import (group_map, hash_partition, int_types_mapper,
+                               partition_count, to_arrow_clean)
 
-        mins = _fold_scalar_blocks(ds.select_columns(columns), min_row)
-        for c in columns:
-            v = mins[c].min() if mins is not None else None
-            shift[c] = float(v) if v is not None and v == v else 0.0
-
-        def pre(batch: pa.Table) -> pa.Table:
+        def partial(batch: pa.Table) -> pa.Table:
+            key_types = ({k: batch.schema.field(k).type for k in by}
+                         if by else {})
+            df = batch.to_pandas(types_mapper=int_types_mapper)
+            gb = df.groupby(by, dropna=False, sort=False) if by else None
+            rows = {}
             for c in columns:
-                x = pc.subtract(pc.cast(batch.column(c), pa.float64(), safe=False),
-                                shift[c])
-                batch = batch.append_column(f"__sh_{c}", x)
-                batch = batch.append_column(f"__sq_{c}", pc.multiply(x, x))
-            return batch
+                x = df[c].astype("float64")
+                m = (gb[c].transform("min") if gb is not None
+                     else _pd.Series(x.min(), index=df.index)).astype("float64")
+                xs = (x - m).fillna(0.0)
+                t = _pd.DataFrame({"n": x.notna().astype("int64"),
+                                   "m": m, "s": xs, "q": xs * xs})
+                if gb is not None:
+                    t[by] = df[by]
+                    a = t.groupby(by, dropna=False, sort=False).agg(
+                        n=("n", "sum"), m=("m", "min"),
+                        s=("s", "sum"), q=("q", "sum"))
+                else:
+                    a = _pd.DataFrame({"n": [t["n"].sum()],
+                                       "m": [t["m"].min()],
+                                       "s": [t["s"].sum()],
+                                       "q": [t["q"].sum()]})
+                rows[c] = a
+            first = rows[columns[0]]
+            out = _pd.DataFrame(index=first.index)
+            for c in columns:
+                a = rows[c]
+                out[f"__n_{c}"] = a["n"]
+                out[f"__m_{c}"] = a["m"]
+                out[f"__s_{c}"] = a["s"]
+                out[f"__q_{c}"] = a["q"]
+            out = out.reset_index() if by else out
+            if not by:
+                return to_arrow_clean(out)
+            arrays = {k: pa.Array.from_pandas(out[k], type=key_types[k])
+                      for k in by}
+            t = pa.table({**arrays,
+                          **{c2: pa.Array.from_pandas(out[c2])
+                             for c2 in out.columns if c2 not in by}})
+            part = hash_partition(t.select(by).to_pandas(), by,
+                                  partition_count(None))
+            return t.append_column("__part", pa.array(part))
 
-        aggs = {}
-        for c in columns:
-            aggs[f"__n_{c}"] = (c, "count")
-            aggs[f"__s_{c}"] = (f"__sh_{c}", "sum")
-            aggs[f"__q_{c}"] = (f"__sq_{c}", "sum")
+        if by:
+            def combine(g: pa.Table) -> pa.Table:
+                key_types = {k: g.schema.field(k).type for k in by}
+                df = g.to_pandas(types_mapper=int_types_mapper)
+                out = _z_rebase(df, by)
+                arrays = {k: pa.Array.from_pandas(out[k],
+                                                  type=key_types[k])
+                          for k in by}
+                return pa.table({**arrays,
+                                 **{c2: pa.Array.from_pandas(out[c2])
+                                    for c2 in out.columns
+                                    if c2 not in by}})
+
+            parts_ds = ds.select_columns(by + columns).map_batches(
+                partial, batch_format="pyarrow")
+            stats_ds = group_map(parts_ds, "__part", combine,
+                                 partition_count(None))
+            stat_parts = [b for b in stats_ds.iter_batches(
+                batch_size=None, batch_format="pyarrow")]
+            if stat_parts:
+                stats = pa.concat_tables(
+                    stat_parts, promote_options="default").to_pandas()
+            else:  # empty input: no groups — apply never runs either
+                stats = _pd.DataFrame(
+                    {c: [] for c in by
+                     + [p + c2 for c2 in columns for p in stat_cols]})
+        else:
+            parts = _fold_scalar_blocks(ds.select_columns(columns), partial)
+            if parts is None:
+                stats = _pd.DataFrame(
+                    {f"__{f}_{c}": [0.0] for c in columns
+                     for f in ("n", "s", "q", "m")})
+            else:
+                stats = _z_rebase(parts, None)
     else:
         aggs = {}
         for c in columns:
             aggs[f"__lo_{c}"] = (c, "min")
             aggs[f"__hi_{c}"] = (c, "max")
-
-    import pandas as _pd
-
-    if by:
-        if method == "zscore":
-            prepped = ds.select_columns(by + columns).map_batches(
-                pre, batch_format="pyarrow")
-            stats_ds = grouped_agg(prepped, by, aggs)
-        else:
+        if by:
             stats_ds = grouped_agg(ds.select_columns(by + columns), by, aggs)
-        stat_parts = [b for b in stats_ds.iter_batches(
-            batch_size=None, batch_format="pyarrow")]
-        if stat_parts:
-            stats = pa.concat_tables(
-                stat_parts, promote_options="default").to_pandas()
-        else:  # empty input: no groups — apply never runs either
-            stats = _pd.DataFrame({c: [] for c in by + list(aggs)})
-    else:
-        # global: fold one partial row per block
-        def partial(batch: pa.Table) -> pa.Table:
-            row = {}
-            for c in columns:
-                x = pc.cast(batch.column(c), pa.float64(), safe=False)
-                if method == "zscore":
-                    xs = pc.subtract(x, shift[c])
-                    row[f"__n_{c}"] = [batch.num_rows
-                                       - batch.column(c).null_count]
-                    row[f"__s_{c}"] = [pc.sum(xs).as_py() or 0.0]
-                    row[f"__q_{c}"] = [pc.sum(pc.multiply(xs, xs)).as_py()
-                                       or 0.0]
-                else:
+            stat_parts = [b for b in stats_ds.iter_batches(
+                batch_size=None, batch_format="pyarrow")]
+            if stat_parts:
+                stats = pa.concat_tables(
+                    stat_parts, promote_options="default").to_pandas()
+            else:
+                stats = _pd.DataFrame({c: [] for c in by + list(aggs)})
+        else:
+            def mm_partial(batch: pa.Table) -> pa.Table:
+                row = {}
+                for c in columns:
+                    x = pc.cast(batch.column(c), pa.float64(), safe=False)
                     mm = pc.min_max(x)
                     row[f"__lo_{c}"] = [mm["min"].as_py()]
                     row[f"__hi_{c}"] = [mm["max"].as_py()]
-            return pa.table(row)
+                return pa.table(row)
 
-        parts = _fold_scalar_blocks(ds.select_columns(columns), partial)
-        if parts is None:
-            parts = _pd.DataFrame({k: [0.0 if method == "zscore" else None]
-                                   for k in aggs})
-        if method == "zscore":
-            stats = _pd.DataFrame({
-                **{f"__n_{c}": [parts[f"__n_{c}"].sum()] for c in columns},
-                **{f"__s_{c}": [parts[f"__s_{c}"].sum()] for c in columns},
-                **{f"__q_{c}": [parts[f"__q_{c}"].sum()] for c in columns}})
-        else:
+            parts = _fold_scalar_blocks(ds.select_columns(columns),
+                                        mm_partial)
+            if parts is None:
+                parts = _pd.DataFrame({k: [None] for k in aggs})
             stats = _pd.DataFrame({
                 **{f"__lo_{c}": [parts[f"__lo_{c}"].min()] for c in columns},
                 **{f"__hi_{c}": [parts[f"__hi_{c}"].max()] for c in columns}})
@@ -1180,7 +1248,7 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
                 sm = merged[f"__s_{c}"] / n.where(n > 0, 1.0)  # shifted mean
                 var = merged[f"__q_{c}"] / n.where(n > 0, 1.0) - sm * sm
                 std = np.sqrt(np.maximum(var, 0.0))
-                z = (x - (sm + shift[c])) / std.where(std > 0, 1.0)
+                z = (x - (sm + merged[f"__m_{c}"])) / std.where(std > 0, 1.0)
                 out = z.where(std > 0, 0.0)
             else:
                 lo = merged[f"__lo_{c}"].astype("float64")

@@ -353,3 +353,42 @@ def test_semantic_dedup_sort_exchange_path(ray_session, monkeypatch):
         ds, k=3, threshold=0.999, n_iter=2).take_all())
     assert direct == sort_path
     assert len(direct) == 30
+
+
+def test_standardize_per_group_offsets_no_cancellation(ray_session):
+    """The r4 residual: group A at offset ~0, group B at offset 1e15
+    with unit intra-group spread. A GLOBAL cancellation shift leaves
+    group B's squared sums at 1e30 magnitude where float64 granularity
+    is ~1e14 (the variance of 1.0 cancels to garbage); the per-group
+    shift must standardize B to exactly +/-1."""
+    from nailray.ops.aggregates import standardize
+
+    b0 = 1.0e15
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "x": [0.0, 1.0, 2.0, b0 - 1.0, b0 + 1.0],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    out = standardize(ds, ["x"], by="g").to_pandas()
+    a = out[out["g"] == "a"].sort_values("x")["x_std"].to_numpy()
+    b = out[out["g"] == "b"].sort_values("x")["x_std"].to_numpy()
+    np.testing.assert_allclose(a, (np.arange(3) - 1.0) / np.sqrt(2.0 / 3.0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(b, [-1.0, 1.0], rtol=1e-9)
+
+
+def test_standardize_global_zscore_rebased_fold(ray_session):
+    """by=None zscore: per-block local-min partials rebase exactly on
+    the driver — same answer across block layouts, nulls excluded."""
+    from nailray.ops.aggregates import standardize
+
+    vals = [10.0, None, 30.0, 20.0, 40.0, None]
+    want_vals = np.array([10.0, 30.0, 20.0, 40.0])
+    mu, sd = want_vals.mean(), want_vals.std()
+    for parts in (1, 4):
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts)
+        out = standardize(ds, ["x"]).to_pandas()
+        got = out["x_std"].dropna().to_numpy()
+        np.testing.assert_allclose(np.sort(got),
+                                   np.sort((want_vals - mu) / sd), rtol=1e-12)
+        assert out["x_std"].isna().sum() == 2
