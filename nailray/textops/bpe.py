@@ -244,6 +244,89 @@ def _union_deltas(t: pa.Table) -> pa.Table:
                      "b": d.column("b"), "delta": d.column("delta")})
 
 
+class _BPEShard:
+    """One shard of the distinct-word table held in an actor for the
+    merge-round loop of :func:`bpe_train`.  BPE training is thousands
+    of tiny global-argmax rounds; a ``map_batches`` stage costs ~0.2 s
+    of fixed scheduling per round regardless of data size, so the
+    iterated state lives in an actor pool instead (the one shape the
+    Dataset API can't express: shared mutable state across rounds) and
+    each round is ONE actor round-trip of a few ms.  The driver only
+    ever sees pair-count DELTAS (bounded by affected pair types), never
+    word rows — the same wire contract as the Dataset path.
+
+    ``probe(merges, commit_prev)`` first commits the validated prefix
+    of the PREVIOUS probe (fusing commit+probe into one round-trip),
+    then speculatively applies ``merges`` sequentially to its shard and
+    returns the per-step exact pair-count deltas
+    (:func:`_apply_merge_with_delta`); the driver replays them against
+    its counts dict to find the longest prefix that preserves the exact
+    greedy order.
+
+    Correctness note: shards receive PER-BLOCK word-count partials, so
+    the same word can appear in several shards (each shard dedups only
+    its own slice).  Pair counts and per-merge deltas are ADDITIVE
+    across duplicate word rows and merges apply per word, so the folded
+    global counts — and hence the greedy merge sequence — are identical
+    to the fully-deduped table.  Skipping the global distinct-word
+    exchange removes the dominant fixed setup cost (~5 s at sf0.1)."""
+
+    def __init__(self):
+        self.tbl = pa.table({"symbols": pa.array([], _SYM_T),
+                             "cnt": pa.array([], pa.int64())})
+        self._probe_merges: list | None = None
+        self._probe_tbl: pa.Table | None = None
+
+    def load(self, refs) -> pa.Table | None:
+        """Take (word, cnt) partial blocks, dedup locally, explode to
+        symbol lists, and return this shard's grouped pair-count
+        partial (the driver folds these instead of running a global
+        pair exchange)."""
+        import ray
+
+        tables = [t for t in ray.get(list(refs)) if t.num_rows]
+        if not tables:
+            return None
+        w = pa.concat_tables(tables).group_by(["word"]) \
+              .aggregate([("cnt", "sum")])
+        self.tbl = _explode_chars(pa.table({
+            "word": w.column("word"),
+            "cnt": pc.cast(w.column("cnt_sum"), pa.int64())}))
+        p = _pair_counts(self.tbl).group_by(["a", "b"]) \
+                                  .aggregate([("cnt", "sum")])
+        return pa.table({"a": p.column("a"), "b": p.column("b"),
+                         "cnt": pc.cast(p.column("cnt_sum"), pa.int64())})
+
+    def _commit(self, k: int) -> None:
+        if self._probe_merges is None:
+            return
+        if k >= len(self._probe_merges):
+            self.tbl = self._probe_tbl
+        elif k > 0:
+            # misprediction: re-apply just the validated prefix locally
+            # (no Ray round-trip; typical mispredict prefixes are short)
+            self.tbl = _batch_apply_kernel(self.tbl,
+                                           self._probe_merges[:k],
+                                           want_deltas=False)
+        self._probe_merges = None
+        self._probe_tbl = None
+
+    def probe(self, merges: list[tuple[str, str]],
+              commit_prev: int | None = None) -> pa.Table | None:
+        if commit_prev is not None:
+            self._commit(commit_prev)
+        tbl = self.tbl
+        parts: list[pa.Table] = []
+        for step, (left, right) in enumerate(merges):
+            tbl, delta = _apply_merge_with_delta(tbl, left, right)
+            if delta is not None:
+                parts.append(delta.append_column(
+                    "step", pa.array([step] * delta.num_rows, pa.int64())))
+        self._probe_merges = list(merges)
+        self._probe_tbl = tbl
+        return pa.concat_tables(parts) if parts else None
+
+
 def _heap_best(counts: dict, heap: list):
     """Exact argmax under (count DESC, pair ASC) via the lazy max-heap —
     stale entries (count changed or pair deleted) are discarded on pop."""
@@ -274,7 +357,7 @@ def _heap_top_k(counts: dict, heap: list, k: int) -> list[tuple[str, str, int]]:
 
 def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
               min_count: int = 2, num_partitions: int | None = None,
-              batch_merges: int = 16,
+              batch_merges: int = 16, use_actors: bool = True,
               driver_pairs_budget: int = 5_000_000) -> list[tuple[str, str, int]]:
     """Train a BPE merge table over the corpus: returns
     ``[(left, right, count), ...]`` in merge order (deterministic
@@ -301,35 +384,108 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
     so the per-merge stage cost is amortized ~K-fold while the merge
     sequence stays EXACTLY sequential.
 
-    Scale shape: the word table stays a sharded, materialized Dataset;
-    per round one pre-combined delta exchange (O(affected words)) and a
-    few KB of delta rows to the driver."""
+    With ``use_actors`` (the default) the iterated word table lives
+    SHARDED IN AN ACTOR POOL (:class:`_BPEShard`) instead of a Dataset:
+    profiling showed the Dataset round costs ~0.2 s of fixed stage
+    scheduling regardless of data size, and natural-language corpora
+    mispredict constantly (each merge creates the next argmax —
+    ('t','h') → ('th','e')), so rounds can't amortize below ~1.3
+    merges each.  An actor round-trip is a few ms, cutting the
+    per-merge fixed cost ~20×; mispredictions become nearly free (the
+    validated prefix re-applies inside the actor, no extra stage).
+    ``use_actors=False`` keeps the pure-Dataset union path.
+
+    Scale shape: the word table stays sharded (actors or Dataset
+    blocks); per round one delta exchange (O(affected pair types)) and
+    a few KB of delta rows to the driver."""
     import functools
     import heapq
 
     from ..shuffle import grouped_agg
 
-    words = words_with_counts(ds, text_col, num_partitions=num_partitions)
-    table = words.map_batches(_explode_chars,
-                              batch_format="pyarrow").materialize()
     merges: list[tuple[str, str, int]] = []
-    if table.count() == 0:
-        return merges
-    counts_ds = grouped_agg(
-        table.map_batches(_pair_counts, batch_format="pyarrow"),
-        ["a", "b"], {"cnt": ("cnt", "sum")},
-        num_partitions=num_partitions).materialize()
-    if counts_ds.count() > driver_pairs_budget:
-        # pathological alphabet (pair-type table too big for the
-        # driver): fall back to the per-round recount + partial top-1
-        return _bpe_train_recount(table, n_merges, min_count,
-                                  num_partitions)
     counts: dict[tuple[str, str], int] = {}
-    for blk in counts_ds.iter_batches(batch_format="pyarrow"):
-        for a, b, c in zip(blk.column("a").to_pylist(),
-                           blk.column("b").to_pylist(),
-                           blk.column("cnt").to_pylist()):
-            counts[(a, b)] = int(c)
+    actors: list = []
+    if use_actors:
+        import ray
+
+        from .analysis import whitespace_tokens
+
+        # spawn shard actors FIRST — process startup overlaps the
+        # tokenize pass below
+        n_act = max(1, min(64, int(ray.cluster_resources()
+                                   .get("CPU", 8))))
+        # num_cpus=0: the shards must NEVER hold CPU slots, or they
+        # starve the Dataset tokenize pass below (deadlock on small
+        # clusters).  Per-round probe work is ms-scale; the one heavy
+        # call (load) tolerates oversubscription.
+        Shard = ray.remote(num_cpus=0)(_BPEShard)
+        actors = [Shard.remote() for _ in range(n_act)]
+
+        def word_partial(b: pa.Table) -> pa.Table:
+            flat, _ = whitespace_tokens(b.column(text_col))
+            vc = pc.value_counts(flat)
+            return pa.table({"word": vc.field("values"),
+                             "cnt": pc.cast(vc.field("counts"),
+                                            pa.int64())})
+
+        refs = ds.select_columns([text_col]) \
+                 .map_batches(word_partial, batch_format="pyarrow") \
+                 .to_arrow_refs()
+        if len(refs) < len(actors):
+            for a in actors[max(1, len(refs)):]:
+                ray.kill(a)
+            actors = actors[:max(1, len(refs))]
+        try:
+            pair_parts = ray.get([a.load.remote(refs[i::len(actors)])
+                                  for i, a in enumerate(actors)])
+            for p in pair_parts:
+                if p is None:
+                    continue
+                for a, b, c in zip(p.column("a").to_pylist(),
+                                   p.column("b").to_pylist(),
+                                   p.column("cnt").to_pylist()):
+                    counts[(a, b)] = counts.get((a, b), 0) + int(c)
+                if len(counts) > driver_pairs_budget:
+                    break
+        except Exception:
+            for a in actors:
+                ray.kill(a)
+            raise
+        if not counts:
+            for a in actors:
+                ray.kill(a)
+            return merges
+        if len(counts) > driver_pairs_budget:
+            # pathological alphabet (pair-type table too big for the
+            # driver): per-round recount + partial top-1 over a Dataset
+            for a in actors:
+                ray.kill(a)
+            table = words_with_counts(ds, text_col,
+                                      num_partitions=num_partitions) \
+                .map_batches(_explode_chars,
+                             batch_format="pyarrow").materialize()
+            return _bpe_train_recount(table, n_merges, min_count,
+                                      num_partitions)
+    else:
+        words = words_with_counts(ds, text_col,
+                                  num_partitions=num_partitions)
+        table = words.map_batches(_explode_chars,
+                                  batch_format="pyarrow").materialize()
+        if table.count() == 0:
+            return merges
+        counts_ds = grouped_agg(
+            table.map_batches(_pair_counts, batch_format="pyarrow"),
+            ["a", "b"], {"cnt": ("cnt", "sum")},
+            num_partitions=num_partitions).materialize()
+        if counts_ds.count() > driver_pairs_budget:
+            return _bpe_train_recount(table, n_merges, min_count,
+                                      num_partitions)
+        for blk in counts_ds.iter_batches(batch_format="pyarrow"):
+            for a, b, c in zip(blk.column("a").to_pylist(),
+                               blk.column("b").to_pylist(),
+                               blk.column("cnt").to_pylist()):
+                counts[(a, b)] = int(c)
     heap = [(-c, a, b) for (a, b), c in counts.items()]
     heapq.heapify(heap)
 
@@ -343,7 +499,54 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                 counts[key] = nc
                 heapq.heappush(heap, (-nc, a, b))
 
+    def validate(cands: list[tuple[str, str]], by_step: dict[int, list]):
+        """Longest candidate prefix that preserves exact greedy order,
+        folding each accepted step's deltas into the counts dict."""
+        accepted, exhausted = 0, False
+        for i, (l, r) in enumerate(cands):
+            best = _heap_best(counts, heap)
+            if best is None or counts[best] < min_count:
+                exhausted = True
+                break
+            if best != (l, r):
+                break  # a created pair outranked this candidate
+            merges.append((l, r, counts[best]))
+            fold_delta(by_step.get(i, []))
+            accepted += 1
+        return accepted, exhausted
+
     k = max(1, batch_merges)
+    if use_actors:
+        commit_prev: int | None = None
+        try:
+            while len(merges) < n_merges:
+                cands = _heap_top_k(counts, heap,
+                                    min(k, n_merges - len(merges)))
+                cands = [(a, b) for a, b, c in cands if c >= min_count]
+                if not cands:
+                    break
+                deltas = ray.get([a.probe.remote(cands, commit_prev)
+                                  for a in actors])
+                by_step: dict[int, list] = {}
+                for d in deltas:
+                    if d is None:
+                        continue
+                    for s, a, b, dd in zip(d.column("step").to_pylist(),
+                                           d.column("a").to_pylist(),
+                                           d.column("b").to_pylist(),
+                                           d.column("cnt").to_pylist()):
+                        by_step.setdefault(int(s), []).append((a, b, dd))
+                accepted, exhausted = validate(cands, by_step)
+                if exhausted:
+                    return merges
+                commit_prev = accepted
+                k = (min(k * 2, 64) if accepted == len(cands)
+                     else max(1, k // 2))
+        finally:
+            for a in actors:
+                ray.kill(a)
+        return merges
+
     while len(merges) < n_merges:
         cands = _heap_top_k(counts, heap, min(k, n_merges - len(merges)))
         cands = [(a, b) for a, b, c in cands if c >= min_count]
@@ -361,17 +564,7 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                                   blk.column("b").to_pylist(),
                                   blk.column("delta").to_pylist()):
                 by_step.setdefault(int(s), []).append((a, b, d))
-        accepted, exhausted = 0, False
-        for i, (l, r) in enumerate(cands):
-            best = _heap_best(counts, heap)
-            if best is None or counts[best] < min_count:
-                exhausted = True
-                break
-            if best != (l, r):
-                break  # a created pair outranked this candidate
-            merges.append((l, r, counts[best]))
-            fold_delta(by_step.get(i, []))
-            accepted += 1
+        accepted, exhausted = validate(cands, by_step)
         if exhausted:
             return merges
         if accepted == len(cands):
