@@ -1635,6 +1635,44 @@ _QUERY_PRIORITY = [
 ]
 
 
+_SCHEMA_TABLES = ["customer", "documents", "embeddings", "lineitem",
+                  "orders"]
+
+_DDB_TYPE_LABEL = {
+    "int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
+    "double": "DOUBLE", "float": "FLOAT", "bool": "BOOLEAN",
+    "string": "VARCHAR", "large_string": "VARCHAR",
+    "timestamp[us]": "TIMESTAMP", "date32[day]": "DATE",
+    "list<element: float>": "FLOAT[]", "list<item: float>": "FLOAT[]",
+    "list<element: double>": "DOUBLE[]",
+}
+
+
+def q_schema_tables(sf):
+    # schema listing utility surface (ops.projection.schema_info) over
+    # five tables, arrow types normalized to DuckDB's labels so the
+    # information_schema oracle checks names, types AND positions
+    rows = []
+    for t in _SCHEMA_TABLES:
+        for i, f in enumerate(projection.schema_info(_t(sf, t)), 1):
+            rows.append((t, f["column"],
+                         _DDB_TYPE_LABEL.get(f["type"],
+                                             f["type"].upper()), i))
+    return pa.table({
+        "table_name": pa.array([r[0] for r in rows], pa.string()),
+        "column_name": pa.array([r[1] for r in rows], pa.string()),
+        "data_type": pa.array([r[2] for r in rows], pa.string()),
+        "ordinal": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def q_size_rollup(sf):
+    # size utility surface: per-column logical data bytes over
+    # documents (the reference's per-type byte model — string octet
+    # sums, width x non-null for fixed types)
+    return aggregates.size_estimate(_t(sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_base()
     out = {k: base[k] for k in _QUERY_PRIORITY if k in base}
@@ -1703,6 +1741,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "hygiene_corpus": q_hygiene_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_encode_docs": q_bpe_encode_docs,
+        "schema_tables": q_schema_tables,
+        "size_rollup": q_size_rollup,
         "ann_topk": q_ann_topk,
         "select_rows": q_select_rows,
         "search_rows": q_search_rows,
@@ -2276,6 +2316,25 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY LN((((o_orderkey * {HASH_MULT} + 11) % {HASH_MOD}) "
             f"+ 0.5) / {HASH_MOD}) / o_totalprice DESC, o_orderkey "
             f"LIMIT 200"),
+        "schema_tables": (
+            "SELECT table_name, column_name, data_type, "
+            "CAST(ordinal_position AS BIGINT) AS ordinal "
+            "FROM information_schema.columns "
+            "WHERE table_name IN ('customer','documents','embeddings',"
+            "'lineitem','orders') ORDER BY table_name, ordinal"),
+        "size_rollup": (
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS col, COUNT(doc_id) AS n_values, "
+            "CAST(8*COUNT(doc_id) AS BIGINT) AS data_bytes FROM documents "
+            "UNION ALL SELECT 'lang', COUNT(lang), "
+            "CAST(COALESCE(SUM(strlen(lang)),0) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'n_chars', COUNT(n_chars), "
+            "CAST(8*COUNT(n_chars) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'source', COUNT(source), "
+            "CAST(COALESCE(SUM(strlen(source)),0) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'text', COUNT(text), "
+            "CAST(COALESCE(SUM(strlen(text)),0) AS BIGINT) FROM documents"
+            ") ORDER BY col"),
         "bpe_encode_docs": (
             # REPLACE over a '|'-separated symbol stream is exactly one
             # left-to-right non-overlapping BPE merge; the chain applies

@@ -416,6 +416,18 @@ def run_queries() -> dict[str, float]:
                                    columns=["text"]),
                   "text", n_merges=50)
 
+    @timed("bpe_train_500")
+    def _bpe500():
+        # train to pair exhaustion (the synthetic corpus's fixed word
+        # vocabulary fully merges after ~90 rounds) — exercises the
+        # actor-sharded round loop end to end at its ~0.02 s/merge
+        # marginal cost
+        from nailray.textops.bpe import bpe_train
+
+        bpe_train(nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["text"]),
+                  "text", n_merges=500)
+
     @timed("bpe_encode")
     def _bpe_encode():
         # train a 50-merge table then tokenize the WHOLE corpus with it

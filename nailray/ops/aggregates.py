@@ -962,6 +962,50 @@ def size_report(ds: rd.Dataset) -> dict:
     return {"rows": rows, "columns": acc, "total_bytes": sum(acc.values())}
 
 
+def size_estimate(ds: rd.Dataset) -> pa.Table:
+    """Per-column LOGICAL data bytes (the reference's per-type
+    byte-cost model, src/commands/size.rs:133-173): strings count
+    their octet lengths, fixed-width types count width x non-null
+    values, lists count element width x total element count.  One
+    tiny partial row per block per column; the driver folds scalars.
+    Returns ``(col, n_values, data_bytes)`` sorted by column name."""
+    schema = ds.schema()
+    base = schema.base_schema if hasattr(schema, "base_schema") else schema
+    names = list(base.names)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row: dict[str, list] = {}
+        for c in names:
+            col = batch.column(c)
+            n = len(col) - col.null_count
+            t = col.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                    or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                s = pc.sum(pc.binary_length(col)).as_py() or 0
+            elif pa.types.is_list(t) or pa.types.is_large_list(t):
+                elems = pc.sum(pc.list_value_length(col)).as_py() or 0
+                s = elems * max(1, t.value_type.bit_width // 8)
+            else:
+                s = n * max(1, t.bit_width // 8)
+            row[f"{c}__n"] = [n]
+            row[f"{c}__b"] = [int(s)]
+        return pa.table(row)
+
+    acc_n = {c: 0 for c in names}
+    acc_b = {c: 0 for c in names}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for c in names:
+            acc_n[c] += sum(x.as_py() for x in b.column(f"{c}__n"))
+            acc_b[c] += sum(x.as_py() for x in b.column(f"{c}__b"))
+    order = sorted(names)
+    return pa.table({
+        "col": pa.array(order, pa.string()),
+        "n_values": pa.array([acc_n[c] for c in order], pa.int64()),
+        "data_bytes": pa.array([acc_b[c] for c in order], pa.int64()),
+    })
+
+
 def parquet_metadata(path: str) -> dict:
     """Footer dump: rows, row groups, per-column-chunk compression /
     encodings / sizes / stats (src/commands/metadata.rs:45-554)."""
