@@ -1609,7 +1609,7 @@ _QUERY_PRIORITY = [
     # new or changed this round (r5)
     "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
-    "schema_lineitem", "size_documents",
+    "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
     # new or changed round 4
     "kendall_matrix_exact", "spearman_matrix_exact",
