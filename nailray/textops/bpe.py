@@ -277,6 +277,11 @@ class _BPEShard:
         self._probe_merges: list | None = None
         self._probe_tbl: pa.Table | None = None
 
+    def release(self) -> None:
+        """Drop shard state so a pooled (session-cached) actor holds no
+        memory between trainings."""
+        self.__init__()
+
     def load(self, refs) -> pa.Table | None:
         """Take (word, cnt) partial blocks, dedup locally, explode to
         symbol lists, and return this shard's grouped pair-count
@@ -284,6 +289,8 @@ class _BPEShard:
         pair exchange)."""
         import ray
 
+        self._probe_merges = None
+        self._probe_tbl = None
         tables = [t for t in ray.get(list(refs)) if t.num_rows]
         if not tables:
             return None
@@ -325,6 +332,34 @@ class _BPEShard:
         self._probe_merges = list(merges)
         self._probe_tbl = tbl
         return pa.concat_tables(parts) if parts else None
+
+
+_SHARD_POOL: list = []
+
+
+def _shard_pool(n: int) -> list:
+    """Session-cached :class:`_BPEShard` actors — spawning a fresh
+    actor process costs ~0.1 s each, which dominates small trainings
+    if paid per call; a long-lived cluster amortizes the pool the same
+    way.  Grows to the largest ``n`` ever requested; ``load`` resets
+    per-training state, ``release`` frees shard memory between calls.
+    The pool dies with the Ray session."""
+    import ray
+
+    while len(_SHARD_POOL) < n:
+        Shard = ray.remote(num_cpus=0)(_BPEShard)
+        _SHARD_POOL.append(Shard.remote())
+    return _SHARD_POOL[:n]
+
+
+def _drop_shard_pool() -> None:
+    import ray
+
+    while _SHARD_POOL:
+        try:
+            ray.kill(_SHARD_POOL.pop())
+        except Exception:
+            pass
 
 
 def _heap_best(counts: dict, heap: list):
@@ -393,7 +428,11 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
     merges each.  An actor round-trip is a few ms, cutting the
     per-merge fixed cost ~20×; mispredictions become nearly free (the
     validated prefix re-applies inside the actor, no extra stage).
-    ``use_actors=False`` keeps the pure-Dataset union path.
+    The pool is SESSION-CACHED (:func:`_shard_pool`) — process spawn
+    (~1-3 s for a full pool) is paid once, not per training — and a
+    cold call asking for ≤12 merges takes the pure-Dataset path
+    instead, which beats a cold spawn.  ``use_actors=False`` forces
+    the pure-Dataset union path.
 
     Scale shape: the word table stays sharded (actors or Dataset
     blocks); per round one delta exchange (O(affected pair types)) and
@@ -406,21 +445,25 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
     merges: list[tuple[str, str, int]] = []
     counts: dict[tuple[str, str], int] = {}
     actors: list = []
+    # Cold-start policy: a fresh actor pool costs ~1-3 s of process
+    # spawn; a tiny training (few merges) is cheaper through the pure-
+    # Dataset path unless the session pool is already warm.
+    if use_actors and not _SHARD_POOL and n_merges <= 12:
+        use_actors = False
     if use_actors:
         import ray
 
         from .analysis import whitespace_tokens
 
-        # spawn shard actors FIRST — process startup overlaps the
-        # tokenize pass below
+        # acquire shard actors FIRST (session-cached pool — spawn once
+        # per session; any fresh process startup overlaps the tokenize
+        # pass below).  num_cpus=0: the shards must NEVER hold CPU
+        # slots, or they starve the Dataset tokenize pass (deadlock on
+        # small clusters).  Per-round probe work is ms-scale; the one
+        # heavy call (load) tolerates oversubscription.
         n_act = max(1, min(64, int(ray.cluster_resources()
                                    .get("CPU", 8))))
-        # num_cpus=0: the shards must NEVER hold CPU slots, or they
-        # starve the Dataset tokenize pass below (deadlock on small
-        # clusters).  Per-round probe work is ms-scale; the one heavy
-        # call (load) tolerates oversubscription.
-        Shard = ray.remote(num_cpus=0)(_BPEShard)
-        actors = [Shard.remote() for _ in range(n_act)]
+        actors = _shard_pool(n_act)
 
         def word_partial(b: pa.Table) -> pa.Table:
             flat, _ = whitespace_tokens(b.column(text_col))
@@ -433,8 +476,6 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                  .map_batches(word_partial, batch_format="pyarrow") \
                  .to_arrow_refs()
         if len(refs) < len(actors):
-            for a in actors[max(1, len(refs)):]:
-                ray.kill(a)
             actors = actors[:max(1, len(refs))]
         try:
             pair_parts = ray.get([a.load.remote(refs[i::len(actors)])
@@ -449,25 +490,26 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                 if len(counts) > driver_pairs_budget:
                     break
         except Exception:
-            for a in actors:
-                ray.kill(a)
+            # a dead/poisoned actor poisons the pool — drop it so the
+            # next call respawns clean
+            _drop_shard_pool()
             raise
         if not counts:
             for a in actors:
-                ray.kill(a)
+                a.release.remote()
             return merges
         if len(counts) > driver_pairs_budget:
             # pathological alphabet (pair-type table too big for the
             # driver): per-round recount + partial top-1 over a Dataset
             for a in actors:
-                ray.kill(a)
+                a.release.remote()
             table = words_with_counts(ds, text_col,
                                       num_partitions=num_partitions) \
                 .map_batches(_explode_chars,
                              batch_format="pyarrow").materialize()
             return _bpe_train_recount(table, n_merges, min_count,
                                       num_partitions)
-    else:
+    if not use_actors:
         words = words_with_counts(ds, text_col,
                                   num_partitions=num_partitions)
         table = words.map_batches(_explode_chars,
@@ -542,9 +584,13 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                 commit_prev = accepted
                 k = (min(k * 2, 64) if accepted == len(cands)
                      else max(1, k // 2))
+        except Exception:
+            _drop_shard_pool()
+            raise
         finally:
-            for a in actors:
-                ray.kill(a)
+            if _SHARD_POOL:
+                for a in actors:
+                    a.release.remote()
         return merges
 
     while len(merges) < n_merges:
