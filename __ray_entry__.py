@@ -1351,6 +1351,18 @@ def q_minhash_dedup_docs(sf):
     return out.select_columns(["doc_id"])
 
 
+def q_minhash_clusters(sf):
+    # cluster LABELING over the same derived corpus: every doc of
+    # group g lands in one component labeled min(doc_id of g) —
+    # byte-identical group texts make the LSH routing deterministic,
+    # so the window-function oracle is exact
+    from nailray.textops import dedup as tdedup
+
+    return tdedup.minhash_clusters(_grouped_text_ds(sf), "text2",
+                                   "doc_id", threshold=0.8,
+                                   num_perm=64, bands=16)
+
+
 def q_simhash_docs(sf):
     # simhash over the grouped corpus: identical text → identical hash,
     # the 50 distinct group texts → 50 distinct hashes (deterministic)
@@ -1607,7 +1619,7 @@ _QUERY_PRIORITY = [
     # least-covered queries first.  Head of list (VERDICT r3 #2): the
     # only four registry entries with no driver-green row in r1/r2/r3.
     # new or changed this round (r5)
-    "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
+    "minhash_clusters", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
     "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
@@ -1789,6 +1801,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible → rows-only driver check
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "minhash_clusters": q_minhash_clusters,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
@@ -2433,6 +2446,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id % 100 <> vec_id"),
         "minhash_dedup_docs": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY doc_id % 50"),
+        "minhash_clusters": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 50) "
+            "AS cluster_id FROM documents"),
         "simhash_docs": (
             "SELECT MIN(doc_id) AS group_min, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY doc_id % 50"),

@@ -233,6 +233,13 @@ def run_queries() -> dict[str, float]:
         tdedup.minhash_dedup(nio.read_parquet(f"{SF_DIR}/documents.parquet"),
                              "text", "doc_id", threshold=0.8).count()
 
+    @timed("minhash_clusters")
+    def _minhash_clusters():
+        tdedup.minhash_clusters(
+            nio.read_parquet(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id", "text"]),
+            "text", "doc_id", threshold=0.8).count()
+
     @timed("langid")
     def _langid():
         analysis.language_id(nio.read_parquet(f"{SF_DIR}/documents.parquet"),

@@ -675,6 +675,62 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def minhash_clusters(ds: rd.Dataset, text_col: str, id_col: str,
+                     threshold: float = 0.8, num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 5, seed: int = 42,
+                     max_bucket: int = 512,
+                     num_partitions: int | None = None) -> rd.Dataset:
+    """Near-dup CLUSTER LABELING: the same signature → LSH → connected-
+    components machinery as :func:`minhash_dedup`, but instead of
+    dropping non-canonical rows it returns EVERY document with its
+    duplicate-cluster id — ``(id_col, cluster_id)`` where ``cluster_id``
+    is the component's minimum document id and a document with no
+    near-dup labels itself.  This is the shape cluster-aware pipelines
+    need (sample k per dup cluster, per-cluster quality stats, keep
+    the longest member) where a hard drop would lose information.
+
+    Scale shape: identical to minhash_dedup's distributed path (edge
+    Dataset → min-label propagation, no per-node driver state) plus
+    ONE partitioned left join of the label table back onto the ids."""
+    from ..ops.combine import merge
+
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                              seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                                max_bucket=max_bucket, dedupe=False,
+                                min_est=threshold)
+
+    sch = ds.schema()
+    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+    idt = sch.field(id_col).type
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if "est_jaccard" not in b.column_names:  # all-empty groupby quirk
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt)})
+        b = b.filter(pc.greater_equal(b.column("est_jaccard"), threshold))
+        return b.select(["id_a", "id_b"])
+
+    labels = connected_component_labels(
+        pairs.map_batches(edge_rows, batch_format="pyarrow"),
+        num_partitions=num_partitions).materialize()
+    ids = ds.select_columns([id_col])
+    if labels.count() == 0:  # no near-dups anywhere: all singletons
+        return ids.map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "cluster_id": b.column(id_col)}),
+            batch_format="pyarrow")
+    j = merge(ids, labels, id_col, "node", how="left",
+              num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        lab = pc.coalesce(pc.cast(b.column("r_label"), idt),
+                          b.column(id_col))
+        return pa.table({id_col: b.column(id_col), "cluster_id": lab})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

@@ -1025,3 +1025,32 @@ def test_ngram_topk_respects_document_boundaries(ray_session):
         rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x y z x y"]})),
         "text", n=3, k=10).take_all()}
     assert tri == {"x y z": 1, "y z x": 1, "z x y": 1}
+
+
+def test_minhash_clusters_labels_and_singletons():
+    """Cluster labeling: near-dup groups share the min-id label, docs
+    with no near-dup label themselves, and every input row comes back
+    exactly once."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight under a pale moon")
+    texts = [base, base + " extra", base.replace("quick", "quik"),
+             "completely different content about quantum physics " * 3,
+             "another unrelated short text snippet entirely ok"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    out = to_arrow(dedup.minhash_clusters(
+        rd.from_arrow(t), "text", "doc_id", threshold=0.5,
+        num_perm=64, bands=16)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[0] == 0 and lab[1] == 0 and lab[2] == 0  # near-dup cluster
+    assert lab[3] == 3 and lab[4] == 4  # singletons label themselves
+
+
+def test_minhash_clusters_all_singletons():
+    texts = [f"totally unique document number {i} " * 3 + str(i ** 3)
+             for i in range(6)]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": texts})
+    out = to_arrow(dedup.minhash_clusters(
+        rd.from_arrow(t), "text", "doc_id", threshold=0.9)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(6))
+    assert (out["cluster_id"] == out["doc_id"]).all()
