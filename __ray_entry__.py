@@ -1190,6 +1190,34 @@ def q_embedding_near_dup(sf):
     return nio.to_arrow(pairs).to_pandas()[["id_a", "id_b", "cosine"]]
 
 
+def q_embedding_decontam(sf):
+    # SEMANTIC decontamination on the same derived corpus: benchmark =
+    # the reps of groups 0..9, so a row is contaminated iff
+    # vec_id % 100 < 10 (same-group cosine exactly 1.0, max cross-group
+    # cosine measured < 0.48 — far from the 0.95 threshold)
+    from nailray.textops.decontam import decontaminate_embeddings
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    reps = {int(i): v for i, v in zip(emb.column("vec_id").to_pylist()[:100],
+                                      emb.column("embedding").to_pylist()[:100])}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array([reps[int(i) % 100] for i in ids],
+                                  emb.column("embedding").type),
+        })
+
+    d = _t(sf, "embeddings").select_columns(["vec_id"]).map_batches(
+        derive, batch_format="pyarrow")
+    bench = np.asarray([reps[g] for g in range(10)], np.float64)
+    return decontaminate_embeddings(d, bench, "embedding",
+                                    threshold=0.95) \
+        .select_columns(["vec_id"])
+
+
 def q_kmeans_embeddings(sf):
     # full-data distributed Lloyd's k-means with an EXACT SQL oracle on
     # a derived corpus: 8 groups of byte-identical vectors where group
@@ -1619,7 +1647,7 @@ _QUERY_PRIORITY = [
     # least-covered queries first.  Head of list (VERDICT r3 #2): the
     # only four registry entries with no driver-green row in r1/r2/r3.
     # new or changed this round (r5)
-    "minhash_clusters", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
+    "minhash_clusters", "embedding_decontam", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
     "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
@@ -1802,6 +1830,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "minhash_clusters": q_minhash_clusters,
+        "embedding_decontam": q_embedding_decontam,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
@@ -2449,6 +2478,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": (
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id % 50) "
             "AS cluster_id FROM documents"),
+        "embedding_decontam": (
+            "SELECT vec_id FROM embeddings WHERE vec_id % 100 >= 10"),
         "simhash_docs": (
             "SELECT MIN(doc_id) AS group_min, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY doc_id % 50"),

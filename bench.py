@@ -339,6 +339,21 @@ def run_queries() -> dict[str, float]:
         snips = [(r["text"] or "")[:40] for r in ds.limit(200).take_all()]
         decontam.decontaminate(ds, snips, "text").count()
 
+    @timed("embedding_decontam")
+    def _embedding_decontam():
+        # semantic scrub: 200 benchmark vectors broadcast once, one
+        # matmul + row-max per batch
+        import numpy as np
+
+        from nailray.textops import decontam
+
+        ds = nio.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        bench = np.asarray(
+            [r["embedding"] for r in ds.limit(200).take_all()], np.float64)
+        decontam.decontaminate_embeddings(ds, bench, "embedding",
+                                          threshold=0.999).count()
+
     @timed("dedup_lines")
     def _dedup_lines():
         tdedup.dedup_lines(

@@ -172,3 +172,66 @@ def decontaminate_ngrams(ds: rd.Dataset, benchmark_texts: list[str],
                     .drop_columns([out_col])
 
     return flagged.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def flag_contaminated_embeddings(ds: rd.Dataset, benchmark,
+                                 embedding_col: str = "embedding",
+                                 threshold: float = 0.95,
+                                 out_col: str = "contaminated") -> rd.Dataset:
+    """SEMANTIC decontamination: flag rows whose embedding is too close
+    (max cosine >= ``threshold``) to ANY vector in the benchmark/eval
+    set — catching paraphrased leakage the n-gram scrub misses.
+
+    Scale shape: the (m x d) benchmark matrix is row-normalized once
+    and broadcast via ``ray.put`` (read per task, never re-shipped per
+    batch); each batch pays ONE (Bxd)@(dxm) matmul and a row max — no
+    shuffle, linear in corpus rows.  For benchmark sets too big for one
+    matmul (millions of rows), shard the set and OR the flags, or
+    route through :func:`nailray.ann.topk_cosine_ivf`'s bucketing."""
+    import numpy as np
+    import ray
+
+    from ..ann import _batch_matrix
+
+    bm = np.asarray(benchmark, np.float64)
+    if bm.ndim != 2:
+        raise ValueError("benchmark must be an (m, d) matrix")
+    norms = np.linalg.norm(bm, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put(np.ascontiguousarray((bm / norms[:, None]).T))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if batch.num_rows == 0 or bm.shape[0] == 0:
+            return batch.append_column(
+                "max_benchmark_cosine",
+                pa.array([0.0] * batch.num_rows, pa.float64())) \
+                .append_column(out_col,
+                               pa.array([False] * batch.num_rows))
+        m = _batch_matrix(batch, embedding_col)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m / mn[:, None]) @ ray.get(ref)
+        mx = sims.max(axis=1)
+        return batch.append_column(
+            "max_benchmark_cosine", pa.array(mx, pa.float64())) \
+            .append_column(out_col, pa.array(mx >= threshold))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate_embeddings(ds: rd.Dataset, benchmark,
+                             embedding_col: str = "embedding",
+                             threshold: float = 0.95) -> rd.Dataset:
+    """Drop rows semantically too close to the benchmark set; schema
+    passes through unchanged."""
+    out_col = "__contam_emb__"
+    flagged = flag_contaminated_embeddings(ds, benchmark, embedding_col,
+                                           threshold, out_col)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch.column(out_col))) \
+                    .drop_columns([out_col, "max_benchmark_cosine"])
+
+    return flagged.map_batches(keep_clean, batch_format="pyarrow")

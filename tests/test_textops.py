@@ -1054,3 +1054,31 @@ def test_minhash_clusters_all_singletons():
         rd.from_arrow(t), "text", "doc_id", threshold=0.9)).to_pandas()
     assert sorted(out["doc_id"]) == list(range(6))
     assert (out["cluster_id"] == out["doc_id"]).all()
+
+
+def test_embedding_decontamination_flag_and_drop():
+    """Semantic decontamination: rows within cosine-threshold of any
+    benchmark vector are flagged/dropped; scale is irrelevant to
+    cosine; orthogonal rows survive."""
+    from nailray.textops import decontam
+
+    rows = [[1.0, 0.0, 0.0],     # = benchmark 0
+            [2.0, 0.0, 0.0],     # same direction, different scale
+            [0.0, 1.0, 0.0],     # = benchmark 1
+            [0.0, 0.0, 1.0],     # orthogonal to both
+            [1.0, 1.0, 0.0]]     # cos 0.707 to both — below 0.95
+    t = pa.table({"vec_id": pa.array(range(5), pa.int64()),
+                  "embedding": pa.array(rows, pa.list_(pa.float32()))})
+    bench = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    flags = to_arrow(decontam.flag_contaminated_embeddings(
+        rd.from_arrow(t), bench, "embedding", threshold=0.95)).to_pandas()
+    assert flags.sort_values("vec_id")["contaminated"].tolist() == \
+        [True, True, True, False, False]
+    kept = to_arrow(decontam.decontaminate_embeddings(
+        rd.from_arrow(t), bench, "embedding", threshold=0.95)).to_pandas()
+    assert sorted(kept["vec_id"]) == [3, 4]
+    assert set(kept.columns) == {"vec_id", "embedding"}
+    # empty benchmark: nothing contaminated
+    none = to_arrow(decontam.flag_contaminated_embeddings(
+        rd.from_arrow(t), np.zeros((0, 3)), "embedding")).to_pandas()
+    assert not none["contaminated"].any()
