@@ -248,6 +248,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, default=16)
     sp.add_argument("--iters", type=int, default=5)
     sp.add_argument("--threshold", type=float, default=0.95)
+    sp = add("minhash-clusters", help="near-dup cluster labeling: every doc "
+             "+ its duplicate-cluster id (singletons label themselves)")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--num-perm", type=int, default=64)
+    sp.add_argument("--bands", type=int, default=16)
+    sp = add("decontam-embeddings", help="semantic decontamination: drop rows "
+             "whose embedding max-cosine vs a benchmark parquet >= threshold")
+    sp.add_argument("benchmark", help="parquet of benchmark embeddings")
+    sp.add_argument("--embedding-col", default="embedding")
+    sp.add_argument("--threshold", type=float, default=0.95)
     return p
 
 
@@ -658,6 +670,25 @@ def main(argv: list[str] | None = None) -> int:
                                n_iter=args.iters,
                                embedding_col=args.embedding_col,
                                id_col=args.id_col), args)
+    elif cmd == "minhash-clusters":
+        from .textops import dedup as tdedup
+
+        _output(tdedup.minhash_clusters(ds, args.text_col, args.id_col,
+                                        threshold=args.threshold,
+                                        num_perm=args.num_perm,
+                                        bands=args.bands), args)
+    elif cmd == "decontam-embeddings":
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from .ann import _batch_matrix
+        from .textops.decontam import decontaminate_embeddings
+
+        bt = _pq.read_table(args.benchmark, columns=[args.embedding_col])
+        bench = _batch_matrix(bt, args.embedding_col)
+        _output(decontaminate_embeddings(ds, bench,
+                                         embedding_col=args.embedding_col,
+                                         threshold=args.threshold), args)
     elif cmd == "verify":
         from .encode import pipeline as epl
 

@@ -132,6 +132,11 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "-o", f"{out}/kmeans"],
         ["semdedup", f"{sf_dir}/embeddings.parquet", "-k", "4",
          "--threshold", "0.99", "-o", f"{out}/semdedup"],
+        ["minhash-clusters", f"{sf_dir}/documents.parquet",
+         "--threshold", "0.8", "-o", f"{out}/mh_clusters"],
+        ["decontam-embeddings", f"{sf_dir}/embeddings.parquet",
+         f"{sf_dir}/embeddings.parquet", "--threshold", "0.9999",
+         "-o", f"{out}/emb_decontam"],
     ]
     script = textwrap.dedent("""
         import sys, io, contextlib, json
