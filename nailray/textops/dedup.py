@@ -690,8 +690,10 @@ def minhash_clusters(ds: rd.Dataset, text_col: str, id_col: str,
     the longest member) where a hard drop would lose information.
 
     Scale shape: identical to minhash_dedup's distributed path (edge
-    Dataset → min-label propagation, no per-node driver state) plus
-    ONE partitioned left join of the label table back onto the ids."""
+    Dataset → min-label propagation, no per-node driver state); label
+    application mirrors its drop-set policy — ≤5M labels broadcast
+    once via ``ray.put`` (searchsorted lookup per batch, no exchange),
+    beyond that ONE partitioned left join back onto the ids."""
     from ..ops.combine import merge
 
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
@@ -715,11 +717,38 @@ def minhash_clusters(ds: rd.Dataset, text_col: str, id_col: str,
         pairs.map_batches(edge_rows, batch_format="pyarrow"),
         num_partitions=num_partitions).materialize()
     ids = ds.select_columns([id_col])
-    if labels.count() == 0:  # no near-dups anywhere: all singletons
+    n_labels = labels.count()
+    if n_labels == 0:  # no near-dups anywhere: all singletons
         return ids.map_batches(
             lambda b: pa.table({id_col: b.column(id_col),
                                 "cluster_id": b.column(id_col)}),
             batch_format="pyarrow")
+
+    if n_labels <= 5_000_000 and pa.types.is_integer(idt):
+        # same broadcast budget as minhash_dedup's drop set: ship the
+        # sorted (node, label) arrays once via ray.put, apply as a
+        # searchsorted lookup per batch — no join exchange
+        import numpy as np
+        import ray as _ray
+
+        lt = pa.concat_tables(
+            [b for b in labels.iter_batches(batch_format="pyarrow")])
+        nodes = np.asarray(lt.column("node").combine_chunks(), np.int64)
+        labs = np.asarray(lt.column("label").combine_chunks(), np.int64)
+        order = np.argsort(nodes, kind="stable")
+        ref = _ray.put((nodes[order], labs[order]))
+
+        def lookup(b: pa.Table) -> pa.Table:
+            nodes_s, labs_s = _ray.get(ref)
+            vals = np.asarray(b.column(id_col).combine_chunks(), np.int64)
+            pos = np.minimum(np.searchsorted(nodes_s, vals),
+                             len(nodes_s) - 1)
+            out = np.where(nodes_s[pos] == vals, labs_s[pos], vals)
+            return pa.table({id_col: b.column(id_col),
+                             "cluster_id": pa.array(out).cast(idt)})
+
+        return ids.map_batches(lookup, batch_format="pyarrow")
+
     j = merge(ids, labels, id_col, "node", how="left",
               num_partitions=num_partitions)
 
