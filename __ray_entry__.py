@@ -1190,6 +1190,16 @@ def q_embedding_near_dup(sf):
     return nio.to_arrow(pairs).to_pandas()[["id_a", "id_b", "cosine"]]
 
 
+def q_quantiles_by_group(sf):
+    # exact per-group quantiles (linear interpolation == DuckDB
+    # quantile_cont; formula matched to the ulp, rounded at 6dp)
+    from nailray.ops.quantile import quantiles_by
+
+    out = quantiles_by(_t(sf, "lineitem"), "l_extendedprice",
+                       "l_returnflag", qs=(0.25, 0.5, 0.9, 0.99))
+    return _round_cols(out, ["value"], 6)
+
+
 def q_embedding_decontam(sf):
     # SEMANTIC decontamination on the same derived corpus: benchmark =
     # the reps of groups 0..9, so a row is contaminated iff
@@ -1647,7 +1657,7 @@ _QUERY_PRIORITY = [
     # least-covered queries first.  Head of list (VERDICT r3 #2): the
     # only four registry entries with no driver-green row in r1/r2/r3.
     # new or changed this round (r5)
-    "minhash_clusters", "embedding_decontam", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
+    "minhash_clusters", "embedding_decontam", "quantiles_by_group", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
     "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
@@ -1831,6 +1841,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "minhash_clusters": q_minhash_clusters,
         "embedding_decontam": q_embedding_decontam,
+        "quantiles_by_group": q_quantiles_by_group,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
@@ -2480,6 +2491,8 @@ def oracle_sql() -> dict[str, str]:
             "AS cluster_id FROM documents"),
         "embedding_decontam": (
             "SELECT vec_id FROM embeddings WHERE vec_id % 100 >= 10"),
+        "quantiles_by_group": (
+            'SELECT l_returnflag, 0.25 AS q, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.5 AS q, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.9 AS q, ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.99 AS q, ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS value FROM lineitem GROUP BY l_returnflag'),
         "simhash_docs": (
             "SELECT MIN(doc_id) AS group_min, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY doc_id % 50"),

@@ -133,6 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--q", default="0.1,0.25,0.5,0.75,0.9,0.99")
     sp.add_argument("--sketch", action="store_true")
     sp.add_argument("--delta", type=int, default=200)
+    sp.add_argument("--by", default=None,
+                    help="group column: exact per-group quantiles "
+                         "(one row per group x q)")
     sp = add("outliers"); sp.add_argument("-c", "--columns", required=True); sp.add_argument("--method", default="zscore", choices=["zscore", "iqr", "modified-zscore", "isolation"]); sp.add_argument("--factor", type=float, default=3.0); sp.add_argument("--remove", action="store_true")
     sp = add("binning"); sp.add_argument("-c", "--column", required=True); sp.add_argument("--bins", type=int, default=10); sp.add_argument("--method", default="equal-width", choices=["equal-width", "equal-frequency"]); sp.add_argument("--drop-original", action="store_true")
     sp = add("pivot"); sp.add_argument("--index", required=True); sp.add_argument("--pivot", required=True); sp.add_argument("--values", required=True); sp.add_argument("--agg", default="sum", choices=["sum", "mean", "count", "min", "max"])
@@ -454,7 +457,11 @@ def main(argv: list[str] | None = None) -> int:
         qs = [float(x) for x in args.q.split(",") if x]
         if any(not 0.0 <= q <= 1.0 for q in qs):
             raise SystemExit(f"quantiles must be in [0, 1]: {qs}")
-        if args.sketch:
+        if args.by:
+            from .ops.quantile import quantiles_by
+
+            _output(quantiles_by(ds, args.column, args.by, qs=qs), args)
+        elif args.sketch:
             from .sketch import approx_quantiles_tdigest
 
             got = approx_quantiles_tdigest(ds, args.column, qs,

@@ -224,3 +224,85 @@ def filter_quantile(ds: rd.Dataset, column: str, lo: float = 0.01,
         return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quantiles_by(ds: rd.Dataset, column: str, by: str,
+                 qs=(0.5,), num_partitions: int | None = None,
+                 exchange: str | None = None) -> rd.Dataset:
+    """Exact per-group quantiles — ``(by, q, value)`` one row per
+    (group, q), linear interpolation over the sorted non-null values
+    (DuckDB ``quantile_cont`` / numpy ``'linear'`` semantics; NULL
+    values drop per group, an all-NULL group is omitted, NaN sorts
+    greatest in both engines).
+
+    Scale shape: groups hash-co-locate through ``group_map`` (the same
+    per-group-fits-a-partition contract every grouped map op here
+    documents; for unbounded single groups use the global sketch path
+    instead).  Inside a partition there is ONE lexsort of
+    (group code, value) and then fully vectorized interpolation across
+    every (group, q) pair — no per-group Python loop.  The exchange
+    carries only the two projected columns."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import group_map, hash_partition, partition_count
+    from .projection import resolve_column
+
+    names = ds.schema().names
+    column = resolve_column(names, column)
+    by = resolve_column(names, by)
+    q_list = sorted(float(q) for q in qs)
+    if not q_list or any(q < 0.0 or q > 1.0 for q in q_list):
+        raise ValueError("qs must be fractions in [0, 1]")
+    n_parts = partition_count(num_partitions)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([by, column])
+        part = hash_partition(t.select([by]).to_pandas(), [by], n_parts)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    staged = ds.select_columns([by, column]).map_batches(
+        project, batch_format="pyarrow")
+
+    qs_np = np.asarray(q_list, np.float64)
+
+    def part_fn(g: pa.Table) -> pa.Table:
+        key_t = g.schema.field(by).type
+        empty = pa.table({
+            by: pa.array([], key_t),
+            "q": pa.array([], pa.float64()),
+            "value": pa.array([], pa.float64()),
+        })
+        g = g.filter(pc.is_valid(g.column(column)))
+        if g.num_rows == 0:
+            return empty
+        keys = g.column(by).combine_chunks().to_pandas()
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        vals = np.asarray(g.column(column).combine_chunks(),
+                          np.float64)
+        order = np.lexsort((vals, codes))
+        codes_s, vals_s = codes[order], vals[order]
+        n_g = len(uniq)
+        starts = np.searchsorted(codes_s, np.arange(n_g))
+        ends = np.append(starts[1:], len(codes_s))
+        counts = ends - starts
+        # vectorized linear interpolation across all (group, q) pairs;
+        # the fractional index is computed BEFORE adding the partition
+        # offset (a large integer start would eat fraction bits), and
+        # the lo*(1-frac) + hi*frac form is DuckDB quantile_cont's —
+        # matches it to the ulp
+        rel = qs_np[None, :] * (counts - 1)[:, None]
+        base = np.floor(rel)
+        frac = rel - base
+        lo = starts[:, None] + base.astype(np.int64)
+        hi = np.minimum(lo + 1, (ends - 1)[:, None])
+        out = vals_s[lo] * (1.0 - frac) + vals_s[hi] * frac
+        key_arr = pa.array(pd.Series(uniq).repeat(len(qs_np))
+                           .reset_index(drop=True)).cast(key_t)
+        return pa.table({
+            by: key_arr,
+            "q": pa.array(np.tile(qs_np, n_g), pa.float64()),
+            "value": pa.array(out.reshape(-1), pa.float64()),
+        })
+
+    return group_map(staged, "__part", part_fn, n_parts,
+                     exchange=exchange)

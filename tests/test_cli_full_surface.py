@@ -132,6 +132,8 @@ def test_all_commands(corpus_dir, sf_dir, tmp_path):
          "-o", f"{out}/kmeans"],
         ["semdedup", f"{sf_dir}/embeddings.parquet", "-k", "4",
          "--threshold", "0.99", "-o", f"{out}/semdedup"],
+        ["quantiles", f"{sf_dir}/lineitem.parquet", "-c", "l_extendedprice",
+         "--by", "l_returnflag", "--q", "0.5,0.9", "-o", f"{out}/qby"],
         ["minhash-clusters", f"{sf_dir}/documents.parquet",
          "--threshold", "0.8", "-o", f"{out}/mh_clusters"],
         ["decontam-embeddings", f"{sf_dir}/embeddings.parquet",

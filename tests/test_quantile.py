@@ -50,3 +50,42 @@ def test_quantiles_all_null_and_empty_qs():
     ds = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
     assert exact_quantiles(ds, "x", [0.5])["value"].tolist() == [None]
     assert len(exact_quantiles(ds, "x", [])) == 0
+
+
+def test_quantiles_by_group_vs_duckdb(sf_dir):
+    from nailray.io import to_arrow
+    from nailray.ops.quantile import quantiles_by
+
+    ds = nio.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_returnflag", "l_extendedprice"])
+    got = to_arrow(quantiles_by(ds, "l_extendedprice", "l_returnflag",
+                                qs=(0.0, 0.25, 0.5, 0.75, 1.0))) \
+        .to_pandas().sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    want = con.execute(" UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q, "
+        f"quantile_cont(l_extendedprice, {q}) AS value FROM li "
+        f"GROUP BY l_returnflag" for q in (0.0, 0.25, 0.5, 0.75, 1.0))) \
+        .df().sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()  # ulp-exact
+
+
+def test_quantiles_by_group_nulls_and_singletons():
+    from nailray.io import to_arrow
+    from nailray.ops.quantile import quantiles_by
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "c", "c", None],
+        "v": [1.0, None, 3.0, 7.0, None, None, 5.0],
+    })
+    out = to_arrow(quantiles_by(rd.from_arrow(t), "v", "g",
+                                qs=(0.5,))).to_pandas()
+    lab = {(r["g"] if isinstance(r["g"], str) else None): r["value"]
+           for _, r in out.iterrows()}
+    assert lab["a"] == 2.0        # nulls dropped inside the group
+    assert lab["b"] == 7.0        # singleton group
+    assert lab[None] == 5.0       # NULL group key is its own group
+    assert "c" not in lab         # all-NULL group omitted
