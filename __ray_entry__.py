@@ -1200,6 +1200,52 @@ def q_quantiles_by_group(sf):
     return _round_cols(out, ["value"], 6)
 
 
+def q_tdigest_by_group(sf):
+    # grouped t-digest quantiles, HLL-style hash-checkable oracle: the
+    # Ray side verifies each estimate's TRUE rank lies within ±2% of q
+    # (delta=200 → rank error ~0.005) and returns the boolean; the SQL
+    # side asserts it holds for every (group, q)
+    from nailray.sketch import approx_quantiles_tdigest_by
+
+    qs = (0.25, 0.5, 0.9)
+    est = nio.to_arrow(approx_quantiles_tdigest_by(
+        _t(sf, "lineitem"), "l_extendedprice", "l_returnflag",
+        list(qs))).to_pandas()
+    pairs = [(str(r.l_returnflag), float(r.q), float(r.value))
+             for r in est.itertuples()]
+
+    ds = _t(sf, "lineitem").select_columns(
+        ["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flags = np.asarray(b.column("l_returnflag").combine_chunks()
+                           .to_pandas())
+        vals = np.asarray(b.column("l_extendedprice").combine_chunks()
+                          .to_pandas(), np.float64)
+        le = [int(((flags == g) & (vals <= v)).sum()) for g, _, v in pairs]
+        n = [int(((flags == g) & ~np.isnan(vals)).sum())
+             for g, _, _ in pairs]
+        return pa.table({"i": pa.array(range(len(pairs)), pa.int64()),
+                         "le": pa.array(le, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    acc_le = [0] * len(pairs)
+    acc_n = [0] * len(pairs)
+    for blk in ds.map_batches(partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for i, le, n in zip(blk.column("i").to_pylist(),
+                            blk.column("le").to_pylist(),
+                            blk.column("n").to_pylist()):
+            acc_le[i] += le
+            acc_n[i] += n
+    return pa.table({
+        "l_returnflag": pa.array([g for g, _, _ in pairs]),
+        "q": pa.array([q for _, q, _ in pairs], pa.float64()),
+        "rank_ok": pa.array([abs(acc_le[i] / max(1, acc_n[i]) - pairs[i][1])
+                             <= 0.02 for i in range(len(pairs))]),
+    })
+
+
 def q_embedding_decontam(sf):
     # SEMANTIC decontamination on the same derived corpus: benchmark =
     # the reps of groups 0..9, so a row is contaminated iff
@@ -1657,7 +1703,8 @@ _QUERY_PRIORITY = [
     # least-covered queries first.  Head of list (VERDICT r3 #2): the
     # only four registry entries with no driver-green row in r1/r2/r3.
     # new or changed this round (r5)
-    "minhash_clusters", "embedding_decontam", "quantiles_by_group", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
+    "minhash_clusters", "embedding_decontam", "quantiles_by_group",
+    "tdigest_by_group", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
     "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
@@ -1842,6 +1889,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q_minhash_clusters,
         "embedding_decontam": q_embedding_decontam,
         "quantiles_by_group": q_quantiles_by_group,
+        "tdigest_by_group": q_tdigest_by_group,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
@@ -2491,6 +2539,9 @@ def oracle_sql() -> dict[str, str]:
             "AS cluster_id FROM documents"),
         "embedding_decontam": (
             "SELECT vec_id FROM embeddings WHERE vec_id % 100 >= 10"),
+        "tdigest_by_group": (
+            "SELECT DISTINCT l_returnflag, q, TRUE AS rank_ok "
+            "FROM lineitem, (SELECT UNNEST([0.25, 0.5, 0.9]) AS q) t"),
         "quantiles_by_group": (
             'SELECT l_returnflag, 0.25 AS q, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.5 AS q, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.9 AS q, ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.99 AS q, ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS value FROM lineitem GROUP BY l_returnflag'),
         "simhash_docs": (

@@ -310,6 +310,16 @@ def run_queries() -> dict[str, float]:
                         "l_extendedprice", [0.1, 0.5, 0.9, 0.99],
                         collect_limit=1 << 16)
 
+    @timed("tdigest_by_group")
+    def _tdigest_by():
+        from nailray.sketch import approx_quantiles_tdigest_by
+
+        approx_quantiles_tdigest_by(
+            nio.read_parquet(li, columns=["l_returnflag",
+                                          "l_extendedprice"]),
+            "l_extendedprice", "l_returnflag",
+            [0.25, 0.5, 0.9, 0.99]).count()
+
     @timed("quantiles_by_group")
     def _quantiles_by():
         from nailray.ops.quantile import quantiles_by

@@ -578,3 +578,90 @@ def approx_distinct_by(ds: rd.Dataset, keys: list[str] | str, col: str,
                          "n_distinct_approx": pa.array(ests, pa.int64())})
 
     return group_map(parts, "__part", combine, n_parts)
+
+
+def approx_quantiles_tdigest_by(ds: rd.Dataset, column: str, by: str,
+                                quantiles: list[float], delta: int = 200,
+                                num_partitions: int | None = None,
+                                exchange: str | None = None) -> rd.Dataset:
+    """Grouped one-pass approximate quantiles — the unbounded-group
+    complement to the exact :func:`nailray.ops.quantile.quantiles_by`
+    (which needs each group to fit a partition): one ~delta-centroid
+    t-digest per (block, key) crosses the wire — a few KB regardless of
+    group size, so a billion-row key costs the same exchange bytes as a
+    ten-row key.  Digests merge per key inside hash partitions; merge
+    order is fixed by sorting payload bytes, so a given block layout
+    always reproduces the same estimate (t-digest compression is lossy,
+    so unlike the grouped HLL the VALUE shifts within the error bound
+    when the block split changes — rank accuracy holds regardless).
+    Returns
+    ``(by, q, value)``; rank error ~O(1/delta), tightest at the tails
+    under the k1 scale.  NULL values drop per key; a NULL key forms its
+    own group; an all-NULL-value key is omitted.  The per-block digest
+    build loops once per key PRESENT IN THE BLOCK (each iteration a
+    vectorized compress) — the bound is keys/block, same discipline as
+    the grouped-HLL register build."""
+    import pyarrow.compute as pc
+
+    from .shuffle import group_map, hash_partition, partition_count
+
+    q_list = sorted(float(q) for q in quantiles)
+    if not q_list or any(q < 0.0 or q > 1.0 for q in q_list):
+        raise ValueError("quantiles must be fractions in [0, 1]")
+    n_parts = partition_count(num_partitions)
+    qs_np = np.asarray(q_list, np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(by).type
+        empty = pa.table({by: pa.array([], key_t),
+                          "td": pa.array([], pa.large_binary()),
+                          "__part": pa.array([], pa.int64())})
+        t = batch.select([by, column]) \
+                 .filter(pc.is_valid(batch.column(column)))
+        if t.num_rows == 0:
+            return empty
+        keys = t.column(by).combine_chunks().to_pandas()
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        vals = np.asarray(pc.cast(t.column(column), pa.float64()))
+        order = np.argsort(codes, kind="stable")
+        codes_s, vals_s = codes[order], vals[order]
+        starts = np.searchsorted(codes_s, np.arange(len(uniq)))
+        ends = np.append(starts[1:], len(codes_s))
+        payloads = [TDigest.of(vals_s[s:e], delta).to_bytes()
+                    for s, e in zip(starts, ends)]
+        key_arr = pa.array(pd.Series(uniq)).cast(key_t)
+        out = pa.table({by: key_arr,
+                        "td": pa.array(payloads, pa.large_binary())})
+        part = hash_partition(out.select([by]).to_pandas(), [by], n_parts)
+        return out.append_column("__part", pa.array(part, pa.int64()))
+
+    staged = ds.select_columns([by, column]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def part_fn(g: pa.Table) -> pa.Table:
+        key_t = g.schema.field(by).type
+        if g.num_rows == 0 or "td" not in g.column_names:
+            return pa.table({by: pa.array([], key_t),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        keys = g.column(by).combine_chunks().to_pandas()
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        payloads = g.column("td").to_pylist()
+        out_keys, out_q, out_v = [], [], []
+        for ci in range(len(uniq)):
+            mine = sorted(payloads[i] for i in np.flatnonzero(codes == ci))
+            d = TDigest(delta)
+            for p in mine:
+                d = d.merge(TDigest.from_bytes(p, delta))
+            for q in qs_np:
+                out_keys.append(ci)
+                out_q.append(float(q))
+                out_v.append(d.quantile(float(q)))
+        key_arr = pa.array(pd.Series(uniq).iloc[out_keys]
+                           .reset_index(drop=True)).cast(key_t)
+        return pa.table({by: key_arr,
+                         "q": pa.array(out_q, pa.float64()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    return group_map(staged, "__part", part_fn, n_parts,
+                     exchange=exchange)

@@ -89,3 +89,38 @@ def test_quantiles_by_group_nulls_and_singletons():
     assert lab["b"] == 7.0        # singleton group
     assert lab[None] == 5.0       # NULL group key is its own group
     assert "c" not in lab         # all-NULL group omitted
+
+
+def test_grouped_tdigest_accuracy_and_layout_independence():
+    """Grouped t-digest: per-group rank error within tolerance vs the
+    exact answer at every block layout, and re-running a FIXED layout
+    reproduces the estimate exactly (payload-sorted merge order;
+    t-digest partials are lossy, so cross-layout values may shift
+    within the error bound)."""
+    import numpy as np
+
+    from nailray.io import to_arrow
+    from nailray.sketch import approx_quantiles_tdigest_by
+
+    rng = np.random.default_rng(7)
+    n = 30000
+    g = np.repeat(["a", "b", "c"], n // 3)
+    v = np.concatenate([rng.normal(0, 1, n // 3),
+                        rng.exponential(5, n // 3),
+                        rng.uniform(-10, 10, n // 3)])
+    t = pa.table({"g": g, "v": v})
+    qs = [0.1, 0.5, 0.9, 0.99]
+
+    def run(n_blocks):
+        ds = rd.from_arrow(t).repartition(n_blocks)
+        out = to_arrow(approx_quantiles_tdigest_by(ds, "v", "g", qs)) \
+            .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+        return out
+
+    est1, est2, est1b = run(4), run(17), run(4)
+    assert est1["value"].tolist() == est1b["value"].tolist()  # reproducible
+    for est in (est1, est2):  # accurate at every layout
+        for _, r in est.iterrows():
+            grp = v[g == r["g"]]
+            rank = (grp <= r["value"]).mean()
+            assert abs(rank - r["q"]) < 0.02, (r["g"], r["q"], rank)
