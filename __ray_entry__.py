@@ -2437,22 +2437,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(strlen(text)),0) AS BIGINT) FROM documents"
             ") ORDER BY col"),
         "bpe_encode_docs": (
-            # REPLACE over a '|'-separated symbol stream is exactly one
-            # left-to-right non-overlapping BPE merge; the chain applies
-            # the planted merges in order. Space stays a symbol no merge
-            # touches, so merges never cross word boundaries; token ids
-            # via ascii()-97 for chars + the planted merge-product ids.
+            # Each token rides as '<tok>' — DISTINCT open/close
+            # delimiters, so adjacent merge sites share no characters
+            # and ONE left-to-right non-overlapping REPLACE per merge
+            # is exactly one kernel pass (a shared '|' delimiter broke
+            # the second of two touching sites — e.g. 'banana' under
+            # (a,n), or 'lllll' under (l,l) — verified vs the Python
+            # kernel on adversarial runs). Space stays a symbol no
+            # merge touches, so merges never cross word boundaries;
+            # token ids via ascii()-97 for chars + the planted
+            # merge-product ids.
             "WITH c AS (SELECT doc_id, regexp_replace(lower(COALESCE("
             "text,'')), '[^a-z ]+', '', 'g') AS t FROM documents), "
             "s AS (SELECT doc_id, "
             "replace(replace(replace(replace(replace(replace(replace("
-            "replace('|' || array_to_string(string_split(t, ''), '|') "
-            "|| '|', "
-            "'|t|a|','|ta|'), '|a|n|','|an|'), '|s|c|','|sc|'), "
-            "'|sc|an|','|scan|'), '|t|h|','|th|'), '|th|e|','|the|'), "
-            "'|e|r|','|er|'), '|l|l|','|ll|') AS st FROM c), "
-            "tok AS (SELECT doc_id, list_filter(string_split(st, '|'), "
-            "x -> x != '' AND x != ' ') AS toks FROM s) "
+            "replace('<' || array_to_string(string_split(t, ''), '><') "
+            "|| '>', "
+            "'<t><a>','<ta>'), '<a><n>','<an>'), '<s><c>','<sc>'), "
+            "'<sc><an>','<scan>'), '<t><h>','<th>'), '<th><e>','<the>'), "
+            "'<e><r>','<er>'), '<l><l>','<ll>') AS st FROM c), "
+            "tok AS (SELECT doc_id, list_filter(string_split(trim(st, "
+            "'<>'), '><'), x -> x != '' AND x != ' ') AS toks FROM s) "
             "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
             "array_to_string(toks, '|') AS tokens, "
             "CAST(COALESCE(list_sum(list_transform(toks, x -> CASE x "

@@ -9,7 +9,6 @@
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -69,7 +68,9 @@ def topk_cosine(ds: rd.Dataset, query: np.ndarray, k: int = 10,
         })
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r[id_col]))
+    # sort key (-sim, id) == nlargest by (sim, -id) but works for
+    # string ids too (the per-batch fallback already tolerates them)
+    best = sorted(rows, key=lambda r: (-r["sim"], r[id_col]))[:k]
     return pd.DataFrame(best)
 
 

@@ -457,7 +457,12 @@ def main(argv: list[str] | None = None) -> int:
         qs = [float(x) for x in args.q.split(",") if x]
         if any(not 0.0 <= q <= 1.0 for q in qs):
             raise SystemExit(f"quantiles must be in [0, 1]: {qs}")
-        if args.by:
+        if args.by and args.sketch:
+            from .sketch import approx_quantiles_tdigest_by
+
+            _output(approx_quantiles_tdigest_by(ds, args.column, args.by,
+                                                qs, delta=args.delta), args)
+        elif args.by:
             from .ops.quantile import quantiles_by
 
             _output(quantiles_by(ds, args.column, args.by, qs=qs), args)

@@ -1166,6 +1166,12 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
         from ..shuffle import (group_map, hash_partition, int_types_mapper,
                                partition_count, to_arrow_clean)
 
+        # resolved ONCE on the driver: a worker-side partition_count
+        # could disagree (cluster resources changing between planning
+        # and execution) and rows tagged >= the driver's count would be
+        # silently dropped by the direct exchange
+        n_parts_z = partition_count(None)
+
         def partial(batch: pa.Table) -> pa.Table:
             key_types = ({k: batch.schema.field(k).type for k in by}
                          if by else {})
@@ -1207,7 +1213,7 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
                           **{c2: pa.Array.from_pandas(out[c2])
                              for c2 in out.columns if c2 not in by}})
             part = hash_partition(t.select(by).to_pandas(), by,
-                                  partition_count(None))
+                                  n_parts_z)
             return t.append_column("__part", pa.array(part))
 
         if by:
@@ -1226,7 +1232,7 @@ def standardize(ds: rd.Dataset, columns: list[str] | str,
             parts_ds = ds.select_columns(by + columns).map_batches(
                 partial, batch_format="pyarrow")
             stats_ds = group_map(parts_ds, "__part", combine,
-                                 partition_count(None))
+                                 n_parts_z)
             stat_parts = [b for b in stats_ds.iter_batches(
                 batch_size=None, batch_format="pyarrow")]
             if stat_parts:

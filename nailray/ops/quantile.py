@@ -244,7 +244,8 @@ def quantiles_by(ds: rd.Dataset, column: str, by: str,
     carries only the two projected columns."""
     import pyarrow.compute as pc
 
-    from ..shuffle import group_map, hash_partition, partition_count
+    from ..shuffle import (group_map, hash_partition, int_types_mapper,
+                           partition_count)
     from .projection import resolve_column
 
     names = ds.schema().names
@@ -257,7 +258,9 @@ def quantiles_by(ds: rd.Dataset, column: str, by: str,
 
     def project(batch: pa.Table) -> pa.Table:
         t = batch.select([by, column])
-        part = hash_partition(t.select([by]).to_pandas(), [by], n_parts)
+        part = hash_partition(
+            t.select([by]).to_pandas(types_mapper=int_types_mapper),
+            [by], n_parts)
         return t.append_column("__part", pa.array(part, pa.int32()))
 
     staged = ds.select_columns([by, column]).map_batches(
@@ -275,7 +278,10 @@ def quantiles_by(ds: rd.Dataset, column: str, by: str,
         g = g.filter(pc.is_valid(g.column(column)))
         if g.num_rows == 0:
             return empty
-        keys = g.column(by).combine_chunks().to_pandas()
+        # nullable-int mapper: the default conversion widens
+        # int-with-null key blocks to float64, merging ids past 2^53
+        keys = g.select([by]).to_pandas(
+            types_mapper=int_types_mapper)[by]
         codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         vals = np.asarray(g.column(column).combine_chunks(),
                           np.float64)

@@ -603,7 +603,8 @@ def approx_quantiles_tdigest_by(ds: rd.Dataset, column: str, by: str,
     the grouped-HLL register build."""
     import pyarrow.compute as pc
 
-    from .shuffle import group_map, hash_partition, partition_count
+    from .shuffle import (group_map, hash_partition, int_types_mapper,
+                          partition_count)
 
     q_list = sorted(float(q) for q in quantiles)
     if not q_list or any(q < 0.0 or q > 1.0 for q in q_list):
@@ -620,7 +621,8 @@ def approx_quantiles_tdigest_by(ds: rd.Dataset, column: str, by: str,
                  .filter(pc.is_valid(batch.column(column)))
         if t.num_rows == 0:
             return empty
-        keys = t.column(by).combine_chunks().to_pandas()
+        keys = t.select([by]).to_pandas(
+            types_mapper=int_types_mapper)[by]
         codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         vals = np.asarray(pc.cast(t.column(column), pa.float64()))
         order = np.argsort(codes, kind="stable")
@@ -632,7 +634,9 @@ def approx_quantiles_tdigest_by(ds: rd.Dataset, column: str, by: str,
         key_arr = pa.array(pd.Series(uniq)).cast(key_t)
         out = pa.table({by: key_arr,
                         "td": pa.array(payloads, pa.large_binary())})
-        part = hash_partition(out.select([by]).to_pandas(), [by], n_parts)
+        part = hash_partition(
+            out.select([by]).to_pandas(types_mapper=int_types_mapper),
+            [by], n_parts)
         return out.append_column("__part", pa.array(part, pa.int64()))
 
     staged = ds.select_columns([by, column]).map_batches(
@@ -644,7 +648,8 @@ def approx_quantiles_tdigest_by(ds: rd.Dataset, column: str, by: str,
             return pa.table({by: pa.array([], key_t),
                              "q": pa.array([], pa.float64()),
                              "value": pa.array([], pa.float64())})
-        keys = g.column(by).combine_chunks().to_pandas()
+        keys = g.select([by]).to_pandas(
+            types_mapper=int_types_mapper)[by]
         codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         payloads = g.column("td").to_pylist()
         out_keys, out_q, out_v = [], [], []

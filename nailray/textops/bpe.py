@@ -477,23 +477,30 @@ def bpe_train(ds: rd.Dataset, text_col: str = "text", n_merges: int = 50,
                  .to_arrow_refs()
         if len(refs) < len(actors):
             actors = actors[:max(1, len(refs))]
-        try:
-            pair_parts = ray.get([a.load.remote(refs[i::len(actors)])
-                                  for i, a in enumerate(actors)])
-            for p in pair_parts:
-                if p is None:
-                    continue
-                for a, b, c in zip(p.column("a").to_pylist(),
-                                   p.column("b").to_pylist(),
-                                   p.column("cnt").to_pylist()):
-                    counts[(a, b)] = counts.get((a, b), 0) + int(c)
-                if len(counts) > driver_pairs_budget:
-                    break
-        except Exception:
-            # a dead/poisoned actor poisons the pool — drop it so the
-            # next call respawns clean
-            _drop_shard_pool()
-            raise
+        for attempt in (0, 1):
+            try:
+                pair_parts = ray.get([a.load.remote(refs[i::len(actors)])
+                                      for i, a in enumerate(actors)])
+                break
+            except Exception:
+                # dead actors — e.g. the cached pool outlived a
+                # ray.shutdown()/ray.init() cycle. Drop it; on the
+                # first failure respawn fresh and retry once.
+                _drop_shard_pool()
+                if attempt:
+                    raise
+                actors = _shard_pool(n_act)
+                if len(refs) < len(actors):
+                    actors = actors[:max(1, len(refs))]
+        for p in pair_parts:
+            if p is None:
+                continue
+            for a, b, c in zip(p.column("a").to_pylist(),
+                               p.column("b").to_pylist(),
+                               p.column("cnt").to_pylist()):
+                counts[(a, b)] = counts.get((a, b), 0) + int(c)
+            if len(counts) > driver_pairs_budget:
+                break
         if not counts:
             for a in actors:
                 a.release.remote()

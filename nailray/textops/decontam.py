@@ -199,11 +199,16 @@ def flag_contaminated_embeddings(ds: rd.Dataset, benchmark,
     norms = np.linalg.norm(bm, axis=1)
     norms[norms == 0] = 1.0
     ref = ray.put(np.ascontiguousarray((bm / norms[:, None]).T))
+    # only the scalar count enters the closure — capturing `bm` itself
+    # would serialize the whole matrix with the pickled UDF, defeating
+    # the ray.put broadcast above
+    n_bench = int(bm.shape[0])
+    del bm, norms
 
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        if batch.num_rows == 0 or bm.shape[0] == 0:
+        if batch.num_rows == 0 or n_bench == 0:
             return batch.append_column(
                 "max_benchmark_cosine",
                 pa.array([0.0] * batch.num_rows, pa.float64())) \

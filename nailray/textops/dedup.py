@@ -570,6 +570,38 @@ def connected_component_labels(edges: rd.Dataset, src_col: str = "id_a",
     return labels
 
 
+
+def _minhash_component_labels(ds: rd.Dataset, text_col: str, id_col: str,
+                              threshold: float, num_perm: int, bands: int,
+                              shingle_k: int, seed: int, max_bucket: int,
+                              num_partitions: int | None = None):
+    """Shared head of :func:`minhash_dedup` / :func:`minhash_clusters`:
+    signatures → LSH candidate pairs → threshold filter → distributed
+    connected components.  Returns ``(labels_materialized, id_type)``;
+    labels is the ``(node, label)`` table, empty when no candidate
+    pair survives."""
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
+                              seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                                max_bucket=max_bucket, dedupe=False,
+                                min_est=threshold)
+    sch = ds.schema()
+    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+    idt = sch.field(id_col).type
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if "est_jaccard" not in b.column_names:  # all-empty groupby quirk
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt)})
+        b = b.filter(pc.greater_equal(b.column("est_jaccard"), threshold))
+        return b.select(["id_a", "id_b"])
+
+    labels = connected_component_labels(
+        pairs.map_batches(edge_rows, batch_format="pyarrow"),
+        num_partitions=num_partitions).materialize()
+    return labels, idt
+
+
 def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float = 0.8,
                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                   seed: int = 42, max_bucket: int = 512,
@@ -593,27 +625,12 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
     only, bounded by ``max_edges`` (past it, further edges are dropped
     and logged: under-merging — some near-dups survive — never wrong
     drops)."""
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
-                                max_bucket=max_bucket, dedupe=False,
-                                min_est=threshold)
-
     if components == "distributed":
         from ..ops.combine import anti_join
 
-        sch = ds.schema()
-        sch = sch.base_schema if hasattr(sch, "base_schema") else sch
-        idt = sch.field(id_col).type
-
-        def edge_rows(b: pa.Table) -> pa.Table:
-            if "est_jaccard" not in b.column_names:  # all-empty groupby quirk
-                return pa.table({"id_a": pa.array([], idt),
-                                 "id_b": pa.array([], idt)})
-            b = b.filter(pc.greater_equal(b.column("est_jaccard"), threshold))
-            return b.select(["id_a", "id_b"])
-
-        edges = pairs.map_batches(edge_rows, batch_format="pyarrow")
-        labels = connected_component_labels(edges).materialize()
+        labels, _idt = _minhash_component_labels(
+            ds, text_col, id_col, threshold, num_perm, bands, shingle_k,
+            seed, max_bucket)
         n_labels = labels.count()
         if n_labels == 0:  # no candidate pairs at all
             return ds
@@ -629,6 +646,10 @@ def minhash_dedup(ds: rd.Dataset, text_col: str, id_col: str, threshold: float =
         raise ValueError(
             f"unknown components mode {components!r}: distributed|driver")
 
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                                max_bucket=max_bucket, dedupe=False,
+                                min_est=threshold)
     parent: dict = {}
 
     def find(x):
@@ -696,26 +717,9 @@ def minhash_clusters(ds: rd.Dataset, text_col: str, id_col: str,
     beyond that ONE partitioned left join back onto the ids."""
     from ..ops.combine import merge
 
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k,
-                              seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
-                                max_bucket=max_bucket, dedupe=False,
-                                min_est=threshold)
-
-    sch = ds.schema()
-    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
-    idt = sch.field(id_col).type
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        if "est_jaccard" not in b.column_names:  # all-empty groupby quirk
-            return pa.table({"id_a": pa.array([], idt),
-                             "id_b": pa.array([], idt)})
-        b = b.filter(pc.greater_equal(b.column("est_jaccard"), threshold))
-        return b.select(["id_a", "id_b"])
-
-    labels = connected_component_labels(
-        pairs.map_batches(edge_rows, batch_format="pyarrow"),
-        num_partitions=num_partitions).materialize()
+    labels, idt = _minhash_component_labels(
+        ds, text_col, id_col, threshold, num_perm, bands, shingle_k,
+        seed, max_bucket, num_partitions=num_partitions)
     ids = ds.select_columns([id_col])
     n_labels = labels.count()
     if n_labels == 0:  # no near-dups anywhere: all singletons

@@ -151,8 +151,7 @@ def test_bpe_encode_unicode_and_unknown_chars():
     for i, t in enumerate(texts):
         ref = bpe_encode_reference(t, merges, alpha)
         assert rows[i]["token_ids"] == ref
-        assert -1 in rows[1 - 1]["token_ids"] or True  # é maps to unk somewhere
-    assert any(-1 in rows[i]["token_ids"] for i in range(2))
+        assert -1 in rows[i]["token_ids"]  # every doc here has an accent → unk
 
 
 def test_bpe_encode_null_and_empty_rows():

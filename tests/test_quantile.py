@@ -124,3 +124,24 @@ def test_grouped_tdigest_accuracy_and_layout_independence():
             grp = v[g == r["g"]]
             rank = (grp <= r["value"]).mean()
             assert abs(rank - r["q"]) < 0.02, (r["g"], r["q"], rank)
+
+
+def test_grouped_quantiles_big_int_keys_with_nulls():
+    """int64 keys beyond 2^53 alongside NULL keys must survive the
+    pandas round-trip exactly (nullable-Int64 mapper) in BOTH grouped
+    quantile ops — the default conversion widens to float64 and merges
+    adjacent ids."""
+    from nailray.io import to_arrow
+    from nailray.ops.quantile import quantiles_by
+    from nailray.sketch import approx_quantiles_tdigest_by
+
+    big = (1 << 62) + 1
+    t = pa.table({"k": pa.array([big, big, big + 1, None, None], pa.int64()),
+                  "v": [1.0, 3.0, 7.0, 9.0, 11.0]})
+    for op in (lambda ds: quantiles_by(ds, "v", "k", qs=(0.5,)),
+               lambda ds: approx_quantiles_tdigest_by(ds, "v", "k", [0.5])):
+        out = to_arrow(op(rd.from_arrow(t)))
+        rows = set(zip(out.column("k").to_pylist(),
+                       out.column("value").to_pylist()))
+        assert (big, 2.0) in rows and (big + 1, 7.0) in rows \
+            and (None, 10.0) in rows, rows
