@@ -1200,6 +1200,36 @@ def q_quantiles_by_group(sf):
     return _round_cols(out, ["value"], 6)
 
 
+def _orders_subset(sf, pred):
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pred(b)).select(["o_custkey", "o_orderpriority"])
+
+    return _t(sf, "orders").map_batches(fn, batch_format="pyarrow")
+
+
+def q_intersect_orders(sf):
+    # SQL INTERSECT: (custkey, priority) pairs present in BOTH the
+    # high-value and the open-status order subsets
+    from nailray.ops.combine import intersect_distinct
+
+    a = _orders_subset(sf, lambda b: pc.greater(b.column("o_totalprice"),
+                                                150000.0))
+    b = _orders_subset(sf, lambda t: pc.equal(t.column("o_orderstatus"),
+                                              "O"))
+    return intersect_distinct(a, b)
+
+
+def q_except_orders(sf):
+    # SQL EXCEPT: high-value pairs with no open-status counterpart
+    from nailray.ops.combine import except_distinct
+
+    a = _orders_subset(sf, lambda b: pc.greater(b.column("o_totalprice"),
+                                                150000.0))
+    b = _orders_subset(sf, lambda t: pc.equal(t.column("o_orderstatus"),
+                                              "O"))
+    return except_distinct(a, b)
+
+
 def q_tdigest_by_group(sf):
     # grouped t-digest quantiles, HLL-style hash-checkable oracle: the
     # Ray side verifies each estimate's TRUE rank lies within ±2% of q
@@ -1704,7 +1734,7 @@ _QUERY_PRIORITY = [
     # only four registry entries with no driver-green row in r1/r2/r3.
     # new or changed this round (r5)
     "minhash_clusters", "embedding_decontam", "quantiles_by_group",
-    "tdigest_by_group", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
+    "tdigest_by_group", "intersect_orders", "except_orders", "bpe_encode_docs", "kmeans_embeddings", "approx_distinct_by_group",
     "ann_topk_ivf", "jaccard_pairs", "standardize_group",
     "schema_tables", "size_rollup",
     "ann_topk_lsh", "embedding_near_dup", "quality_docs", "simhash_docs",
@@ -1890,6 +1920,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "embedding_decontam": q_embedding_decontam,
         "quantiles_by_group": q_quantiles_by_group,
         "tdigest_by_group": q_tdigest_by_group,
+        "intersect_orders": q_intersect_orders,
+        "except_orders": q_except_orders,
         "simhash_docs": q_simhash_docs,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
@@ -2547,6 +2579,16 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_by_group": (
             "SELECT DISTINCT l_returnflag, q, TRUE AS rank_ok "
             "FROM lineitem, (SELECT UNNEST([0.25, 0.5, 0.9]) AS q) t"),
+        "intersect_orders": (
+            "SELECT o_custkey, o_orderpriority FROM orders "
+            "WHERE o_totalprice > 150000 INTERSECT "
+            "SELECT o_custkey, o_orderpriority FROM orders "
+            "WHERE o_orderstatus = 'O'"),
+        "except_orders": (
+            "SELECT o_custkey, o_orderpriority FROM orders "
+            "WHERE o_totalprice > 150000 EXCEPT "
+            "SELECT o_custkey, o_orderpriority FROM orders "
+            "WHERE o_orderstatus = 'O'"),
         "quantiles_by_group": (
             'SELECT l_returnflag, 0.25 AS q, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.5 AS q, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.9 AS q, ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS value FROM lineitem GROUP BY l_returnflag UNION ALL SELECT l_returnflag, 0.99 AS q, ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS value FROM lineitem GROUP BY l_returnflag'),
         "simhash_docs": (

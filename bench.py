@@ -310,6 +310,28 @@ def run_queries() -> dict[str, float]:
                         "l_extendedprice", [0.1, 0.5, 0.9, 0.99],
                         collect_limit=1 << 16)
 
+    @timed("intersect_orders")
+    def _intersect():
+        from nailray.ops.combine import intersect_distinct
+
+        def hi(b):
+            return b.filter(pc.greater(b.column("o_totalprice"),
+                                       150000.0)) \
+                    .select(["o_custkey", "o_orderpriority"])
+
+        def op(b):
+            return b.filter(pc.equal(b.column("o_orderstatus"), "O")) \
+                    .select(["o_custkey", "o_orderpriority"])
+
+        orders = f"{SF_DIR}/orders.parquet"
+        cols = ["o_custkey", "o_orderpriority", "o_totalprice",
+                "o_orderstatus"]
+        intersect_distinct(
+            nio.read_parquet(orders, columns=cols).map_batches(
+                hi, batch_format="pyarrow"),
+            nio.read_parquet(orders, columns=cols).map_batches(
+                op, batch_format="pyarrow")).count()
+
     @timed("tdigest_by_group")
     def _tdigest_by():
         from nailray.sketch import approx_quantiles_tdigest_by

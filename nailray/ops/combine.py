@@ -619,3 +619,63 @@ def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
         return semi_join(candidates, right, lk, rk, strategy=verify,
                          num_partitions=num_partitions)
     raise ValueError(f"unknown verify mode {verify!r}")
+
+
+def _set_op(a: rd.Dataset, b: rd.Dataset, keep: str,
+            num_partitions: int | None = None) -> rd.Dataset:
+    """Shared engine for SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT
+    semantics, NULLs compare equal like ``IS NOT DISTINCT FROM``):
+    each side pre-dedups per block and ships one (row, side-flag)
+    partial, then one ``grouped_agg`` keyed on ALL columns folds
+    presence flags — exchange volume is O(distinct rows per block),
+    never raw row counts."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import grouped_agg
+
+    na = a.schema().names
+    nb = b.schema().names
+    if na != nb:
+        raise ValueError(
+            f"set operation requires identical schemas: {na} vs {nb}")
+    cols = list(na)
+
+    def tag(flag_a: int, flag_b: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols).combine_chunks() \
+                     .group_by(cols, use_threads=False).aggregate([])
+            return t.append_column(
+                "__in_a", pa.array([flag_a] * t.num_rows, pa.int64())) \
+                .append_column(
+                "__in_b", pa.array([flag_b] * t.num_rows, pa.int64()))
+        return fn
+
+    tagged = a.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        b.map_batches(tag(0, 1), batch_format="pyarrow"))
+    folded = grouped_agg(tagged, cols,
+                         {"__a": ("__in_a", "max"), "__b": ("__in_b", "max")},
+                         num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "__a" not in batch.column_names:  # empty-input schema quirk
+            return batch.select([c for c in batch.column_names
+                                 if c in cols])
+        ia = pc.equal(batch.column("__a"), 1)
+        ib = pc.equal(batch.column("__b"), 1)
+        mask = pc.and_(ia, ib) if keep == "both" \
+            else pc.and_(ia, pc.invert(ib))
+        return batch.filter(mask).select(cols)
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def intersect_distinct(a: rd.Dataset, b: rd.Dataset,
+                       num_partitions: int | None = None) -> rd.Dataset:
+    """SQL ``INTERSECT``: distinct rows present in BOTH inputs."""
+    return _set_op(a, b, "both", num_partitions)
+
+
+def except_distinct(a: rd.Dataset, b: rd.Dataset,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """SQL ``EXCEPT``: distinct rows of ``a`` absent from ``b``."""
+    return _set_op(a, b, "a_only", num_partitions)

@@ -1087,3 +1087,31 @@ def test_weighted_sample_per_group_cap_and_bias():
     assert (sizes == 10).all()
     heavy_frac = (out["id"] % 100 == 0).mean()
     assert heavy_frac > 0.5, heavy_frac  # 1% of rows hold ~91% of weight
+
+
+def test_set_operations_distinct_and_null_semantics():
+    """INTERSECT/EXCEPT: DISTINCT output, NULLs compare equal (SQL set
+    operations use IS NOT DISTINCT FROM), duplicates collapse, schema
+    mismatch rejected."""
+    import pytest
+
+    from nailray.io import to_arrow
+    from nailray.ops.combine import except_distinct, intersect_distinct
+
+    a = pa.table({"k": pa.array([1, 1, 2, None, 3], pa.int64()),
+                  "s": ["x", "x", "y", None, "z"]})
+    b = pa.table({"k": pa.array([1, None, 4], pa.int64()),
+                  "s": ["x", None, "w"]})
+    inter = to_arrow(intersect_distinct(rd.from_arrow(a),
+                                        rd.from_arrow(b))).to_pandas()
+    got = {(None if pd.isna(r["k"]) else int(r["k"]),
+            None if r["s"] is None else r["s"])
+           for _, r in inter.iterrows()}
+    assert got == {(1, "x"), (None, None)}  # dup (1,x) collapsed; NULL row matches
+    exc = to_arrow(except_distinct(rd.from_arrow(a),
+                                   rd.from_arrow(b))).to_pandas()
+    got = {(int(r["k"]), r["s"]) for _, r in exc.iterrows()}
+    assert got == {(2, "y"), (3, "z")}
+    with pytest.raises(ValueError):
+        intersect_distinct(rd.from_arrow(a),
+                           rd.from_arrow(a.rename_columns(["k", "t"])))
